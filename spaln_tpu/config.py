@@ -1,0 +1,144 @@
+"""Typed configuration tree.
+
+One frozen-dataclass tree replacing the reference's global mutable parameter
+structs with identical semantics and defaults:
+  AlnPrm    <- ALPRM   (simmtx.cc:47 + setdefparam spaln.cc:1471-1494)
+  AlnPrm2   <- ALPRM2  (simmtx.cc:49)
+  AlgMode   <- ALGMODE (clib.h:38-55 + setdefparam)
+  IntronPrm <- INTRONPEN (codepot.cc:38-47)
+FQUERY-style deferred defaults are resolved by ``resolve()`` exactly as
+prePwd/PwdB do (aln2.cc:66-96): dvsp-dependent splice weights, sss mix, etc.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+FQUERY = None           # deferred default marker (reference FQUERY sentinel)
+
+# species-vs-universal splice-signal mix by cross-species level
+DEF_SSS = (0.3, 0.50, 0.7)            # aln.h:53 defSss
+DEF_PRM2_Y = ((4., 4.), (8., 8.))     # codepot.cc:66 defprm2 [dvsp>0][y,Y]
+AVRSIG53 = (2.446, 4.807)             # codepot.cc:67
+DEF_ALPRM2Z = 2.0                     # coding-potential weight for protein
+
+
+@dataclass(frozen=True)
+class AlnPrm:
+    """Gap/scale parameters (ALPRM)."""
+    u: float | None = FQUERY     # gap extension (per-matrix default)
+    v: float | None = FQUERY     # gap open
+    u0: float = 0.
+    u1: float = 0.6              # long-gap extension (double affine)
+    v0: float = 0.
+    tgapf: float = 1.0           # terminal gap factor
+    thr: float = 35.             # score threshold
+    scale: int = 10              # fixed-point scale (int build)
+    maxsp: float = 8.
+    gamma: float = 0.5
+    k1: int = 7                  # double-affine flex point
+    ls: int = 2                  # # gap states (2 = single affine)
+    sh: int = 100                # band shoulder (-w)
+    mtx_no: int = 0
+
+
+@dataclass(frozen=True)
+class AlnPrm2:
+    """Splice/coding parameters (ALPRM2)."""
+    x: float = 30.               # frameshift penalty
+    y: float | None = FQUERY     # splice-signal weight
+    z: float | None = FQUERY     # coding-potential weight
+    o: float = 30.               # premature-stop penalty
+    m: float = 9.
+    bti: float = 8.              # translation init/term weight
+    spb: float = 20.             # conserved splice-position bonus
+    Z: float = 0.                # intron-potential weight
+    sss: float | None = FQUERY   # species-specific signal mix (-yS)
+    jneibr: int = 10             # junction neighborhood window
+    termk1: int = 45
+    desert: int = 150
+    w: float = 0.
+
+
+@dataclass(frozen=True)
+class AlgMode:
+    """Algorithm mode bits (ALGMODE after setdefparam)."""
+    lcl: int = 15                # semi-global ends
+    lsg: int = 1                 # spliced alignment
+    qck: int = 3                 # HSP search recursion levels (-Q)
+    mlt: int = 0                 # single alignment per query
+    mns: int = 3                 # both strands
+    thr: int = 1                 # filter weak matches
+    crs: int = 0                 # cross-species level
+    any: int = 0                 # non-canonical splice tolerance (-ya)
+    alg: int = 1                 # DP engine variant (-A)
+    bnd: int = 1
+
+
+@dataclass(frozen=True)
+class IntronPrm:
+    """Intron-length-distribution parameters (INTRONPEN, codepot.cc:38-47).
+
+    Frechet mixture (a1,m1,t1,k1 / m2,t2,k2 / a2,m3,t3,k3) fitted per
+    species (-yI / AlnParam); defaults = Dictyostelium-ish generic."""
+    ip: float | None = FQUERY    # expected intron cost (12 nt / 15 aa)
+    fact: float | None = FQUERY  # ILD weight (-yY; 4 nt / 8 aa)
+    mean: float = -2.767
+    llmt: int = 20
+    mu: int = 224
+    rlmt: int = 825
+    elmt: int = 2
+    tlmt: int = 5
+    minl: int = 20
+    maxl: int = 0
+    mode: int = 0
+    nquant: int = 5
+    a1: float = 0.2767
+    m1: float = -22.80
+    t1: float = 83.35
+    k1: float = 5.488
+    m2: float = 21.870
+    t2: float = 223.95
+    k2: float = 0.7882
+    a2: float = 0.
+    m3: float = 0.
+    t3: float = 0.
+    k3: float = 0.
+
+
+@dataclass(frozen=True)
+class OutPrm:
+    """Output options (OUTPRM subset)."""
+    max_out: int = 1
+    skip_long_gap: int = 1
+    fmt: int = 3                 # -O output format number
+
+
+@dataclass(frozen=True)
+class Config:
+    aln: AlnPrm = field(default_factory=AlnPrm)
+    aln2: AlnPrm2 = field(default_factory=AlnPrm2)
+    alg: AlgMode = field(default_factory=AlgMode)
+    intron: IntronPrm = field(default_factory=IntronPrm)
+    out: OutPrm = field(default_factory=OutPrm)
+
+
+# dvsp codes (aln2.cc:86): 0 = cDNA x genome, 1/2 = protein x genome,
+# 3 = protein x protein, 4 = tron x tron
+CvsG, PvsG, GvsP, PvsP, TvsT = 0, 1, 2, 3, 4
+
+
+def resolve(cfg: Config, dvsp: int) -> Config:
+    """Resolve FQUERY-deferred defaults for a given comparison mode
+    (prePwd + IntronPenalty ctor, aln2.cc:84-96, codepot.cc:129-133)."""
+    y, Y = DEF_PRM2_Y[1 if dvsp > 0 else 0]
+    a2 = cfg.aln2
+    a2 = replace(a2,
+                 y=a2.y if a2.y is not None else y,
+                 sss=a2.sss if a2.sss is not None else DEF_SSS[cfg.alg.crs],
+                 z=a2.z if a2.z is not None else
+                 (DEF_ALPRM2Z if dvsp else 0.))
+    it = cfg.intron
+    it = replace(it,
+                 fact=it.fact if it.fact is not None else Y,
+                 ip=it.ip if it.ip is not None else (15. if dvsp else 12.))
+    return replace(cfg, aln2=a2, intron=it)

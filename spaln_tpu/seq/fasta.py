@@ -1,0 +1,93 @@
+"""FASTA(.gz) reading/writing and streaming query supply.
+
+Replaces the reference's Seq readers + SeqServer streaming input
+(seq.h:1158-1197): queries are streamed from (possibly gzipped) FASTA files
+and encoded to int8 code arrays for the device pipeline.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+from ..constants import DNA, PROTEIN, UNKNOWN
+from .codec import encode_dna, encode_protein
+
+
+@dataclass
+class SeqRecord:
+    name: str
+    codes: np.ndarray            # int8 residue codes
+    molc: int                    # DNA or PROTEIN
+    descr: str = ""
+    meta: dict = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "r")
+
+
+_AA_ONLY = set("EFILPQZefilpqz")   # letters that cannot occur in IUPAC DNA
+
+
+def infer_molc(seq: str) -> int:
+    """Guess molecule type from residue composition (Seq::infermolc logic:
+    dominant ACGTN -> DNA, else protein)."""
+    if any(c in _AA_ONLY for c in seq[:1000]):
+        return PROTEIN
+    body = [c for c in seq[:1000].upper() if c.isalpha()]
+    if not body:
+        return UNKNOWN
+    acgtn = sum(1 for c in body if c in "ACGTNU")
+    return DNA if acgtn / len(body) > 0.75 else PROTEIN
+
+
+def iter_fasta(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
+    """Stream records from a FASTA(.gz) file."""
+    name, descr, chunks = None, "", []
+    with _open_text(path) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield _make_record(name, descr, "".join(chunks), molc)
+                head = line[1:].split(None, 1)
+                name = head[0] if head else ""
+                descr = head[1] if len(head) > 1 else ""
+                chunks = []
+            elif line.startswith((";", "#")):
+                continue
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield _make_record(name, descr, "".join(chunks), molc)
+
+
+def _make_record(name: str, descr: str, seq: str, molc: int) -> SeqRecord:
+    m = molc if molc != UNKNOWN else infer_molc(seq)
+    codes = encode_protein(seq) if m == PROTEIN else encode_dna(seq)
+    return SeqRecord(name=name, codes=codes, molc=m, descr=descr)
+
+
+def read_fasta(path: str, molc: int = UNKNOWN) -> list[SeqRecord]:
+    return list(iter_fasta(path, molc))
+
+
+def write_fasta(path: str, records: list[tuple[str, str]], width: int = 60):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                fh.write(seq[i:i + width] + "\n")

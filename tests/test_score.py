@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+from spaln_tpu import constants as K
+from spaln_tpu.config import Config, resolve, CvsG, PvsG
+from spaln_tpu.score.simmtx import (dna_matrix, mdm_matrix, text_matrix,
+                                    tron_matrix, Simmtx)
+from spaln_tpu.score.pssm import load_pssm, load_pssm_stack, scan_pssm
+from spaln_tpu.score.intron import IntronPenalty, frechet_quantile
+from spaln_tpu.score.splice import build_splice_signals, Sig53Tables
+from spaln_tpu.seq.codec import encode_dna
+
+
+def test_dna_matrix_match_mismatch():
+    m = dna_matrix()
+    assert m[K.A, K.A] == 20          # +2 x10
+    assert m[K.C, K.C] == 20
+    assert m[K.A, K.C] == -60         # mismatch -6 x10
+    assert m[K.A, K.G] == -60
+    # ambiguity: A vs M(A|C) -> level 2 -> 0
+    assert m[K.A, K.M] == 0
+    # R(A|G) vs R: level(5,5) = 4 - ((9*2)//2//2//2) = 2 -> 0
+    assert m[K.R, K.R] == 0
+    assert m[K.A, K.N] == 0 or m[K.A, K.N] <= 10
+    # gap column
+    assert m[K.GAP, K.A] == -30
+    assert m[K.NIL, K.A] == 0
+
+
+def test_mdm_pam100(table_dir):
+    m = mdm_matrix(100, table_dir.root)
+    # values verified directly against the mdm_mtx binary (level 10)
+    assert m[K.ALA, K.ALA] == 37
+    assert (m == m.T).all()
+    assert m[K.TRP, K.TRP] == 98
+    assert m[K.TRP, K.CYS] == -5
+    assert m[K.CYS, K.CYS] == 84
+    assert m[K.AA_NIL, K.ALA] == 0
+    assert m[K.AA_UNP, K.ALA] == -40  # -scale*u (u=4 slot 0)
+
+
+def test_text_matrix_blosum62(table_dir):
+    m = text_matrix(table_dir.path("blosum62"))
+    assert m[K.ALA, K.ALA] == 40      # blosum62 A/A = 4 -> x10
+    assert m[K.TRP, K.TRP] == 110
+    assert m[K.ALA, K.ARG] == -10
+    assert (m[3:23, 3:23] == m[3:23, 3:23].T).all()
+
+
+def test_tron_matrix(table_dir):
+    p = mdm_matrix(100, table_dir.root)
+    t = tron_matrix(p)
+    assert t[K.SER2, K.ALA] == t[K.SER, K.ALA]
+    assert t[K.TRM, K.ALA] == -300    # premature stop -30 x10
+    assert t[K.AA_NIL, K.SER] == 0
+
+
+def test_pssm_load_and_order(table_dir):
+    from spaln_tpu.score.tables import TableDir
+    dicty = TableDir(table_dir.root, species="Dictyost")
+    p5 = load_pssm(dicty.path("Splice5"))
+    assert p5.cols == 8 and p5.rows == 84
+    assert p5.morder == 2 and p5.nalpha == 4
+    assert p5.offset == 1
+    p3 = load_pssm(dicty.path("Splice3"))
+    assert p3.cols == 18 and p3.offset == 18
+    # generic root-level Splice5 also loads (order-2, 24-wide window)
+    p5g = load_pssm(table_dir.path("Splice5"))
+    assert p5g.morder == 2 and p5g.tonic == -5.0
+
+
+def test_pssm_scan_gt_peak(table_dir):
+    """A GT-containing window should outscore random on Splice5."""
+    p5 = load_pssm(table_dir.path("Splice5"))
+    rng = np.random.default_rng(0)
+    base = rng.choice(list("ACGT"), 200)
+    seq = "".join(base)
+    # plant a strong donor-ish context: xxx|GTAAGT
+    pos = 100
+    seq = seq[:pos] + "GTAAGT" + seq[pos + 6:]
+    scores = scan_pssm(p5, encode_dna(seq))
+    assert scores[pos] > np.median(scores) + 1.0
+
+
+def test_intron53_tables(table_dir):
+    tabs = Sig53Tables.load(table_dir, fs=28.0)
+    # GT should be by far the strongest donor dinucleotide
+    GT = 2 * 4 + 3
+    AG = 0 * 4 + 2
+    assert tabs.tab5[GT] == max(tabs.tab5)
+    assert tabs.tab3[AG] == max(tabs.tab3)
+    assert tabs.tab5[GT] == int(28.0 * 1.29319)
+
+
+def test_intron_penalty_shape():
+    cfg = resolve(Config(), CvsG)
+    ip = IntronPenalty(cfg, CvsG)
+    pen = ip.penalty(np.arange(0, 2000))
+    # below llmt impossible
+    assert (pen[:20] == -32768).all()
+    # unimodal-ish: rises to mode then decays
+    assert ip.mode > cfg.intron.llmt
+    assert pen[ip.mode] == max(pen[20:])
+    # monotone decreasing tail
+    assert pen[1500] > pen[1900]
+    # tail continuity at rlmt
+    assert abs(int(pen[ip.rlmt - 1]) - int(pen[ip.rlmt])) < 60
+
+
+def test_intron_penalty_expected_center():
+    cfg = resolve(Config(), CvsG)
+    ip = IntronPenalty(cfg, CvsG)
+    # by construction, E[penalty + signal] ~= -f*ip = -120
+    assert -400 < ip.penalty(ip.mode) + ip.avr_sig < 0
+
+
+def test_splice_signals_canonical(table_dir):
+    cfg = resolve(Config(), CvsG)
+    #           0123456789
+    seq = "CCCCGTAAGTCCCCCCCCCCCCAGCCCC"
+    sig = build_splice_signals(encode_dna(seq), cfg, table_dir)
+    assert sig.is_donor[4]            # GT at 4,5
+    assert not sig.is_donor[5]
+    assert sig.is_accpt[24]           # AG at 22,23 -> acceptor resumes at 24
+    assert not sig.is_accpt[23]
+    assert sig.phs5[4] == 0
+    # composite junction score for the canonical pair is strong
+    s = sig.sig53_ie53(4, 24)
+    assert s > 0
+
+
+def test_splice_joint_table_consistency(table_dir):
+    cfg = resolve(Config(), CvsG)
+    seq = "CCCCGTAAGTCCCCCCCCCCCCAGCCCC"
+    sig = build_splice_signals(encode_dna(seq), cfg, table_dir)
+    n5, n3 = 4, 24
+    expect = (sig.sig3[n3] - sig.tabs.tab3[sig.dinc3[n3]]
+              + sig.acc_joint[n3, sig.dinc5[n5]])
+    assert sig.sig53_ie53(n5, n3) == expect
