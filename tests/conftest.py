@@ -2,7 +2,7 @@ import os
 
 # Run tests on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware (the real chip is reserved for bench.py).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

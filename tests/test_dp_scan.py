@@ -1,0 +1,122 @@
+"""Differential tests: JAX wavefront engine vs the scalar oracle."""
+import numpy as np
+import pytest
+
+from spaln_tpu.config import Config, resolve, CvsG
+from spaln_tpu.ops.params import DpParams, DpFlags
+from spaln_tpu.ops.dp_spliced_ref import (forward_spliced_ref,
+                                          traceback_spliced_ref, Window)
+from spaln_tpu.ops.dp_spliced_scan import (forward_spliced_scan,
+                                           traceback_spliced_scan)
+from spaln_tpu.score.intron import IntronPenalty
+from spaln_tpu.score.simmtx import Simmtx
+from spaln_tpu.score.splice import build_splice_signals
+from spaln_tpu.seq.codec import encode_dna
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return resolve(Config(), CvsG)
+
+
+@pytest.fixture(scope="module")
+def prm(cfg):
+    return DpParams.build(cfg, Simmtx.dna(), CvsG,
+                          ipen=IntronPenalty(cfg, CvsG))
+
+
+def _mutate(rng, seq, sub=0.03, indel=0.01):
+    bases = "ACGT"
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < indel / 2:
+            continue                          # deletion
+        if r < indel:
+            out.append(rng.choice(list(bases)))  # insertion
+        if rng.random() < sub:
+            c = rng.choice(list(bases))
+        out.append(c)
+    return "".join(out)
+
+
+def _gene(rng, exon_lens, intron_lens, flank=(20, 20), mut=0.0):
+    bases = np.array(list("ACGT"))
+    exons = ["".join(rng.choice(bases, L)) for L in exon_lens]
+    introns = []
+    for L in intron_lens:
+        introns.append("GTAAGT" + "".join(rng.choice(bases, L - 13))
+                       + "TTTTTAG")
+    g = "".join(rng.choice(bases, flank[0]))
+    for i, e in enumerate(exons):
+        g += e
+        if i < len(introns):
+            g += introns[i]
+    g += "".join(rng.choice(bases, flank[1]))
+    q = "".join(exons)
+    if mut:
+        q = _mutate(rng, q, sub=mut, indel=mut / 3)
+    return q, g
+
+
+CASES = [
+    dict(exons=(60, 80), introns=(150,), mut=0.0),
+    dict(exons=(40, 50, 45), introns=(90, 120), mut=0.0),
+    dict(exons=(60, 80), introns=(200,), mut=0.05),
+    dict(exons=(30, 120, 50), introns=(80, 300), mut=0.03),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_scan_matches_oracle_score_and_path(cfg, prm, table_dir, case):
+    rng = np.random.default_rng(hash(str(case)) % 2**31)
+    q, g = _gene(rng, case["exons"], case["introns"], mut=case["mut"])
+    qc, gc = encode_dna(q), encode_dna(g)
+    sig = build_splice_signals(gc, cfg, table_dir)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm, sig=sig)
+    s_jx, em_j, en_j, tr = forward_spliced_scan(qc, gc, prm, sig=sig, L=32)
+    assert s_jx == s_ref
+    assert (em_j, en_j) == (em_r, en_r)
+    ops_r = traceback_spliced_ref(tb_r, em_r, en_r)
+    ops_j = traceback_spliced_scan(tr, em_j, en_j)
+    assert ops_j == ops_r
+
+
+def test_scan_matches_oracle_banded(cfg, prm, table_dir):
+    rng = np.random.default_rng(99)
+    q, g = _gene(rng, (80, 90), (140,), mut=0.02)
+    qc, gc = encode_dna(q), encode_dna(g)
+    sig = build_splice_signals(gc, cfg, table_dir)
+    wdw = Window.stripe(len(qc), len(gc), sh=100)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm, sig=sig,
+                                                  wdw=wdw)
+    s_jx, em_j, en_j, tr = forward_spliced_scan(
+        qc, gc, prm, sig=sig, lw=wdw.lw, up=wdw.up, L=32)
+    assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
+    assert (traceback_spliced_scan(tr, em_j, en_j)
+            == traceback_spliced_ref(tb_r, em_r, en_r))
+
+
+def test_scan_multislab(cfg, prm, table_dir):
+    """Query longer than one slab of lanes (exercises slab boundary)."""
+    rng = np.random.default_rng(7)
+    q, g = _gene(rng, (90, 100), (120,), mut=0.02)
+    qc, gc = encode_dna(q), encode_dna(g)
+    sig = build_splice_signals(gc, cfg, table_dir)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm, sig=sig)
+    # L=16 -> 12 slabs for a 190nt query
+    s_jx, em_j, en_j, tr = forward_spliced_scan(qc, gc, prm, sig=sig, L=16)
+    assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
+    assert (traceback_spliced_scan(tr, em_j, en_j)
+            == traceback_spliced_ref(tb_r, em_r, en_r))
+
+
+def test_scan_no_splice_plain_affine(cfg, prm):
+    rng = np.random.default_rng(3)
+    bases = np.array(list("ACGT"))
+    g = "".join(rng.choice(bases, 300))
+    q = _mutate(rng, g[40:260], sub=0.05, indel=0.02)
+    qc, gc = encode_dna(q), encode_dna(g)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm)
+    s_jx, em_j, en_j, tr = forward_spliced_scan(qc, gc, prm, L=32)
+    assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
