@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark: spliced-DP wavefront throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 5 GCUPS/chip (BASELINE.json north_star).
+
+Workload: a batch of synthetic cDNA x genomic-window spliced alignments at
+mapping-realistic geometry (512nt queries, 2k-wide bands with introns),
+score-only mode — the inner loop of genome mapping (-Q7 phase C/D).
+GCUPS counts computed band cells: B x Mpad x W / time.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from spaln_tpu.config import Config, resolve, CvsG
+    from spaln_tpu.ops.params import DpParams
+    from spaln_tpu.ops.dp_spliced_scan import (prepare_spliced_batch,
+                                               run_spliced_batch,
+                                               collect_batch_results)
+    from spaln_tpu.score.intron import IntronPenalty
+    from spaln_tpu.score.simmtx import Simmtx
+    from spaln_tpu.score.splice import build_splice_signals
+    from spaln_tpu.score.tables import TableDir, find_table_dir
+    from spaln_tpu.seq.codec import encode_dna
+
+    cfg = resolve(Config(), CvsG)
+    prm = DpParams.build(cfg, Simmtx.dna(), CvsG,
+                         ipen=IntronPenalty(cfg, CvsG))
+    tables = TableDir(find_table_dir())
+
+    B = int(os.environ.get("BENCH_B", 128))
+    M = int(os.environ.get("BENCH_M", 512))
+    W = int(os.environ.get("BENCH_W", 4096))
+    L = int(os.environ.get("BENCH_L", 128))
+
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+    queries, genomes, sigs = [], [], []
+    for _ in range(B):
+        e = ["".join(rng.choice(bases, M // 3)) for _ in range(3)]
+        i1 = "GTAAGT" + "".join(rng.choice(bases, 300)) + "TTTTTAG"
+        i2 = "GTGAGT" + "".join(rng.choice(bases, 500)) + "TTTCTAG"
+        g = e[0] + i1 + e[1] + i2 + e[2]
+        q = "".join(e)
+        qc, gc = encode_dna(q), encode_dna(g)
+        queries.append(qc)
+        genomes.append(gc)
+        sigs.append(build_splice_signals(gc, cfg, tables))
+
+    Mq = max(len(q) for q in queries)
+    lw = -(W // 2)
+    up = lw + W - 1
+
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
+                               lw=lw, up=up, L=L)
+    # warmup/compile
+    run_spliced_batch(bp, prm, score_only=True)
+    t0 = time.perf_counter()
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    for _ in range(iters):
+        row_h, rc_h, _ = run_spliced_batch(bp, prm, score_only=True)
+    dt = (time.perf_counter() - t0) / iters
+    scores, ends, _ = collect_batch_results(bp, row_h, rc_h, None, True)
+    assert (scores > 0).all(), "benchmark alignments must score positive"
+
+    cells = B * bp.n_slabs * L * bp.W
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "metric": "spliced_dp_gcups_per_chip",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / 5.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Traceback ops -> gene structure (exon/intron records).
+
+The role of skl_rngS_ng + Eijnc/EISCR (fwd2s1.cc:446-700, gsinfo.h:262-283):
+walk the alignment path, emit per-exon statistics (match/mismatch/gap/unpaired
+counts, junction-neighborhood quality windows), intron records with donor/
+acceptor signals, and CIGAR/VULGAR strings.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..score.splice import SpliceSignals
+
+
+@dataclass
+class Exon:
+    q_start: int          # 0-based inclusive, query
+    q_end: int            # exclusive
+    g_start: int          # 0-based inclusive, genome (window coords)
+    g_end: int            # exclusive
+    mch: int = 0
+    mmc: int = 0
+    gap: int = 0          # gap opens
+    unp: int = 0          # unpaired residues
+    sig5: int = 0         # donor signal at the exon's 3' end (next intron)
+    sig3: int = 0         # acceptor signal at the exon's 5' start
+
+    @property
+    def identity(self) -> float:
+        aln = self.mch + self.mmc
+        return self.mch / aln if aln else 0.0
+
+    @property
+    def q_len(self) -> int:
+        return self.q_end - self.q_start
+
+    @property
+    def g_len(self) -> int:
+        return self.g_end - self.g_start
+
+
+@dataclass
+class Intron:
+    g_start: int          # first intron base (donor), 0-based
+    g_end: int            # first exon base after (acceptor boundary)
+    q_pos: int            # query position of the junction
+    sig5: int = 0
+    sig3: int = 0
+    canonical: bool = True
+
+    @property
+    def length(self) -> int:
+        return self.g_end - self.g_start
+
+
+@dataclass
+class GeneStructure:
+    score: int
+    exons: list[Exon]
+    introns: list[Intron]
+    q_name: str = ""
+    g_name: str = ""
+    strand: str = "+"
+    scale: int = 10
+
+    @property
+    def q_span(self) -> tuple[int, int]:
+        return (self.exons[0].q_start, self.exons[-1].q_end)
+
+    @property
+    def g_span(self) -> tuple[int, int]:
+        return (self.exons[0].g_start, self.exons[-1].g_end)
+
+    @property
+    def n_matches(self) -> int:
+        return sum(e.mch for e in self.exons)
+
+    @property
+    def identity(self) -> float:
+        aln = sum(e.mch + e.mmc for e in self.exons)
+        return self.n_matches / aln if aln else 0.0
+
+    @property
+    def coverage_of(self) -> float:
+        return 0.0
+
+    def coverage(self, q_len: int) -> float:
+        return sum(e.q_len for e in self.exons) / q_len if q_len else 0.0
+
+    def cigar(self) -> str:
+        """Spliced CIGAR (M/I/D/N ops, SAM semantics: I = query insertion,
+        D = genome deletion, N = intron)."""
+        out = []
+
+        def emit(op, k):
+            if k:
+                out.append(f"{k}{op}")
+        prev_e = None
+        for i, e in enumerate(self.exons):
+            if prev_e is not None:
+                emit('N', e.g_start - prev_e.g_end)
+                if e.q_start > prev_e.q_end:
+                    emit('I', e.q_start - prev_e.q_end)
+            emit('M', min(e.q_len, e.g_len))
+            d = e.g_len - e.q_len
+            if d > 0:
+                emit('D', d)
+            elif d < 0:
+                emit('I', -d)
+            prev_e = e
+        return "".join(out)
+
+    def vulgar(self) -> str:
+        """Exonerate-style VULGAR-ish op string (M / G / 5 I 3)."""
+        toks = []
+        prev_e = None
+        for e in self.exons:
+            if prev_e is not None:
+                ilen = e.g_start - prev_e.g_end
+                toks += ["5", "0", "2", "I", "0", str(ilen - 4),
+                         "3", "0", "2"]
+            toks += ["M", str(e.q_len), str(e.g_len)]
+            prev_e = e
+        return " ".join(toks)
+
+
+def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
+                         score: int, sig: SpliceSignals | None = None,
+                         q_name: str = "", g_name: str = "",
+                         strand: str = "+") -> GeneStructure | None:
+    """Convert a traceback op stream (from traceback_spliced_*) into exon /
+    intron records with per-exon stats.
+
+    Op coords are 1-based DP cells; exon genome coords come out 0-based
+    half-open.
+    """
+    if not ops:
+        return None
+    exons: list[Exon] = []
+    introns: list[Intron] = []
+    cur: Exon | None = None
+    last_gap_state = None
+    for op in ops:
+        kind = op[0]
+        if kind == 'D':
+            _, m, n = op
+            if cur is None:
+                cur = Exon(q_start=m - 1, q_end=m, g_start=n - 1, g_end=n)
+            else:
+                cur.q_end, cur.g_end = m, n
+            if a[m - 1] == b[n - 1]:
+                cur.mch += 1
+            else:
+                cur.mmc += 1
+            last_gap_state = None
+        elif kind == 'E':
+            _, m, n = op
+            if cur is not None:
+                cur.g_end = n
+                cur.unp += 1
+                if last_gap_state != 'E':
+                    cur.gap += 1
+                last_gap_state = 'E'
+        elif kind == 'F':
+            _, m, n = op
+            if cur is not None:
+                cur.q_end = m
+                cur.unp += 1
+                if last_gap_state != 'F':
+                    cur.gap += 1
+                last_gap_state = 'F'
+        elif kind == 'I':
+            _, m, n5, n3 = op
+            if cur is not None:
+                s5 = int(sig.sig5[n5]) if sig is not None else 0
+                s3 = int(sig.sig3[n3]) if sig is not None and n3 < len(
+                    sig.sig3) else 0
+                cur.sig5 = s5
+                exons.append(cur)
+                dinc5 = int(sig.dinc5[n5]) if sig is not None else 11
+                dinc3 = int(sig.dinc3[n3]) if sig is not None else 2
+                introns.append(Intron(g_start=n5, g_end=n3, q_pos=m,
+                                      sig5=s5, sig3=s3,
+                                      canonical=(dinc5 == 11 and dinc3 == 2)))
+                cur = None
+                last_gap_state = None
+    if cur is not None:
+        exons.append(cur)
+    if not exons:
+        return None
+    # attach acceptor signals to downstream exons
+    for i, intr in enumerate(introns):
+        if i + 1 < len(exons):
+            exons[i + 1].sig3 = intr.sig3
+    return GeneStructure(score=score, exons=exons, introns=introns,
+                         q_name=q_name, g_name=g_name, strand=strand)

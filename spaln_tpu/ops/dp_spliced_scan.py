@@ -122,12 +122,14 @@ def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
     return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c5, d5))
 
 
-def _make_step(L, W, lw, up, gop, gep, llmt, n_states=3):
+def _make_step(L, W, lw, up, gop, gep, llmt, pad2, Npad, Mpad,
+               n_states=3, emit_trace=True):
     """Build the scan step function (closures over static geometry)."""
 
     def step(carry, t, *, qprof_slab, ops, m0, M, N, mrow, a_exgr):
         (h1, h2, f1, e1, psp, cv, cj, cd, c5,
          bnd_h, bnd_f, row_h, rc_h) = carry
+        a_exgr = jnp.asarray(a_exgr, bool)   # python-bool ~ is arithmetic
         lanes = jnp.arange(L)
         m = m0 + lanes                                    # (L,)
         n = (m0 + lw + 1 + t) - lanes
@@ -139,10 +141,9 @@ def _make_step(L, W, lw, up, gop, gep, llmt, n_states=3):
         first = r_off == 0                                # lane (re)activates
 
         # ---- reversed-array slices: index pad/2 + (N-1) - (n-1)
-        pad2 = ops["pad2"]
         # slice value at (base + i) = original[n_i - 1]; splice signals are
         # indexed by the boundary position n itself, so they use base - 1
-        base = pad2 + ops["Npad"] - (m0 + lw + 1 + t)     # index for lane 0
+        base = pad2 + Npad - (m0 + lw + 1 + t)            # index for lane 0
         sl = lambda arr, o=0: jax.lax.dynamic_slice_in_dim(arr, base + o, L)
         b_code = sl(ops["rb_code"])
         isdon = sl(ops["rb_isdon"], -1) != 0
@@ -170,8 +171,8 @@ def _make_step(L, W, lw, up, gop, gep, llmt, n_states=3):
         diag_h = diag_h.at[0].set(jnp.where(n0 - 1 <= N, bh[0], NEV))
         left_h = h1
         # column-0 overrides
-        col_m = jnp.take(ops["colinit"], jnp.clip(m, 0, ops["Mpad"]))
-        col_m1 = jnp.take(ops["colinit"], jnp.clip(m - 1, 0, ops["Mpad"]))
+        col_m = jnp.take(ops["colinit"], jnp.clip(m, 0, Mpad))
+        col_m1 = jnp.take(ops["colinit"], jnp.clip(m - 1, 0, Mpad))
         left_h = jnp.where(n == 1, col_m, jnp.where(first, NEV, left_h))
         diag_h = jnp.where(n == 1, col_m1, diag_h)
         # band-right edge: vertical sources invalid
@@ -208,7 +209,7 @@ def _make_step(L, W, lw, up, gop, gep, llmt, n_states=3):
         internal = (~a_exgr) | (m < M)
         acc_ok = isacc & internal & active & (n < N)
         ilen = n[:, None] - cj                            # (L, NCAND)
-        pen = jnp.take(ops["ipen"], jnp.clip(ilen, 0, ops["Npad"]))
+        pen = jnp.take(ops["ipen"], jnp.clip(ilen, 0, Npad))
         j16 = jnp.take_along_axis(joint, jnp.clip(c5, 0, 15), axis=1)
         xc = cv + pen + accb[:, None] + j16
         cand_ok = (acc_ok[:, None] & (ilen >= llmt) & (cv > NEV // 2))
@@ -275,19 +276,20 @@ def _make_step(L, W, lw, up, gop, gep, llmt, n_states=3):
             row_h, jnp.where(wr, h_out[li], row_h[nr])[None], nr, 0)
         rcl = jnp.argmax(jnp.where(n == N, 1, 0))
         wc = (n[rcl] == N) & active[rcl]
-        mc = jnp.clip(m[rcl], 0, ops["Mpad"] + 1)
+        mc = jnp.clip(m[rcl], 0, Mpad + 1)
         rc_h = jax.lax.dynamic_update_slice_in_dim(
             rc_h, jnp.where(wc, h_out[rcl], rc_h[mc])[None], mc, 0)
 
+        carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5,
+                 bnd_h, bnd_f, row_h, rc_h)
+        if not emit_trace:
+            return carry, ()
         # ---- traceback emissions
         flags8 = (hdir.astype(jnp.uint8)
                   | (e_open.astype(jnp.uint8) << 2)
                   | (f_open.astype(jnp.uint8) << 3))
         flags8 = jnp.where(active, flags8, jnp.uint8(255))
         spj_out = jnp.stack(spj, axis=1).astype(jnp.int32)   # (L, 3)
-
-        carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5,
-                 bnd_h, bnd_f, row_h, rc_h)
         return carry, (flags8, spj_out)
 
     return step
@@ -319,9 +321,6 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
         "rb_joint": jnp.asarray(opsd.rb_joint),
         "ipen": jnp.asarray(opsd.ipen),
         "colinit": jnp.asarray(opsd.colinit),
-        "pad2": pad_extra // 2,
-        "Npad": N,
-        "Mpad": Mpad,
     }
     T = W + 2 * (L - 1)
 
@@ -340,7 +339,8 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
     bnd_f = jnp.asarray(bnd_f)
 
     all_flags, all_spj = [], []
-    scan = _scan_slab(L, W, lw, up, prm.gop, prm.gep, prm.intron_llmt, T)
+    scan = _scan_slab(L, W, lw, up, prm.gop, prm.gep, prm.intron_llmt, T,
+                      pad_extra // 2, N, Mpad)
     for s in range(n_slabs):
         m0 = s * L + 1
         qprof_slab = jnp.asarray(opsd.qprof[m0 - 1:m0 - 1 + L])
@@ -376,16 +376,191 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
 
 
 @functools.lru_cache(maxsize=128)
-def _scan_slab(L, W, lw, up, gop, gep, llmt, T):
+def _scan_slab(L, W, lw, up, gop, gep, llmt, T, pad2, Npad, Mpad,
+               emit_trace=True, batched=False):
     """Compile one slab runner per static geometry (cached)."""
-    step = _make_step(L, W, lw, up, gop, gep, llmt)
+    step = _make_step(L, W, lw, up, gop, gep, llmt, pad2, Npad, Mpad,
+                      emit_trace=emit_trace)
 
-    @jax.jit
-    def run(carry0, qprof_slab, ops, m0, M, N, mrow, a_exgr):
+    def run1(carry0, qprof_slab, ops, m0, M, N, mrow, a_exgr):
         f = functools.partial(step, qprof_slab=qprof_slab, ops=ops, m0=m0,
                               M=M, N=N, mrow=mrow, a_exgr=a_exgr)
         return jax.lax.scan(f, carry0, jnp.arange(T))
-    return run
+
+    if batched:
+        # batch axis over problems: carry/operands batched, step scalar
+        # args (m0, a_exgr) shared, per-problem M/N/mrow batched
+        run1 = jax.vmap(run1,
+                        in_axes=(0, 0, 0, None, 0, 0, 0, None))
+    return jax.jit(run1)
+
+
+@dataclass
+class BatchProblem:
+    """Device-resident batched operands (host prep separated from the DP
+    execute so benchmarks measure pure device throughput)."""
+    ops: dict
+    qprof_all: object          # jnp (B, Mpad, alpha)
+    bnd_h0: object
+    bnd_f0: object
+    Ms: list
+    Ns: list
+    Ms_j: object
+    Ns_j: object
+    B: int
+    L: int
+    W: int
+    lw: int
+    up: int
+    Mpad: int
+    Nmax: int
+    T: int
+    pad2: int
+    n_slabs: int
+    flags: DpFlags
+
+
+def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
+                          sigs: list | None = None,
+                          lw: int = None, up: int = None,
+                          flags: DpFlags | None = None,
+                          L: int = 128) -> BatchProblem:
+    """Host stage: pad B problems to a common geometry and ship operands."""
+    flags = flags or DpFlags()
+    B = len(queries)
+    Ms = [len(q) for q in queries]
+    Ns = [len(g) for g in genomes]
+    Mmax, Nmax = max(Ms), max(Ns)
+    if lw is None:
+        lw, up = -Mmax, Nmax
+    W = up - lw + 1
+    n_slabs = (Mmax + L - 1) // L
+    Mpad = n_slabs * L
+    pad_extra = 2 * (L + W + 4)
+    T = W + 2 * (L - 1)
+
+    keys = ("rb_code", "rb_isdon", "rb_isacc", "rb_sig5", "rb_accb",
+            "rb_dinc5", "rb_joint", "ipen", "colinit")
+    stacked = {k: [] for k in keys}
+    qprofs = []
+    for i in range(B):
+        sig = sigs[i] if sigs is not None else None
+        od = build_operands(np.asarray(queries[i]), np.asarray(genomes[i]),
+                            prm, sig, Mpad, Nmax, flags, pad_extra)
+        # shift reversed data so index pad2 + Nmax - n addresses b[n-1]
+        # uniformly across problems of different N
+        shift = Nmax - od.N
+        for k, arr in (("rb_code", od.rb_code), ("rb_isdon", od.rb_isdon),
+                       ("rb_isacc", od.rb_isacc), ("rb_sig5", od.rb_sig5),
+                       ("rb_accb", od.rb_accb), ("rb_dinc5", od.rb_dinc5),
+                       ("rb_joint", od.rb_joint)):
+            stacked[k].append(np.roll(arr, shift, axis=0))
+        stacked["ipen"].append(od.ipen)
+        stacked["colinit"].append(od.colinit)
+        qprofs.append(od.qprof)
+    ops = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+    qprof_all = jnp.asarray(np.stack(qprofs))          # (B, Mpad, 17)
+
+    if flags.a_exgl:
+        bnd_h = np.zeros((B, Nmax + 2), dtype=np.int32)
+    else:
+        ns = np.arange(Nmax + 2)
+        bnd_h = np.broadcast_to((prm.gop + prm.gep * ns).astype(np.int32),
+                                (B, Nmax + 2)).copy()
+        bnd_h[:, 0] = 0
+    for i in range(B):
+        bnd_h[i, Ns[i] + 1:] = NEVSEL
+    bnd_f = np.full((B, Nmax + 2), NEVSEL, dtype=np.int32)
+    return BatchProblem(ops=ops, qprof_all=qprof_all,
+                        bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
+                        Ms=Ms, Ns=Ns, Ms_j=jnp.asarray(Ms),
+                        Ns_j=jnp.asarray(Ns), B=B, L=L, W=W, lw=lw, up=up,
+                        Mpad=Mpad, Nmax=Nmax, T=T, pad2=pad_extra // 2,
+                        n_slabs=n_slabs, flags=flags)
+
+
+def run_spliced_batch(bp: BatchProblem, prm: DpParams,
+                      score_only: bool = True, block: bool = True):
+    """Device stage: run all slabs; returns (row_h, rc_h, traces_raw)."""
+    B, L = bp.B, bp.L
+    scan = _scan_slab(L, bp.W, bp.lw, bp.up, prm.gop, prm.gep,
+                      prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
+                      emit_trace=not score_only, batched=True)
+    bnd_h, bnd_f = bp.bnd_h0, bp.bnd_f0
+    row_h = jnp.full((B, bp.Nmax + 2), NEV)
+    rc_h = jnp.full((B, bp.Mpad + 2), NEV)
+    traces = []
+    for s in range(bp.n_slabs):
+        m0 = s * L + 1
+        qprof_slab = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
+                                                  axis=1)
+        carry0 = (
+            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
+            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
+            jnp.zeros((B, L), jnp.int32),
+            jnp.full((B, L, NCAND), NEV),
+            jnp.zeros((B, L, NCAND), jnp.int32),
+            jnp.zeros((B, L, NCAND), jnp.int32),
+            jnp.zeros((B, L, NCAND), jnp.int32),
+            bnd_h, bnd_f, row_h, rc_h)
+        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.Ms_j, bp.Ns_j,
+                         bp.Ms_j, bp.flags.a_exgr)
+        bnd_h, bnd_f, row_h, rc_h = (carry[9], carry[10], carry[11],
+                                     carry[12])
+        if not score_only:
+            traces.append(ys)
+    if block:
+        row_h.block_until_ready()
+    return row_h, rc_h, traces
+
+
+def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
+                          score_only: bool):
+    """Host stage: final score/end extraction (lastS_ng semantics)."""
+    row_np = np.asarray(row_h)
+    rc_np = np.asarray(rc_h)
+    flags, lw, up = bp.flags, bp.lw, bp.up
+    scores = np.empty(bp.B, dtype=np.int64)
+    ends = np.empty((bp.B, 2), dtype=np.int64)
+    for i in range(bp.B):
+        M, N = bp.Ms[i], bp.Ns[i]
+        bv, bm, bn = int(row_np[i, N]), M, N
+        if flags.a_exgr:
+            n_lo = max(M + lw, 0) + 1
+            seg = row_np[i, n_lo:N]
+            if len(seg) and seg.max() > bv:
+                k = int(np.argmax(seg))
+                bv, bm, bn = int(seg[k]), M, n_lo + k
+        if flags.b_exgr:
+            m_lo = max(N - up, 1)
+            seg = rc_np[i, m_lo:M]
+            if len(seg) and seg.max() > bv:
+                k = int(np.argmax(seg))
+                bv, bm, bn = int(seg[k]), m_lo + k, N
+        scores[i] = bv
+        ends[i] = (bm, bn)
+    if score_only:
+        return scores, ends, None
+    btraces = []
+    for i in range(bp.B):
+        fl = [np.asarray(ys[0][i]) for ys in traces]
+        sp = [np.asarray(ys[1][i]) for ys in traces]
+        btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=lw, W=bp.W))
+    return scores, ends, btraces
+
+
+def forward_spliced_batch(queries: list, genomes: list, prm: DpParams,
+                          sigs: list | None = None,
+                          lw: int = None, up: int = None,
+                          flags: DpFlags | None = None, L: int = 128,
+                          score_only: bool = True):
+    """Batched wavefront engine: B problems padded to common geometry and
+    vmapped over the slab scan — the throughput path for genome mapping
+    (replaces the reference's ThQueue worker pool, spaln.cc:1220-1468)."""
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs, lw=lw,
+                               up=up, flags=flags, L=L)
+    row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=score_only)
+    return collect_batch_results(bp, row_h, rc_h, traces, score_only)
 
 
 @dataclass

@@ -8,6 +8,12 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# the sandbox sitecustomize pins jax_platforms to the axon TPU plugin at
+# interpreter start; override after import so tests run on the CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
