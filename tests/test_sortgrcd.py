@@ -1,0 +1,63 @@
+import numpy as np
+
+from spaln_tpu.align.gene import Exon, GeneStructure, Intron
+from spaln_tpu.out.sortgrcd import (FilterParams, cluster_loci,
+                                    locus_report, sort_records,
+                                    unique_introns)
+
+
+def _gs(q, chrom, strand, g0, g1, score=1000, mch=100, mmc=0, nexn=2,
+        introns=()):
+    ex = [Exon(q_start=0, q_end=50, g_start=g0, g_end=g0 + 50,
+               mch=mch, mmc=mmc),
+          Exon(q_start=50, q_end=100, g_start=g1 - 50, g_end=g1)]
+    ints = [Intron(g_start=a, g_end=b, q_pos=50, canonical=c)
+            for a, b, c in introns] or [
+        Intron(g_start=g0 + 50, g_end=g1 - 50, q_pos=50)]
+    return GeneStructure(score=score, exons=ex[:nexn], introns=ints,
+                         q_name=q, g_name=chrom, strand=strand)
+
+
+def test_cluster_overlap_chains():
+    rs = [_gs("a", "c1", "+", 100, 500),
+          _gs("b", "c1", "+", 450, 900),       # overlaps a -> same locus
+          _gs("c", "c1", "+", 2000, 2400),     # separate
+          _gs("d", "c1", "-", 120, 520),       # other strand -> separate
+          _gs("e", "c2", "+", 100, 500)]       # other chrom
+    loci = cluster_loci(rs)
+    assert len(loci) == 4
+    first = [l for l in loci if l.chrom == "c1" and l.strand == "+"
+             and l.g_start == 100][0]
+    assert len(first.members) == 2
+    assert first.g_end == 900
+
+
+def test_filters():
+    good = _gs("a", "c1", "+", 100, 500, mch=100, mmc=0)
+    bad = _gs("b", "c1", "+", 600, 900, mch=50, mmc=50)
+    loci = cluster_loci([good, bad], filt=FilterParams(min_identity=0.9))
+    names = [m.q_name for l in loci for m in l.members]
+    assert names == ["a"]
+
+
+def test_unique_introns_merge_shards():
+    shard1 = [_gs("a", "c1", "+", 100, 500)]
+    shard2 = [_gs("b", "c1", "+", 100, 500)]   # same intron coordinates
+    ui = unique_introns(shard1 + shard2)
+    assert len(ui) == 1
+    assert ui[0][-1] == 2                      # support count 2
+
+
+def test_report_markers():
+    loci = cluster_loci([_gs("a", "c1", "+", 100, 500)])
+    rep = locus_report(loci)
+    assert rep[0].startswith("!")
+    assert rep[1].startswith("@")
+
+
+def test_sort_order():
+    rs = [_gs("x", "c2", "+", 10, 60),
+          _gs("y", "c1", "+", 50, 100),
+          _gs("z", "c1", "+", 10, 60)]
+    srt = sort_records(rs)
+    assert [g.q_name for g in srt] == ["z", "y", "x"]
