@@ -1,0 +1,465 @@
+"""Scalar reference engine for protein x translated-genome spliced DP.
+
+Faithful re-derivation of Aln2h1::forwardH_ng (fwd2h1.cc:294-617) +
+initH_ng/lastH_ng (141-293), single-affine (Noll=2) states:
+  0 = H (diag, consumes 1 aa x 3 nt), 1 = E (genome insertion, rotating
+  3-frame queue), 2 = F (aa deletion), with 1/2-nt frameshift moves into
+  both gap states (GapE1/E2 extend, GapW1/W2 open).
+
+Coordinates: m in aa (1..M), n in nt (1..N), band r = n - 3m in
+[lw-1, up].  The genome is given both as nt codes (splice signals) and
+tron codes btron[p] = translation of the codon centered at p; the diagonal
+move at (m, n) scores mtx[a[m-1], btron[n-2]] + sigE[n-2].
+
+Splice phases: acceptors/donors fire at phs in {-1, 0, +1} with separate
+NCAND candidate lists per phase; phase +-1 junction codons are re-scored
+through the 256-entry junction tron tables.  SPIN flags block orphan
+exons.  Used as the differential oracle for the TPU tron kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .params import DpParams, DpFlags, NEVSEL
+from ..score.codepot import TronSignals
+
+NCAND = 4
+# dir codes (aln.h:30-34)
+DEAD, RSRV, DIAG, NEWD, VERT, SLA1, SLA2 = 0, 1, 2, 3, 4, 5, 6
+HORI, HOR1, HOR2 = 8, 9, 10
+SPIN = 16
+_IS_DIAG = {DIAG, NEWD}
+_IS_VERT = {VERT, SLA1, SLA2}
+_IS_HORI = {HORI, HOR1, HOR2}
+DIR2NOD = {DEAD: -1, RSRV: -1, DIAG: 0, NEWD: 0, VERT: 2, SLA1: 2,
+           SLA2: 2, HORI: 1, HOR1: 1, HOR2: 1}
+NOD2DIR = {0: DIAG, 1: HORI, 2: VERT}
+
+
+@dataclass
+class TronDpParams:
+    """Protein-path gap costs (PwdB ctor, aln2.cc:113-127)."""
+    qprof_mtx: np.ndarray          # tron matrix (26, 26) int32
+    gop: int                       # BasicGOP
+    gep: int                       # BasicGEP
+    extra_gop: int                 # -x * Vab (frameshift)
+    intron_minl: int = 20
+    scale: int = 10
+
+    @property
+    def gap_e1(self) -> int:
+        return self.gep + self.extra_gop
+
+    @property
+    def gap_e2(self) -> int:
+        return self.gap_e1 + self.gep
+
+    @property
+    def gap_w1(self) -> int:
+        return self.gap_e1 + self.gop
+
+    @property
+    def gap_w2(self) -> int:
+        return self.gap_e2 + self.gop
+
+    @property
+    def gap_w3(self) -> int:
+        return self.gop + self.gep
+
+    @classmethod
+    def build(cls, cfg, tron_mtx: np.ndarray, u: float = 2., v: float = 9.):
+        vab = cfg.aln.scale
+        return cls(qprof_mtx=tron_mtx, gop=-int(v * vab), gep=-int(u * vab),
+                   extra_gop=-int(cfg.aln2.x * vab),
+                   intron_minl=cfg.intron.minl, scale=cfg.aln.scale)
+
+
+@dataclass
+class TronTrace:
+    hdir: np.ndarray             # uint8 per (m, rband): final H dir code
+    edir: np.ndarray             # uint8: E-state source (HORI/HOR1/HOR2 +
+    fdir: np.ndarray             # uint8: F-state source  open flag bit 0x80)
+    spj: np.ndarray              # int32 (3, M+1, W): acceptor-close records
+    spj_phs: np.ndarray          # int8 (3, M+1, W): phase of the close
+    lw: int
+
+    def ri(self, m: int, n: int) -> int:
+        return n - 3 * m - self.lw + 2
+
+
+def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
+                     prm: TronDpParams, ipen_tab: np.ndarray,
+                     lw: int | None = None, up: int | None = None,
+                     flags: DpFlags | None = None, spj: bool = True):
+    """Returns (score, end_m, end_n, TronTrace).
+
+    a: aa codes (M,), bn: genome nt codes (N,); sig holds btron/signals.
+    ipen_tab: dense intron penalty by length (int32, len >= N+1).
+    """
+    flags = flags or DpFlags()
+    M, N = len(a), len(bn)
+    bt = sig.btron
+    if lw is None:
+        lw, up = -3 * M, N
+    W = up - lw + 6
+    off = -lw + 2
+
+    H = np.full(W, NEVSEL, dtype=np.int64)
+    Hd = np.zeros(W, dtype=np.int32)
+    Hp = np.zeros(W, dtype=np.int64)        # jnc bookkeeping not per-cell
+    F = np.full(W, NEVSEL, dtype=np.int64)
+    Fd = np.zeros(W, dtype=np.int32)
+
+    tb = TronTrace(hdir=np.full((M + 1, W), 255, np.uint8),
+                   edir=np.zeros((M + 1, W), np.uint8),
+                   fdir=np.zeros((M + 1, W), np.uint8),
+                   spj=np.zeros((3, M + 1, W), np.int32),
+                   spj_phs=np.zeros((3, M + 1, W), np.int8),
+                   lw=lw)
+
+    sigS = np.asarray(sig.sigS, dtype=np.int64)
+    sigT = np.asarray(sig.sigT, dtype=np.int64)
+    sigE = np.asarray(sig.sigE, dtype=np.int64)
+    sig5 = np.asarray(sig.sig5, dtype=np.int64)
+    phs5 = sig.phs5
+    phs3 = sig.phs3
+    t1, t2 = sig.spj_tron1, sig.spj_tron2
+    d16 = sig.dinc5.astype(np.int64)
+    d3 = sig.dinc3.astype(np.int64)
+
+    def sigS_at(n):
+        return int(sigS[n]) if 0 <= n < N else 0
+
+    # ------------------------------------------------------ init row (m=0)
+    r0 = 0
+    H[r0 + off] = max(sigS_at(1), 0) if flags.a_exgl else 0
+    Hd[r0 + off] = DEAD if flags.a_exgl else DIAG
+    tb.hdir[0, r0 + off] = Hd[r0 + off]
+    if flags.a_exgl:
+        jnc = [0, 0, 0]
+        rr = min(up, N)
+        for i, r in enumerate(range(r0 + 1, rr + 1), start=1):
+            n = r
+            if i < 3:
+                H[r + off] = max(sigS_at(n + 1), 0)
+                Hd[r + off] = DEAD
+                jnc[i % 3] = n
+            else:
+                H[r + off] = H[r - 3 + off] + prm.gep
+                Hd[r + off] = HORI
+                if 0 <= n - 3 < N:
+                    H[r + off] += int(sigE[n - 3])
+                x = H[r - 1 + off] + prm.gap_w1
+                if x > H[r + off]:
+                    H[r + off] = x
+                    Hd[r + off] = HOR1
+                x = H[r - 2 + off] + prm.gap_w2
+                if x > H[r + off]:
+                    H[r + off] = x
+                    Hd[r + off] = HOR2
+            x = max(sigS_at(n + 1), 0)
+            if H[r + off] < x:
+                H[r + off] = x
+                Hd[r + off] = DEAD
+                jnc[i % 3] = n
+            tb.hdir[0, r + off] = Hd[r + off]
+    # left column (r < 0): free query prefix (b_exgl default)
+    rr = max(lw, -3 * M)
+    for i, r in enumerate(range(r0 - 1, rr - 1, -1), start=1):
+        if flags.b_exgl:
+            H[r + off] = 0
+            Hd[r + off] = DEAD
+        else:
+            H[r + off] = H[r + (3 if i > 3 else i) + off] + (
+                prm.gep + (prm.gop if i <= 3 else 0)
+                + (prm.extra_gop if i < 3 else 0) if i <= 3 else prm.gep)
+            Hd[r + off] = VERT
+
+    best = (NEVSEL, M, N)
+    m0 = 1
+    for m in range(m0, M + 1):
+        qp0 = prm.qprof_mtx[a[m - 1]]
+        qp1 = (prm.qprof_mtx[a[m]] if m < M else
+               prm.qprof_mtx[a[m - 1]])
+        n0 = max(3 * m + lw - 1, 0)
+        n9 = min(3 * m + up, N)
+        e_val = [np.int64(NEVSEL)] * 3          # rotating 3-frame E queue
+        e_dir = [0] * 3
+        cand = {-1: [], 0: [], 1: []}           # per-phase donor lists
+        q = 0
+        for n in range(n0, n9 + 1):
+            r = n - 3 * m + off
+            hq_val, hq_dir = H[r], Hd[r]        # (m-1, n-3) state
+            # ---------------- diagonal
+            if n < 3:
+                H[r] = NEVSEL
+                Hd[r] = DEAD
+            else:
+                H[r] = hq_val + int(qp0[bt[n - 2]]) + int(sigE[n - 2])
+                Hd[r] = DIAG if hq_dir in _IS_DIAG else NEWD
+            mx_val, mx_k = H[r], 0
+            mx_dir = Hd[r]
+            # ---------------- vertical states (source dir = the H cell's
+            # winner dir decides frameshift open-vs-extend, fwd2h1.cc:383)
+            y = F[r + 3] + prm.gep
+            x = H[r + 1] + (prm.gap_e1 if (Hd[r + 1] & 15) in _IS_VERT
+                            else prm.gap_w1)
+            fdir_rec = 0
+            if x > y:
+                F[r] = x
+                Fd[r] = SLA2
+                fdir_rec = 0x80
+            else:
+                F[r] = y
+                Fd[r] = VERT
+            x = H[r + 2] + (prm.gap_e2 if (Hd[r + 2] & 15) in _IS_VERT
+                            else prm.gap_w2)
+            if x > F[r]:
+                F[r] = x
+                Fd[r] = SLA1
+                fdir_rec = 0x80
+            x = H[r + 3] + prm.gap_w3
+            if x >= F[r]:
+                F[r] = x
+                Fd[r] = VERT
+                fdir_rec = 0x80                  # opened from H
+            elif y >= F[r]:
+                F[r] = y
+                Fd[r] = VERT
+                fdir_rec = 0
+            tb.fdir[m, r] = Fd[r] | fdir_rec
+            if F[r] > mx_val:
+                mx_val, mx_k, mx_dir = F[r], 2, Fd[r]
+            # ---------------- horizontal states (rotating 3-frame queue;
+            # SPIN propagates from the source state, fwd2h1.cc:430-468)
+            edir_rec = 0
+            if n > n0 + 2:
+                x = H[r - 3] + prm.gap_w3
+                e_val[q] += prm.gep
+                spin = e_dir[q] & SPIN
+                if x > e_val[q]:
+                    e_val[q] = x
+                    spin = Hd[r - 3] & SPIN
+                    edir_rec = 0x80
+                e_val[q] += int(sigE[n - 2]) if n >= 2 else 0
+                e_dir[q] = spin | HORI
+            if n > n0 + 1:
+                x = H[r - 2] + prm.gap_w2
+                if x > e_val[q]:
+                    e_val[q] = x
+                    e_dir[q] = (Hd[r - 2] & SPIN) | HOR2
+                    edir_rec = 0x80
+            x = H[r - 1] + prm.gap_w1
+            if x > e_val[q]:
+                e_val[q] = x
+                e_dir[q] = (Hd[r - 1] & SPIN) | HOR1
+                edir_rec = 0x80
+            tb.edir[m, r] = e_dir[q] | edir_rec
+            if e_val[q] > mx_val:
+                mx_val, mx_k, mx_dir = e_val[q], 1, e_dir[q]
+            qq = q
+            q = (q + 1) % 3
+
+            internal = spj and (not flags.a_exgr or m < M)
+            # ---------------- acceptor closes
+            if internal and 0 <= n < N and phs3[n] != -2:
+                phases = [(-1 if phs3[n] == 2 else int(phs3[n]))]
+                if phs3[n] == 2:
+                    phases.append(1)
+                for phs in phases:
+                    nb = n - phs
+                    closed = {}
+                    for (cval, cjnc, cdir) in cand[phs]:
+                        if phs == 1 and cdir == 2:
+                            continue
+                        if nb - cjnc < prm.intron_minl:
+                            continue
+                        x = (cval + int(ipen_tab[nb - cjnc])
+                             + int(sig.sig53_ie53(cjnc, nb)))
+                        if cdir == 0 and phs != 0:
+                            w4 = int(16 * d3[cjnc] + d16[nb])
+                            if phs == 1:
+                                x += int(qp0[t1[w4]])
+                            else:
+                                x += (int(qp1[t2[w4]])
+                                      - int(qp1[bt[n + 1]])
+                                      - int(sigE[n + 1])) \
+                                    if n + 1 < N else 0
+                        cur = (H[r] if cdir == 0 else
+                               e_val[qq] if cdir == 1 else F[r])
+                        if x > cur:
+                            if cdir == 0:
+                                H[r] = x
+                            elif cdir == 1:
+                                e_val[qq] = np.int64(x)
+                            else:
+                                F[r] = x
+                            closed[cdir] = (cjnc, phs)
+                    for cdir, (cjnc, cphs) in closed.items():
+                        if cdir == 0:
+                            Hd[r] = DIAG | SPIN
+                        elif cdir == 1:
+                            e_dir[qq] = HORI | SPIN
+                        else:
+                            Fd[r] = VERT | SPIN
+                        tb.spj[cdir, m, r] = cjnc + 1
+                        tb.spj_phs[cdir, m, r] = cphs
+                        v = (H[r] if cdir == 0 else
+                             e_val[qq] if cdir == 1 else F[r])
+                        if v > mx_val:
+                            mx_val, mx_k = v, cdir
+                            mx_dir = (Hd[r] if cdir == 0 else
+                                      e_dir[qq] if cdir == 1 else Fd[r])
+
+            # ---------------- winner into H
+            if mx_k != 0:
+                H[r] = mx_val
+                Hd[r] = mx_dir
+            tb.hdir[m, r] = (Hd[r] & 0x3F) | (0 if mx_k == 0 else
+                                              (mx_k << 6))
+
+            # ---------------- donor pushes
+            if internal and 0 <= n < N and phs5[n] != -2:
+                phases = [(-1 if phs5[n] == 2 else int(phs5[n]))]
+                if phs5[n] == 2:
+                    phases.append(1)
+                for phs in phases:
+                    nb = n - phs
+                    if not (0 <= nb < N):
+                        continue
+                    sigJ = int(sig5[nb])
+                    hd = DIR2NOD.get(mx_dir & 15, -1)
+                    k_start = 0 if (hd == 0 or phs == 1) else 1
+                    for k in range(k_start, 3):
+                        crossspj = (phs == 1 and k == 0)
+                        if crossspj:
+                            fv, fdir = hq_val, hq_dir
+                        else:
+                            fv = (H[r] if k == 0 else
+                                  e_val[qq] if k == 1 else F[r])
+                            fdir = (Hd[r] if k == 0 else
+                                    e_dir[qq] if k == 1 else Fd[r])
+                        if fdir == DEAD or (fdir & SPIN):
+                            continue
+                        if not crossspj and k != hd and hd >= 0:
+                            z = mx_val
+                            if hd == 0 or (k - hd) % 2:
+                                z += (0, prm.gop)[k // 2]
+                            if fv <= z:
+                                continue
+                        x = int(fv) + sigJ
+                        lst = cand[phs]
+                        if len(lst) < NCAND:
+                            lst.append((x, nb, k))
+                            lst.sort(key=lambda c: -c[0])
+                        elif x >= lst[-1][0]:
+                            lst[-1] = (x, nb, k)
+                            lst.sort(key=lambda c: -c[0])
+
+        # track best end on this row for semi-global
+        del e_val
+
+    # ------------------------------------------------------------- last row
+    r9 = N - 3 * M
+    best_val, best_m, best_n = H[r9 + off], M, N
+    if flags.a_exgr:
+        # simplified lastH: max over last-row cells and sigT-terminated ends
+        glen = 0
+        for r in range(max(lw, -3 * M), min(up, N - 3 * 1) + 1):
+            n = r + 3 * M
+            if n < 0 or n > N:
+                continue
+            v = H[r + off]
+            if 0 <= n - 2 < N and r - 3 >= lw:
+                vt = H[r - 3 + off] + int(sigT[n - 2])
+                if sigT[n - 2] > 0 and vt > v:
+                    v = vt
+            if v > best_val:
+                best_val, best_m, best_n = v, M, n
+    if flags.b_exgr:
+        for r in range(r9 + 1, min(up, N) + 1):
+            mm = (N - r) // 3
+            if (N - r) % 3 == 0 and 1 <= mm < M:
+                if H[r + off] > best_val:
+                    best_val, best_m, best_n = H[r + off], mm, N
+    return int(best_val), best_m, best_n, tb
+
+
+def traceback_tron_ref(tb: TronTrace, end_m: int, end_n: int,
+                       guard: int = 10_000_000):
+    """Walk the tron traceback.  Ops:
+      ('D', m, n)        codon match (a[m-1] x codon ending at n)
+      ('E', m, n, w)     genome insertion of w nt (3/2/1)
+      ('F', m, n, w)     aa deletion vs w nt (0/1/2 consumed)
+      ('I', m, n5, n3, phs) intron
+    """
+    ops = []
+    m, n = end_m, end_n
+    state = 0
+    steps = 0
+    while steps < guard and m > 0 and n > 0:
+        steps += 1
+        r = tb.ri(m, n)
+        if state == 0:
+            hd = tb.hdir[m, r]
+            if hd == 255:
+                break
+            winner = (hd >> 6) & 3
+            if winner != 0:
+                state = winner
+                continue
+            jnc = int(tb.spj[0, m, r])
+            if jnc:
+                # donor boundary nb5 = jnc-1, acceptor nb3 = n - phs
+                phs = int(tb.spj_phs[0, m, r])
+                nb5, nb3 = jnc - 1, n - phs
+                ops.append(('I', m, nb5, nb3, phs))
+                if phs == 0:
+                    n = nb5                      # continue (m, donor cell)
+                elif phs == 1:
+                    # crossspj: junction codon consumed across the intron
+                    ops.append(('D', m, n))
+                    m, n = m - 1, nb5 + 1 - 3
+                else:                            # phs == -1
+                    n = nb5 - 1                  # donor cell = nb5 + phs
+                continue
+            if (hd & 15) == DEAD:
+                break
+            ops.append(('D', m, n))
+            m, n = m - 1, n - 3
+            continue
+        if state == 1:
+            jnc = int(tb.spj[1, m, r])
+            if jnc:
+                phs = int(tb.spj_phs[1, m, r])
+                ops.append(('I', m, jnc - 1, n - phs, phs))
+                n = jnc - 1 + phs
+                continue
+            ed = tb.edir[m, r]
+            base = ed & 15
+            opened = bool(ed & 0x80)
+            w = {HORI: 3, HOR2: 2, HOR1: 1}.get(base, 3)
+            ops.append(('E', m, n, w))
+            n -= w
+            if opened:
+                state = 0
+            continue
+        jnc = int(tb.spj[2, m, r])
+        if jnc:
+            phs = int(tb.spj_phs[2, m, r])
+            ops.append(('I', m, jnc - 1, n - phs, phs))
+            n = jnc - 1 + phs
+            continue
+        fd = tb.fdir[m, r]
+        base = fd & 15
+        opened = bool(fd & 0x80)
+        step_n = {VERT: 0, SLA2: 2, SLA1: 1}.get(base, 0)
+        ops.append(('F', m, n, step_n))
+        m -= 1
+        n -= step_n
+        if opened:
+            state = 0
+    ops.reverse()
+    return ops
