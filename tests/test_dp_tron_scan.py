@@ -1,0 +1,104 @@
+"""Differential tests: tron wavefront scan vs the scalar tron oracle."""
+import numpy as np
+import pytest
+
+from spaln_tpu import constants as K
+from spaln_tpu.config import Config, resolve, PvsG
+from spaln_tpu.ops.dp_tron_ref import (TronDpParams, forward_tron_ref,
+                                       traceback_tron_ref)
+from spaln_tpu.ops.dp_tron_scan import (forward_tron_scan,
+                                        traceback_tron_scan)
+from spaln_tpu.score.codepot import build_tron_signals
+from spaln_tpu.score.intron import IntronPenalty
+from spaln_tpu.score.simmtx import Simmtx
+from spaln_tpu.seq.codec import encode_dna
+
+_CODON = {}
+for _i in range(64):
+    _aa = int(K.GENCODE[_i])
+    _CODON.setdefault(_aa, "ACGT"[(_i >> 4) & 3] + "ACGT"[(_i >> 2) & 3]
+                      + "ACGT"[_i & 3])
+AA_CODES = list(range(3, 23))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return resolve(Config(), PvsG)
+
+
+@pytest.fixture(scope="module")
+def prm(cfg):
+    sm = Simmtx.protein("/root/reference/table", slot=0).tron()
+    return TronDpParams.build(cfg, sm.mtx)
+
+
+@pytest.fixture(scope="module")
+def ipen_tab(cfg):
+    return IntronPenalty(cfg, PvsG).penalty(np.arange(20000))
+
+
+def _bt(aa):
+    return "".join(_CODON[int(x)] for x in aa)
+
+
+def _cmp(prot, genome, cfg, prm, ipen_tab, table_dir, L):
+    gc = encode_dna(genome)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    s_r, em_r, en_r, tb_r = forward_tron_ref(prot, gc, sig, prm, ipen_tab)
+    s_j, em_j, en_j, tr_j = forward_tron_scan(prot, gc, sig, prm, ipen_tab,
+                                              L=L)
+    assert (s_j, em_j, en_j) == (s_r, em_r, en_r)
+    ops_r = traceback_tron_ref(tb_r, em_r, en_r)
+    ops_j = traceback_tron_scan(tr_j, em_j, en_j)
+    assert ops_j == ops_r
+    return ops_r
+
+
+def test_tron_scan_single_exon(cfg, prm, ipen_tab, table_dir, rng):
+    aa = rng.choice(AA_CODES, 30).astype(np.int8)
+    g = ("".join(rng.choice(list("ACGT"), 20)) + _bt(aa)
+         + "".join(rng.choice(list("ACGT"), 20)))
+    _cmp(aa, g, cfg, prm, ipen_tab, table_dir, L=8)
+
+
+def test_tron_scan_intron_multislab(cfg, prm, ipen_tab, table_dir, rng):
+    aa1 = rng.choice(AA_CODES, 35)
+    aa2 = rng.choice(AA_CODES, 42)
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 200)) + "TTTCTAG"
+    g = ("".join(rng.choice(list("ACGT"), 30)) + _bt(aa1) + intron
+         + _bt(aa2) + "".join(rng.choice(list("ACGT"), 25)))
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    ops = _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8)  # 10 slabs
+    assert len([o for o in ops if o[0] == 'I']) == 1
+
+
+@pytest.mark.parametrize("split", [1, 2])
+def test_tron_scan_split_codon(cfg, prm, ipen_tab, table_dir, rng, split):
+    aa1 = rng.choice(AA_CODES, 30)
+    aa2 = rng.choice(AA_CODES, 30)
+    mid = _CODON[int(K.LEU)]
+    intron = "GTGAGT" + "".join(rng.choice(list("ACGT"), 150)) + "TTTACAG"
+    g = _bt(aa1) + mid[:split] + intron + mid[split:] + _bt(aa2)
+    prot = np.concatenate([aa1, [K.LEU], aa2]).astype(np.int8)
+    ops = _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=16)
+    assert len([o for o in ops if o[0] == 'I']) == 1
+
+
+def test_tron_scan_frameshift(cfg, prm, ipen_tab, table_dir, rng):
+    aa = rng.choice(AA_CODES, 40).astype(np.int8)
+    g = _bt(aa)
+    g = g[:60] + g[61:]                      # 1nt deletion
+    _cmp(aa, g, cfg, prm, ipen_tab, table_dir, L=16)
+
+
+def test_tron_scan_divergent(cfg, prm, ipen_tab, table_dir, rng):
+    aa1 = rng.choice(AA_CODES, 25)
+    aa2 = rng.choice(AA_CODES, 30)
+    # mutate some codons' wobble position
+    e1 = list(_bt(aa1))
+    for i in range(2, len(e1), 9):
+        e1[i] = rng.choice(list("ACGT"))
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 120)) + "TTTTTAG"
+    g = "".join(e1) + intron + _bt(aa2)
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8)
