@@ -99,16 +99,16 @@ def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     sig = build_splice_signals(gw, ctx.cfg, ctx.tables)
     if chain is not None:
         diags = [h.diag - lo for h in chain.hsps]
-        lw = max(min(min(diags) - sh, 0), -M)
-        up = min(max(max(diags) + sh, N - M), N)
+        lw = max(min(diags) - sh, -M)
+        up = min(max(diags) + sh, N)
         # query ends not covered by the chain may sit across an unseen
         # intron (the reference re-searches ends recursively,
         # first_exon/last_exon fwd2s1.cc:2274-2404); widen the band there
         q0, q1 = chain.q_span
         if q0 > 15:
-            lw = max(lw - margin, -M)
+            lw = max(lw - q0 - margin, -M)
         if M - q1 > 15:
-            up = min(up + margin, N)
+            up = min(up + (M - q1) + margin, N)
     else:
         lw, up = -M, N
     # bucket the band width to limit recompilation

@@ -68,9 +68,12 @@ def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
     qprof[:M] = prm.qprof_mtx[np.asarray(a, dtype=np.int64)]
 
     def rev(x, fill=0, width=None):
+        # right-aligned at pad2 + Npad so index pad2 + Npad - n addresses
+        # b[n-1] uniformly for any N <= Npad (geometry bucketing)
         out = np.full(Npad + pad_extra, fill, dtype=np.int32) if width is None \
             else np.full((Npad + pad_extra, width), fill, dtype=np.int32)
-        out[pad_extra // 2:pad_extra // 2 + N] = x[::-1]
+        o = pad_extra // 2 + Npad - N
+        out[o:o + N] = x[::-1]
         return out
 
     if sig is not None:
@@ -122,11 +125,13 @@ def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
     return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c5, d5))
 
 
-def _make_step(L, W, lw, up, gop, gep, llmt, pad2, Npad, Mpad,
+def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
                n_states=3, emit_trace=True):
-    """Build the scan step function (closures over static geometry)."""
+    """Build the scan step function (closures over static geometry).
+    lw, m0, M, N are traced so one compilation serves every band
+    placement / sequence length within the padded geometry."""
 
-    def step(carry, t, *, qprof_slab, ops, m0, M, N, mrow, a_exgr):
+    def step(carry, t, *, qprof_slab, ops, m0, lw, M, N, mrow, a_exgr):
         (h1, h2, f1, e1, psp, cv, cj, cd, c5,
          bnd_h, bnd_f, row_h, rc_h) = carry
         a_exgr = jnp.asarray(a_exgr, bool)   # python-bool ~ is arithmetic
@@ -308,8 +313,9 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
     W = up - lw + 1
     n_slabs = (M + L - 1) // L
     Mpad = n_slabs * L
+    Ngeom = -(-N // 256) * 256          # bucketed: reuse compilations
     pad_extra = 2 * (L + W + 4)
-    opsd = build_operands(a, b, prm, sig, Mpad, N, flags, pad_extra)
+    opsd = build_operands(a, b, prm, sig, Mpad, Ngeom, flags, pad_extra)
 
     ops = {
         "rb_code": jnp.asarray(opsd.rb_code),
@@ -326,21 +332,21 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
 
     # init-row boundary (row m0 - 1 = 0): H[0][n]
     if flags.a_exgl:
-        bnd_h = np.zeros(N + 2, dtype=np.int32)
+        bnd_h = np.zeros(Ngeom + 2, dtype=np.int32)
     else:
-        ns = np.arange(N + 2)
+        ns = np.arange(Ngeom + 2)
         bnd_h = (prm.gop + prm.gep * ns).astype(np.int32)
         bnd_h[0] = 0
     bnd_h[N + 1:] = NEVSEL
-    bnd_f = np.full(N + 2, NEVSEL, dtype=np.int32)
-    row_h = jnp.full(N + 2, NEV)
+    bnd_f = np.full(Ngeom + 2, NEVSEL, dtype=np.int32)
+    row_h = jnp.full(Ngeom + 2, NEV)
     rc_h = jnp.full(Mpad + 2, NEV)
     bnd_h = jnp.asarray(bnd_h)
     bnd_f = jnp.asarray(bnd_f)
 
     all_flags, all_spj = [], []
-    scan = _scan_slab(L, W, lw, up, prm.gop, prm.gep, prm.intron_llmt, T,
-                      pad_extra // 2, N, Mpad)
+    scan = _scan_slab(L, W, prm.gop, prm.gep, prm.intron_llmt, T,
+                      pad_extra // 2, Ngeom, Mpad)
     for s in range(n_slabs):
         m0 = s * L + 1
         qprof_slab = jnp.asarray(opsd.qprof[m0 - 1:m0 - 1 + L])
@@ -351,7 +357,7 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
             jnp.zeros((L, NCAND), jnp.int32), jnp.zeros((L, NCAND),
                                                         jnp.int32),
             bnd_h, bnd_f, row_h, rc_h)
-        carry, (fl, sp) = scan(carry0, qprof_slab, ops, m0, M, N, M,
+        carry, (fl, sp) = scan(carry0, qprof_slab, ops, m0, lw, M, N, M,
                                flags.a_exgr)
         bnd_h, bnd_f, row_h, rc_h = carry[9], carry[10], carry[11], carry[12]
         all_flags.append(np.asarray(fl))
@@ -376,22 +382,24 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
 
 
 @functools.lru_cache(maxsize=128)
-def _scan_slab(L, W, lw, up, gop, gep, llmt, T, pad2, Npad, Mpad,
+def _scan_slab(L, W, gop, gep, llmt, T, pad2, Npad, Mpad,
                emit_trace=True, batched=False):
-    """Compile one slab runner per static geometry (cached)."""
-    step = _make_step(L, W, lw, up, gop, gep, llmt, pad2, Npad, Mpad,
+    """Compile one slab runner per static geometry (cached).  Band
+    placement (lw) and true lengths (M, N) are traced arguments, so only
+    the padded geometry (L, W/T, Npad, Mpad) forces a new compilation."""
+    step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
                       emit_trace=emit_trace)
 
-    def run1(carry0, qprof_slab, ops, m0, M, N, mrow, a_exgr):
+    def run1(carry0, qprof_slab, ops, m0, lw, M, N, mrow, a_exgr):
         f = functools.partial(step, qprof_slab=qprof_slab, ops=ops, m0=m0,
-                              M=M, N=N, mrow=mrow, a_exgr=a_exgr)
+                              lw=lw, M=M, N=N, mrow=mrow, a_exgr=a_exgr)
         return jax.lax.scan(f, carry0, jnp.arange(T))
 
     if batched:
         # batch axis over problems: carry/operands batched, step scalar
-        # args (m0, a_exgr) shared, per-problem M/N/mrow batched
+        # args (m0, lw, a_exgr) shared, per-problem M/N/mrow batched
         run1 = jax.vmap(run1,
-                        in_axes=(0, 0, 0, None, 0, 0, 0, None))
+                        in_axes=(0, 0, 0, None, None, 0, 0, 0, None))
     return jax.jit(run1)
 
 
@@ -436,6 +444,7 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     W = up - lw + 1
     n_slabs = (Mmax + L - 1) // L
     Mpad = n_slabs * L
+    Nmax = -(-Nmax // 256) * 256        # bucketed: reuse compilations
     pad_extra = 2 * (L + W + 4)
     T = W + 2 * (L - 1)
 
@@ -447,14 +456,14 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
         sig = sigs[i] if sigs is not None else None
         od = build_operands(np.asarray(queries[i]), np.asarray(genomes[i]),
                             prm, sig, Mpad, Nmax, flags, pad_extra)
-        # shift reversed data so index pad2 + Nmax - n addresses b[n-1]
-        # uniformly across problems of different N
-        shift = Nmax - od.N
+        # build_operands right-aligns reversed data at pad2 + Nmax, so
+        # index pad2 + Nmax - n addresses b[n-1] uniformly across
+        # problems of different N
         for k, arr in (("rb_code", od.rb_code), ("rb_isdon", od.rb_isdon),
                        ("rb_isacc", od.rb_isacc), ("rb_sig5", od.rb_sig5),
                        ("rb_accb", od.rb_accb), ("rb_dinc5", od.rb_dinc5),
                        ("rb_joint", od.rb_joint)):
-            stacked[k].append(np.roll(arr, shift, axis=0))
+            stacked[k].append(arr)
         stacked["ipen"].append(od.ipen)
         stacked["colinit"].append(od.colinit)
         qprofs.append(od.qprof)
@@ -483,7 +492,7 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
                       score_only: bool = True, block: bool = True):
     """Device stage: run all slabs; returns (row_h, rc_h, traces_raw)."""
     B, L = bp.B, bp.L
-    scan = _scan_slab(L, bp.W, bp.lw, bp.up, prm.gop, prm.gep,
+    scan = _scan_slab(L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
                       emit_trace=not score_only, batched=True)
     bnd_h, bnd_f = bp.bnd_h0, bp.bnd_f0
@@ -503,8 +512,8 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
             jnp.zeros((B, L, NCAND), jnp.int32),
             jnp.zeros((B, L, NCAND), jnp.int32),
             bnd_h, bnd_f, row_h, rc_h)
-        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.Ms_j, bp.Ns_j,
-                         bp.Ms_j, bp.flags.a_exgr)
+        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.lw, bp.Ms_j,
+                         bp.Ns_j, bp.Ms_j, bp.flags.a_exgr)
         bnd_h, bnd_f, row_h, rc_h = (carry[9], carry[10], carry[11],
                                      carry[12])
         if not score_only:

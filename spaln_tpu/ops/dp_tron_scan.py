@@ -60,7 +60,8 @@ def _insert_cand(cv, cj, cd, c3d, x, jnc, kdir, d3v, push):
 
 
 def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
-                        ipen_tab, Mpad, pad_extra, flags: DpFlags):
+                        ipen_tab, Mpad, pad_extra, flags: DpFlags,
+                        Npad: int | None = None):
     """Host stage: phase-split reversed operand arrays + query profiles.
 
     Lane n-values step by 3 per lane, so operands are stored reshaped as
@@ -74,7 +75,8 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
     qprof[M:] = prm.qprof_mtx[np.asarray(a[-1:], dtype=np.int64)]
 
     pad = (pad_extra // 2 // 3) * 3
-    Ltot = -(-(pad + N + pad) // 3) * 3
+    Nsz = Npad if Npad is not None else N
+    Ltot = -(-(pad + Nsz + pad) // 3) * 3
     Lp3 = Ltot // 3
 
     def b3(x, fill=0, width=None):
@@ -104,12 +106,13 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
 
 
 @functools.lru_cache(maxsize=64)
-def _tron_scan(L, W, lw, up, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
+def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                T, pad2, Lp3, emit_trace):
+    """lw, m0, M, N are traced; only the padded geometry recompiles."""
     vm = jnp.asarray(_VERT_MASK)
     nod_of = jnp.asarray(_NOD_OF)
 
-    def step(carry, t, *, qp0, qp1, ops, m0, M, N, a_exgr):
+    def step(carry, t, *, qp0, qp1, ops, m0, lw, M, N, a_exgr):
         (hh, hd, ff, ee, ed, cv, cj, cd, c3d,
          bnd_h, bnd_hd, bnd_f, row_h, rc_h) = carry
         # hh: (6, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
@@ -448,9 +451,9 @@ def _tron_scan(L, W, lw, up, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         return carry, (fl_h, fl_e, fl_f, spj_out, php_out)
 
     @jax.jit
-    def run(carry0, qp0, qp1, ops, m0, M, N, a_exgr):
+    def run(carry0, qp0, qp1, ops, m0, lw, M, N, a_exgr):
         f = functools.partial(step, qp0=qp0, qp1=qp1, ops=ops, m0=m0,
-                              M=M, N=N, a_exgr=a_exgr)
+                              lw=lw, M=M, N=N, a_exgr=a_exgr)
         return jax.lax.scan(f, carry0, jnp.arange(T))
     return run
 
@@ -524,21 +527,30 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
     W = up - lw + 2
     n_slabs = (M + L - 1) // L
     Mpad = n_slabs * L
+    Ngeom = -(-N // 384) * 384          # bucketed: reuse compilations
     pad_extra = 2 * (L + W + 16)
     T = W + 6 * (L - 1)
     opsd, qprof, pad, Lp3 = build_tron_operands(a, bn, sig, prm, ipen_tab,
-                                                Mpad, pad_extra, flags)
+                                                Mpad, pad_extra, flags,
+                                                Npad=Ngeom)
+    # bucket the intron-penalty table length too (values past the true
+    # length are never read: intron length <= N)
+    ipad = -(-len(opsd["ipen"]) // 512) * 512
+    opsd["ipen"] = np.pad(opsd["ipen"], (0, ipad - len(opsd["ipen"])),
+                          mode="edge")
     ops = {k: jnp.asarray(v) for k, v in opsd.items()}
-    run = _tron_scan(L, W, lw, up, prm.gop, prm.gep, prm.gap_e1,
+    run = _tron_scan(L, W, prm.gop, prm.gep, prm.gap_e1,
                      prm.gap_e2, prm.gap_w1, prm.gap_w2, prm.gap_w3,
                      prm.intron_minl, T, pad, Lp3,
                      not score_only)
     bh0, bd0 = tron_init_row(sig, prm, N, flags.a_exgl)
+    bh0 = np.pad(bh0, (0, Ngeom - N), constant_values=NEV)
+    bd0 = np.pad(bd0, (0, Ngeom - N), constant_values=DEAD)
     bnd_h = jnp.asarray(bh0)
     bnd_hd = jnp.asarray(bd0)
-    bnd_f = jnp.full(N + 2, NEV)
-    row_h = jnp.full(N + 2, NEV)
-    rc_h = jnp.full(max(Mpad + 2, N + 2), NEV)
+    bnd_f = jnp.full(Ngeom + 2, NEV)
+    row_h = jnp.full(Ngeom + 2, NEV)
+    rc_h = jnp.full(max(Mpad + 2, Ngeom + 2), NEV)
     traces = []
     for s in range(n_slabs):
         m0 = s * L + 1
@@ -553,7 +565,7 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
             jnp.zeros((L, 3, NCAND), I32),
             jnp.zeros((L, 3, NCAND), I32),
             bnd_h, bnd_hd, bnd_f, row_h, rc_h)
-        carry, ys = run(carry0, qp0, qp1, ops, m0, M, N, flags.a_exgr)
+        carry, ys = run(carry0, qp0, qp1, ops, m0, lw, M, N, flags.a_exgr)
         bnd_h, bnd_hd, bnd_f, row_h, rc_h = carry[9:14]
         if not score_only:
             traces.append(tuple(np.asarray(y) for y in ys))

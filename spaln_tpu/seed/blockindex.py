@@ -20,7 +20,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import NT_REDUCE4
+from ..constants import AA_REDUCE20, NT_REDUCE4
+from ..seq.codec import comrev, translate
 from ..seq.genome import GenomeStore
 from .wilip import _kmer_words
 
@@ -31,7 +32,10 @@ def auto_params(glen: int) -> dict:
     k = min(int(0.59 * math.log(max(glen, 100))), 13)
     k = max(k, 4)
     maxgene = max(int(38 * math.sqrt(glen)), 16384)
-    return {"blklen": blklen, "k": k, "maxgene": maxgene}
+    # protein index k-mer (aa words): 0.36 ln(gnmsz) capped 6
+    # (blksrc.cc:678-737)
+    kp = max(min(int(0.36 * math.log(max(glen, 100))), 6), 3)
+    return {"blklen": blklen, "k": k, "kp": kp, "maxgene": maxgene}
 
 
 @dataclass
@@ -55,24 +59,32 @@ class BlockIndex:
         k = k or p["k"]
         blklen = blklen or p["blklen"]
         red = NT_REDUCE4[np.asarray(store.codes, dtype=np.int64)]
+        nwords = 4 ** k
+        n_blocks = glen // blklen + 1
+        native = None
+        try:                        # parallel C++ two-pass CSR builder
+            from ..native import kmer_csr_native
+            native = kmer_csr_native(red, k, blklen)
+        except Exception:
+            native = None
         words, ok = _kmer_words(red, k)
         pos = np.nonzero(ok)[0]
         w = words[pos]
-        blk = (pos // blklen).astype(np.int32)
-        n_blocks = glen // blklen + 1
-        # unique (word, block) pairs -> CSR by word
-        key = w * np.int64(n_blocks) + blk
-        key = np.unique(key)
-        uw = (key // n_blocks).astype(np.int64)
-        ub = (key % n_blocks).astype(np.int32)
-        nwords = 4 ** k
-        counts = np.bincount(uw, minlength=nwords)
-        offsets = np.zeros(nwords + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
+        if native is not None:
+            offsets, ub = native
+        else:
+            blk = (pos // blklen).astype(np.int32)
+            # unique (word, block) pairs -> CSR by word
+            key = w * np.int64(n_blocks) + blk
+            key = np.unique(key)
+            uw = (key // n_blocks).astype(np.int64)
+            ub = (key % n_blocks).astype(np.int32)
+            counts = np.bincount(uw, minlength=nwords)
+            offsets = np.zeros(nwords + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
         # word scores: information content from genome composition
         # (blkscrtab role, blksrc.cc:879-998): -log2 of expected frequency,
         # zeroed for words present in too many blocks (toomany cap)
-        freq = np.bincount(uw, minlength=nwords).astype(np.float64)
         total_hits = np.bincount(w % nwords, minlength=nwords)
         gsize = max(len(pos), 1)
         pw = np.maximum(total_hits / gsize, 1e-12)
@@ -98,13 +110,22 @@ class BlockIndex:
                    wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen))
 
     # --------------------------------------------------------------- search
+    def _query_words(self, query: np.ndarray) -> np.ndarray:
+        red = NT_REDUCE4[np.asarray(query, dtype=np.int64)]
+        words, ok = _kmer_words(red, self.k)
+        return words[ok]
+
+    def _qspan_blocks(self, query: np.ndarray) -> int:
+        return max(self._q_nt_len(query) // self.blklen, 1)
+
+    def _q_nt_len(self, query: np.ndarray) -> int:
+        return len(query)
+
     def vote(self, query: np.ndarray) -> np.ndarray:
         """Per-block vote score for one query (findblock's bscr tallies,
         blksrc.cc:2971-3087, collapsed to a single whole-query tally —
         the left/right pairing is handled by candidate_ranges)."""
-        red = NT_REDUCE4[np.asarray(query, dtype=np.int64)]
-        words, ok = _kmer_words(red, self.k)
-        w = words[ok]
+        w = self._query_words(query)
         if not len(w):
             return np.zeros(self.n_blocks, dtype=np.int64)
         lo = self.offsets[w]
@@ -131,7 +152,7 @@ class BlockIndex:
         if votes.max() == 0:
             return []
         span_blocks = max(self.maxgene // self.blklen, 1)
-        qspan = max(len(query) // self.blklen, 1)
+        qspan = self._qspan_blocks(query)
         win = min(span_blocks, max(2 * qspan, 2))
         kern = np.ones(win)
         smooth = np.convolve(votes, kern, mode="same")
@@ -139,15 +160,121 @@ class BlockIndex:
         out = []
         used = np.zeros(len(smooth), dtype=bool)
         order = np.argsort(smooth)[::-1]
+        # candidate extent: a gene may span MaxGene around the vote peak
+        # and must include the whole query even when only part of it voted
+        # (TestOutput/ExtBlock widening, blksrc.cc:2409-2461) — the vote
+        # peak marks *some* exon, not necessarily the gene start.
+        ext = min(span_blocks,
+                  max(2 * win, 2 * qspan + 2,
+                      2 * self._q_nt_len(query) // self.blklen + 2))
         for b in order:
             if len(out) >= ncand or smooth[b] < thr:
                 break
             if used[b]:
                 continue
-            b0 = max(int(b) - win, 0)
-            b1 = min(int(b) + win + 1, self.n_blocks)
-            used[b0:b1] = True
+            used[max(int(b) - win, 0):min(int(b) + win + 1,
+                                          self.n_blocks)] = True
+            b0 = max(int(b) - ext, 0)
+            b1 = min(int(b) + ext + 1, self.n_blocks)
             g0 = max(b0 * self.blklen - self.blklen, 0)
             g1 = min(b1 * self.blklen + self.blklen, self.glen)
             out.append((g0, g1, float(smooth[b])))
         return out
+
+
+class ProteinBlockIndex(BlockIndex):
+    """Protein-query genome index (-KP): 6-frame translated reduced-aa
+    k-mers -> genomic block lists (MakeBlk aa/tron path, blksrc.cc:
+    466-531 c2w6 over 6 frames; ORF filter omitted — repetitive-word
+    capping plays its role here).
+
+    Blocks are nt-coordinate blocks of the forward strand, so candidate
+    ranges work for genes on either strand (reverse-frame k-mer positions
+    map back to forward coordinates before block assignment).
+    """
+    NALPHA = 20
+
+    @classmethod
+    def build(cls, store: GenomeStore, k: int | None = None,
+              blklen: int | None = None,
+              max_word_freq: float = 2e-3) -> "ProteinBlockIndex":
+        glen = len(store.codes)
+        p = auto_params(store.total_len or glen)
+        k = k or p["kp"]
+        blklen = blklen or p["blklen"]
+        na = cls.NALPHA
+        codes = np.asarray(store.codes)
+        pairs = []
+        for strand in range(2):
+            seq = codes if strand == 0 else comrev(codes)
+            for frame in range(3):
+                aa = translate(seq, frame)
+                red = AA_REDUCE20[aa.astype(np.int64)]
+                valid = (red >= 0) & (red < na)
+                L = len(red)
+                if L < k:
+                    continue
+                w = np.zeros(L - k + 1, dtype=np.int64)
+                ok = np.ones(L - k + 1, dtype=bool)
+                for i in range(k):
+                    w = w * na + np.clip(red[i:L - k + 1 + i], 0, na - 1)
+                    ok &= valid[i:L - k + 1 + i]
+                pos_aa = np.nonzero(ok)[0]
+                nt = 3 * pos_aa + frame               # frame-local nt pos
+                if strand == 1:
+                    nt = glen - nt - 3 * k            # map to fwd coords
+                blk = np.clip(nt // blklen, 0, glen // blklen)
+                pairs.append((w[pos_aa], blk.astype(np.int32)))
+        n_blocks = glen // blklen + 1
+        if pairs:
+            w_all = np.concatenate([p_[0] for p_ in pairs])
+            b_all = np.concatenate([p_[1] for p_ in pairs])
+        else:
+            w_all = np.zeros(0, np.int64)
+            b_all = np.zeros(0, np.int32)
+        key = np.unique(w_all * np.int64(n_blocks) + b_all)
+        uw = (key // n_blocks).astype(np.int64)
+        ub = (key % n_blocks).astype(np.int32)
+        nwords = na ** k
+        counts = np.bincount(uw, minlength=nwords)
+        offsets = np.zeros(nwords + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total_hits = np.bincount(w_all, minlength=nwords)
+        gsize = max(len(w_all), 1)
+        pw = np.maximum(total_hits / gsize, 1e-12)
+        wscr = np.minimum(-np.log2(pw) * 4, 120).astype(np.int16)
+        wscr[total_hits > max_word_freq * gsize] = 0
+        return cls(k=k, blklen=blklen, maxgene=p["maxgene"],
+                   offsets=offsets, blocks=ub, wscr=wscr,
+                   n_blocks=n_blocks, glen=glen)
+
+    def save(self, prefix: str) -> None:
+        np.savez(prefix + ".bkp.npz", offsets=self.offsets,
+                 blocks=self.blocks, wscr=self.wscr,
+                 meta=np.array([self.k, self.blklen, self.maxgene,
+                                self.n_blocks, self.glen], dtype=np.int64))
+
+    @classmethod
+    def load(cls, prefix: str) -> "ProteinBlockIndex":
+        z = np.load(prefix + ".bkp.npz")
+        k, blklen, maxgene, n_blocks, glen = z["meta"].tolist()
+        return cls(k=int(k), blklen=int(blklen), maxgene=int(maxgene),
+                   offsets=z["offsets"], blocks=z["blocks"],
+                   wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen))
+
+    def _query_words(self, query: np.ndarray) -> np.ndarray:
+        red = AA_REDUCE20[np.asarray(query, dtype=np.int64)]
+        na, k = self.NALPHA, self.k
+        valid = (red >= 0) & (red < na)
+        L = len(red)
+        if L < k:
+            return np.zeros(0, np.int64)
+        w = np.zeros(L - k + 1, dtype=np.int64)
+        ok = np.ones(L - k + 1, dtype=bool)
+        for i in range(k):
+            w = w * na + np.clip(red[i:L - k + 1 + i], 0, na - 1)
+            ok &= valid[i:L - k + 1 + i]
+        return w[ok]
+
+    def _q_nt_len(self, query: np.ndarray) -> int:
+        return 3 * len(query)

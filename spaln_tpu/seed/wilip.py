@@ -62,14 +62,16 @@ class Chain:
         return self.hsps[0].jy, self.hsps[-1].ry
 
     def band(self, M: int, N: int, sh: int = 100) -> tuple[int, int]:
-        """DP band from chain geometry (stripe-from-jxt semantics):
-        diagonals covered by the chain widened by sh, plus room for the
-        end segments to reach the corners."""
+        """DP band from chain geometry (stripe-from-jxt semantics,
+        aln2.cc:156-199): diagonals covered by the chain widened by sh.
+        The band deliberately does NOT reach the matrix corners — with
+        free end gaps the path starts/ends on the band's init row/last
+        row, and query ends uncovered by the chain get extra widening
+        from the caller (the reference runs dedicated end heuristics
+        instead of widening, fwd2s1.cc:2274-2404)."""
         diags = [h.diag for h in self.hsps]
-        lw = min(min(diags) - sh, 0 - 0)     # allow start corner r=0 side
-        up = max(max(diags) + sh, N - M)
-        lw = max(lw - 1, -M)
-        up = min(up + 1, N)
+        lw = max(min(diags) - sh - 1, -M)
+        up = min(max(diags) + sh + 1, N)
         return lw, up
 
 
