@@ -56,6 +56,20 @@ class Intron:
 
 
 @dataclass
+class AlnView:
+    """Immutable sequence-level snapshot taken at build time, in the
+    aligned orientation and window-local coordinates — lets the
+    sequence-bearing output forms (alignment text, cDNA/translation
+    recovery) render after the caller shifts/flips genomic coords."""
+    q: np.ndarray                     # query codes as aligned
+    g: np.ndarray                     # genomic window codes as aligned
+    exons: list[tuple]                # (q0, q1, g0, g1) local coords
+    introns: list[tuple]              # (g5, g3) local coords
+    q_is_aa: bool = False
+    ops: list | None = None           # raw traceback op stream
+
+
+@dataclass
 class GeneStructure:
     score: int
     exons: list[Exon]
@@ -64,6 +78,7 @@ class GeneStructure:
     g_name: str = ""
     strand: str = "+"
     scale: int = 10
+    view: AlnView | None = None
 
     @property
     def q_span(self) -> tuple[int, int]:
@@ -126,6 +141,29 @@ class GeneStructure:
         return " ".join(toks)
 
 
+def trim_terminal_microexons(exons: list[Exon], introns: list[Intron],
+                             min_q: int, max_loose: int = 0) -> None:
+    """Drop unreliable terminal micro-exons (in place).
+
+    The reference accepts micro end exons only as exact Boyer-Moore
+    matches with valid splice sites (micro_exon, fwd2s1.cc:2163-2273);
+    free-end DP can instead pick up spurious signal-boosted fragments.
+    A terminal exon shorter than ``min_q`` query units (or imperfect and
+    shorter than ``max_loose``) is removed together with its intron.
+    """
+    def bad(e: Exon) -> bool:
+        if e.q_len < min_q:
+            return True
+        return e.q_len < max_loose and (e.mmc + e.unp) > 0
+
+    while len(exons) > 1 and bad(exons[0]):
+        exons.pop(0)
+        introns.pop(0)
+    while len(exons) > 1 and bad(exons[-1]):
+        exons.pop()
+        introns.pop()
+
+
 def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                          score: int, sig: SpliceSignals | None = None,
                          q_name: str = "", g_name: str = "",
@@ -142,10 +180,13 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
     introns: list[Intron] = []
     cur: Exon | None = None
     last_gap_state = None
+    last_d = None                 # (m, n) of the newest match op
+    pend_gap = pend_unp = 0       # gap ops awaiting a bracketing match
     for op in ops:
         kind = op[0]
         if kind == 'D':
             _, m, n = op
+            last_d = (m, n)
             if cur is None:
                 cur = Exon(q_start=m - 1, q_end=m, g_start=n - 1, g_end=n)
             else:
@@ -154,25 +195,30 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                 cur.mch += 1
             else:
                 cur.mmc += 1
+            # flush gap ops bracketed by matches (terminal runs drop)
+            cur.gap += pend_gap
+            cur.unp += pend_unp
+            pend_gap = pend_unp = 0
             last_gap_state = None
         elif kind == 'E':
             _, m, n = op
             if cur is not None:
                 cur.g_end = n
-                cur.unp += 1
+                pend_unp += 1
                 if last_gap_state != 'E':
-                    cur.gap += 1
+                    pend_gap += 1
                 last_gap_state = 'E'
         elif kind == 'F':
             _, m, n = op
             if cur is not None:
                 cur.q_end = m
-                cur.unp += 1
+                pend_unp += 1
                 if last_gap_state != 'F':
-                    cur.gap += 1
+                    pend_gap += 1
                 last_gap_state = 'F'
         elif kind == 'I':
             _, m, n5, n3 = op
+            pend_gap = pend_unp = 0
             if cur is not None:
                 s5 = int(sig.sig5[n5]) if sig is not None else 0
                 s3 = int(sig.sig3[n3]) if sig is not None and n3 < len(
@@ -187,12 +233,23 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                 cur = None
                 last_gap_state = None
     if cur is not None:
-        exons.append(cur)
+        # crop a trailing free-end gap run (not part of the exon)
+        if last_d is not None and last_d[0] >= cur.q_start + 1:
+            cur.q_end = min(cur.q_end, last_d[0])
+            cur.g_end = min(cur.g_end, last_d[1])
+            exons.append(cur)
     if not exons:
         return None
+    trim_terminal_microexons(exons, introns, min_q=12, max_loose=20)
     # attach acceptor signals to downstream exons
     for i, intr in enumerate(introns):
         if i + 1 < len(exons):
             exons[i + 1].sig3 = intr.sig3
+    view = AlnView(q=np.asarray(a), g=np.asarray(b),
+                   exons=[(e.q_start, e.q_end, e.g_start, e.g_end)
+                          for e in exons],
+                   introns=[(i.g_start, i.g_end) for i in introns],
+                   ops=ops)
     return GeneStructure(score=score, exons=exons, introns=introns,
-                         q_name=q_name, g_name=g_name, strand=strand)
+                         q_name=q_name, g_name=g_name, strand=strand,
+                         view=view)

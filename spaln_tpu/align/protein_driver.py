@@ -1,0 +1,388 @@
+"""Protein -> genome seeded spliced-alignment driver.
+
+The role of Aln2h1's driver hierarchy (globalH_ng/seededH_ng, fwd2h1.cc:
+2400-3316) re-shaped for the TPU pipeline: host-side 3-frame translated
+seeding (the Wilber-Lipman tron search dmsnno31, wln.cc:554-678), band
+geometry in r = n - 3m coordinates, device tron wavefront DP
+(dp_tron_scan), host traceback and codon-aware gene-structure extraction
+(skl_rngH_ng role, fwd2h1.cc:619-900).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import constants as K
+from ..config import Config, resolve, PvsG
+from ..ops.params import DpFlags
+from ..ops.dp_tron_ref import TronDpParams
+from ..ops.dp_tron_scan import forward_tron_scan, traceback_tron_scan
+from ..score.codepot import build_tron_signals, TronSignals
+from ..score.intron import IntronPenalty
+from ..score.simmtx import Simmtx
+from ..score.tables import TableDir
+from ..seed.wilip import Hsp, Chain, chain_hsps
+from ..seq.codec import comrev, translate
+from .gene import Exon, Intron, GeneStructure
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class ProteinAlignerContext:
+    """Per-run immutable context for the protein path."""
+    cfg: Config
+    tables: TableDir
+    prm: TronDpParams
+    ipen: IntronPenalty
+    ipen_tab: np.ndarray
+    pmtx: np.ndarray              # protein (aa x aa) matrix for seeding
+
+    @classmethod
+    def create(cls, tables: TableDir, cfg: Config | None = None,
+               max_intron: int = 200_000) -> "ProteinAlignerContext":
+        cfg = resolve(cfg or Config(), PvsG)
+        sm = Simmtx.protein(tables.root, slot=0)
+        prm = TronDpParams.build(cfg, sm.tron().mtx)
+        ipen = IntronPenalty(cfg, PvsG)
+        tab = ipen.penalty(np.arange(max_intron)).astype(np.int32)
+        return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen,
+                   ipen_tab=tab, pmtx=sm.mtx)
+
+
+# per-level protein seed parameters (wlprm tron rows, wln.cc:100-116)
+AA_LEVELS = ({"k": 5, "thr": 500}, {"k": 4, "thr": 400},
+             {"k": 3, "thr": 300})
+
+
+def _aa_kmer_words(red: np.ndarray, k: int, nalpha: int = 20):
+    L = len(red)
+    if L < k:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    valid = red < nalpha
+    w = np.zeros(L - k + 1, dtype=np.int64)
+    ok = np.ones(L - k + 1, dtype=bool)
+    for i in range(k):
+        w = w * nalpha + np.clip(red[i:L - k + 1 + i], 0, nalpha - 1)
+        ok &= valid[i:L - k + 1 + i]
+    return w, ok
+
+
+def find_hsps_protein(qaa: np.ndarray, g: np.ndarray, pmtx: np.ndarray,
+                      level: int = 0) -> list[Hsp]:
+    """3-frame translated k-mer seeding (dmsnno31 role, wln.cc:554-678).
+
+    Returns HSPs in *scaled* coordinates: jx in nt-equivalents (3 x aa),
+    jy in nt — so diag = jy - jx is the tron band offset r = n - 3m and
+    the generic chainer applies unchanged.
+    """
+    prm = AA_LEVELS[min(level, len(AA_LEVELS) - 1)]
+    k = prm["k"]
+    red_q = K.AA_REDUCE20[np.asarray(qaa, dtype=np.int64)]
+    qw, qok = _aa_kmer_words(red_q, k)
+    if not len(qw):
+        return []
+    qpos = np.nonzero(qok)[0]
+    qv = qw[qpos]
+    order = np.argsort(qv, kind="stable")
+    qv_s, qp_s = qv[order], qpos[order]
+    hsps: list[Hsp] = []
+    qa = np.asarray(qaa, dtype=np.int64)
+    for frame in range(3):
+        faa = translate(g, frame)
+        red_g = K.AA_REDUCE20[faa.astype(np.int64)]
+        gw, gok = _aa_kmer_words(red_g, k)
+        if not len(gw):
+            continue
+        gpos = np.nonzero(gok)[0]
+        gv = gw[gpos]
+        lo = np.searchsorted(qv_s, gv, side="left")
+        hi = np.searchsorted(qv_s, gv, side="right")
+        cnt = hi - lo
+        has = cnt > 0
+        if not has.any():
+            continue
+        g_rep = np.repeat(gpos[has], cnt[has])
+        idx = np.concatenate([np.arange(l, h) for l, h in
+                              zip(lo[has], hi[has])])
+        q_rep = qp_s[idx]
+        diag = g_rep.astype(np.int64) - q_rep
+        order2 = np.lexsort((g_rep, diag))
+        dd, gg, qq = diag[order2], g_rep[order2], q_rep[order2]
+        brk = np.nonzero((np.diff(dd) != 0) | (np.diff(gg) > 3 * k))[0] + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(dd)]])
+        ga = faa.astype(np.int64)
+        for s, e in zip(starts, ends):
+            jx, jy = int(qq[s]), int(gg[s])
+            alen = int(gg[e - 1]) + k - jy
+            alen = min(alen, len(qa) - jx, len(ga) - jy)
+            if alen < k:
+                continue
+            qs, gs = qa[jx:jx + alen], ga[jy:jy + alen]
+            nid = int(((qs == gs) & (qs >= 3) & (qs < 23)).sum())
+            scr = int(pmtx[qs, gs].sum())
+            if scr >= prm["thr"]:
+                hsps.append(Hsp(jx=3 * jx, jy=3 * jy + frame,
+                                jlen=3 * alen, nid=nid, jscr=scr))
+    return hsps
+
+
+def wilip_protein(qaa: np.ndarray, g: np.ndarray, pmtx: np.ndarray,
+                  ipen=None, level: int = 0, **kw) -> list[Chain]:
+    """Protein HSP search + intron-aware chaining, coarser on retry."""
+    for lv in range(level, len(AA_LEVELS)):
+        hsps = find_hsps_protein(qaa, g, pmtx, lv)
+        chains = chain_hsps(hsps, ipen=ipen, vthr=kw.pop("vthr", 600), **kw)
+        if chains:
+            return chains
+    return []
+
+
+def align_protein(query: np.ndarray, genome: np.ndarray,
+                  ctx: ProteinAlignerContext, strand: str = "auto",
+                  sh: int = 150, margin: int = 2000, lanes: int = 64,
+                  q_name: str = "", g_name: str = "",
+                  g_off: int = 0) -> list[GeneStructure]:
+    """Map and align one protein query onto one genomic window.
+
+    strand='auto' seeds both genome orientations and aligns the better
+    one; '-' results carry window-forward coordinates of the reverse
+    strand alignment (flipped by the caller for reporting).
+    """
+    cands = []
+    if strand in ("auto", "+"):
+        ch = wilip_protein(query, genome, ctx.pmtx, ipen=ctx.ipen)
+        if ch:
+            cands.append((ch[0].score, "+", genome, ch[0]))
+    if strand in ("auto", "-"):
+        rc = comrev(genome)
+        ch = wilip_protein(query, rc, ctx.pmtx, ipen=ctx.ipen)
+        if ch:
+            cands.append((ch[0].score, "-", rc, ch[0]))
+    if not cands and strand in ("auto", "+"):
+        cands.append((0, "+", genome, None))
+    if not cands:
+        return []
+    cands.sort(key=lambda c: -c[0])
+    _, st, g_use, chain = cands[0]
+    gs = _align_window_tron(query, g_use, ctx, chain, sh=sh, margin=margin,
+                            lanes=lanes, q_name=q_name, g_name=g_name,
+                            strand=st)
+    if gs is None:
+        return []
+    if st == "-":
+        _flip_coords(gs, len(genome))
+    return [gs]
+
+
+def _flip_coords(gs: GeneStructure, N: int) -> None:
+    """Map reverse-strand window coords back to forward-strand coords."""
+    for e in gs.exons:
+        e.g_start, e.g_end = N - e.g_end, N - e.g_start
+    for i in gs.introns:
+        i.g_start, i.g_end = N - i.g_end, N - i.g_start
+    gs.exons.reverse()
+    gs.introns.reverse()
+
+
+def _align_window_tron(q: np.ndarray, g: np.ndarray,
+                       ctx: ProteinAlignerContext, chain: Chain | None,
+                       sh: int, margin: int, lanes: int, q_name: str,
+                       g_name: str, strand: str) -> GeneStructure | None:
+    M = len(q)
+    if chain is not None:
+        g0, g1 = chain.g_span
+        q0, q1 = chain.q_span          # scaled (nt-equivalent) coords
+        lo = max(0, g0 - q0 - margin)
+        hi = min(len(g), g1 + (3 * M - q1) + margin)
+        lo -= lo % 3                   # keep frame alignment of diags
+    else:
+        lo, hi = 0, len(g)
+    gw = np.asarray(g[lo:hi])
+    N = len(gw)
+    if N < 3 or M == 0:
+        return None
+    sig = build_tron_signals(gw, ctx.cfg, ctx.tables)
+    if chain is not None:
+        diags = [h.diag - lo for h in chain.hsps]
+        lw = max(min(diags) - 3 * sh, -3 * M)
+        up = min(max(diags) + 3 * sh, N)
+        # widen over query ends the chain does not cover (the reference
+        # runs cds5end/first-exon heuristics there, fwd2h1.cc:2331-2396)
+        q0, q1 = chain.q_span
+        if q0 > 45:
+            lw = max(lw - q0 - margin, -3 * M)
+        if 3 * M - q1 > 45:
+            up = min(up + (3 * M - q1) + margin, N)
+    else:
+        lw, up = -3 * M, N
+    W = up - lw + 2
+    Wb = _round_up(W, 384)
+    extra = Wb - W
+    lw = max(lw - extra // 2, -3 * M)
+    up = min(lw + Wb - 2, N)
+    lw = max(up - Wb + 2, -3 * M)
+    score, em, en, tr = forward_tron_scan(q, gw, sig, ctx.prm,
+                                          ctx.ipen_tab, lw=lw, up=up,
+                                          L=lanes)
+    ops = traceback_tron_scan(tr, em, en)
+    gs = build_gene_structure_tron(ops, q, gw, score, sig=sig,
+                                   q_name=q_name, g_name=g_name,
+                                   strand=strand)
+    if gs is None:
+        return None
+    for e in gs.exons:
+        e.g_start += lo
+        e.g_end += lo
+    for i in gs.introns:
+        i.g_start += lo
+        i.g_end += lo
+    return gs
+
+
+def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
+                              score: int, sig: TronSignals | None = None,
+                              q_name: str = "", g_name: str = "",
+                              strand: str = "+") -> GeneStructure | None:
+    """Traceback op stream from the tron engine -> exon/intron records
+    (skl_rngH_ng role, fwd2h1.cc:619-900).
+
+    Tron ops: ('D', m, n) codon match of aa m vs genome [n-3, n);
+    ('E', m, n, w) w-nt insertion; ('F', m, n, s) aa deletion with s extra
+    nt; ('I', m, n5, n3, phs) intron n5..n3 at splice phase phs.
+    q coords in aa, g coords in nt.
+    """
+    if not ops:
+        return None
+    btron = sig.btron if sig is not None else None
+
+    def tr_same(m: int, aa_g: int) -> bool:
+        tr_a = int(a[m - 1])
+        return (aa_g == tr_a
+                or (tr_a == K.SER and aa_g == K.SER2)
+                or (tr_a == K.SER2 and aa_g == K.SER))
+
+    def spliced_aa(n5: int, n3: int, phs: int) -> int:
+        """Translate the phase +-1 split codon across the junction
+        (spjseq/spj_tron_tab role, codepot.h:130-186).  0-based nt:
+        phs=+1 -> (n5-2, n5-1 | n3); phs=-1 -> (n5-1 | n3, n3+1)."""
+        from ..seq.codec import _tron_of
+        if phs == 1:
+            c = (bn[n5 - 2], bn[n5 - 1], bn[n3])
+        else:
+            c = (bn[n5 - 1], bn[n3], bn[n3 + 1])
+        return int(_tron_of(np.array([c[0]]), np.array([c[1]]),
+                            np.array([c[2]]), tron=True)[0])
+
+    exons: list[Exon] = []
+    introns: list[Intron] = []
+    cur: Exon | None = None
+    last_gap = None
+    pending: Intron | None = None       # intron awaiting its first exon op
+    pend_phs = 0
+    last_d = None                       # (m, n) of the newest codon match
+    pend_gap = pend_unp = 0             # gap ops awaiting a bracketing match
+    for op in ops:
+        kind = op[0]
+        if kind == 'D':
+            _, m, n = op
+            last_d = (m, n)
+            if cur is None:
+                gs0 = pending.g_end if pending is not None else n - 3
+                cur = Exon(q_start=m - 1, q_end=m, g_start=gs0, g_end=n)
+            else:
+                cur.q_end, cur.g_end = m, n
+            if pending is not None and pend_phs == -1:
+                # first codon is split across the junction
+                aa_g = spliced_aa(introns[-1].g_start, introns[-1].g_end,
+                                  -1)
+            else:
+                aa_g = int(btron[n - 2]) if (btron is not None and
+                                             0 <= n - 2 < len(btron)) else -1
+            if tr_same(m, aa_g):
+                cur.mch += 1
+            else:
+                cur.mmc += 1
+            cur.gap += pend_gap
+            cur.unp += pend_unp
+            pend_gap = pend_unp = 0
+            pending, pend_phs, last_gap = None, 0, None
+        elif kind == 'E':
+            _, m, n, w = op
+            if cur is not None:
+                cur.g_end = n
+                pend_unp += w
+                if last_gap != 'E':
+                    pend_gap += 1
+                last_gap = 'E'
+            pending, pend_phs = None, 0
+        elif kind == 'F':
+            _, m, n, s = op
+            if cur is None:
+                gs0 = pending.g_end if pending is not None else max(n - s, 0)
+                cur = Exon(q_start=m - 1, q_end=m, g_start=gs0, g_end=n)
+            else:
+                cur.q_end = m
+                cur.g_end = max(cur.g_end, n)
+            pend_unp += 1
+            if last_gap != 'F':
+                pend_gap += 1
+            last_gap = 'F'
+            pending, pend_phs = None, 0
+        elif kind == 'I':
+            _, m, n5, n3, phs = op
+            pend_gap = pend_unp = 0
+            if cur is not None:
+                if phs == 1:
+                    # the preceding D was the split codon: re-judge it
+                    # against the spliced translation
+                    old = int(btron[cur.g_end - 2]) if (
+                        btron is not None
+                        and 0 <= cur.g_end - 2 < len(btron)) else -1
+                    new = spliced_aa(n5, n3, 1)
+                    if tr_same(m, old) and not tr_same(m, new):
+                        cur.mch -= 1
+                        cur.mmc += 1
+                    elif not tr_same(m, old) and tr_same(m, new):
+                        cur.mmc -= 1
+                        cur.mch += 1
+                s5 = int(sig.sig5[n5]) if sig is not None else 0
+                s3 = int(sig.sig3[n3]) if (sig is not None
+                                           and n3 < len(sig.sig3)) else 0
+                cur.sig5 = s5
+                cur.g_end = n5              # exon ends at the donor site
+                exons.append(cur)
+                d5 = int(sig.dinc5[n5]) if sig is not None else 11
+                d3 = int(sig.dinc3[n3]) if sig is not None else 2
+                pending = Intron(g_start=n5, g_end=n3, q_pos=m,
+                                 sig5=s5, sig3=s3,
+                                 canonical=(d5 == 11 and d3 == 2))
+                pend_phs = phs
+                introns.append(pending)
+                cur = None
+                last_gap = None
+    if cur is not None:
+        # crop a trailing free-end gap run (not part of the exon)
+        if last_d is not None and last_d[0] >= cur.q_start + 1:
+            cur.q_end = min(cur.q_end, last_d[0])
+            cur.g_end = min(cur.g_end, last_d[1])
+            exons.append(cur)
+    if not exons:
+        return None
+    from .gene import AlnView, trim_terminal_microexons
+    trim_terminal_microexons(exons, introns, min_q=4, max_loose=7)
+    for i, intr in enumerate(introns):
+        if i + 1 < len(exons):
+            exons[i + 1].sig3 = intr.sig3
+    view = AlnView(q=np.asarray(a), g=np.asarray(bn),
+                   exons=[(e.q_start, e.q_end, e.g_start, e.g_end)
+                          for e in exons],
+                   introns=[(i.g_start, i.g_end) for i in introns],
+                   q_is_aa=True, ops=ops)
+    return GeneStructure(score=score, exons=exons, introns=introns,
+                         q_name=q_name, g_name=g_name, strand=strand,
+                         view=view)

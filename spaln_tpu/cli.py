@@ -3,12 +3,15 @@
 The spaln-equivalent entry points (spaln.cc:152-516 option surface,
 re-organized as subcommands):
 
-  spaln_tpu align  <genomic.fa> <queries.fa>   no-index alignment (-Q0..3)
-  spaln_tpu index  <genome.fa> -K D|P          build block index (-W)
-  spaln_tpu map    <queries.fa> -d <genome>    indexed genome mapping (-Q7)
+  spaln_tpu align    <genomic.fa> <queries.fa>  no-index alignment (-Q0..3)
+  spaln_tpu index    <genome.fa> -K D|P|DP      build block index (-W)
+  spaln_tpu map      <queries.fa> -d <genome>   indexed genome mapping (-Q7)
+  spaln_tpu sortgrcd <run1.grd.npz> ...         merge/cluster/filter runs
 
-Output formats via -O: 3 = GFF3 gene (default), 4 = exon table,
-6 = intron table, 15 = SAM.
+Output formats -O#[,#2,..] (spaln.cc:196-198 numbering): 0 GFF3 gene,
+1 alignment text, 2 GFF3 match, 3 BED12, 4 exon table, 5 intron table,
+6 recovered cDNA, 7 translated protein, 10 SAM, 12 binary shard
+(.grd.npz), 15 unique introns.
 """
 from __future__ import annotations
 
@@ -19,81 +22,186 @@ import numpy as np
 
 from .align.driver import AlignerContext, align_cdna
 from .config import Config
-from .out.formats import (exon_table_lines, gff3_lines, intron_lines,
-                          sam_line)
+from .out.formats import (alignment_lines, bed_line, cdna_fasta,
+                          exon_table_lines, gff3_lines, gff3_match_lines,
+                          intron_lines, sam_line, translated_fasta)
 from .score.tables import TableDir, find_table_dir
 from .seq.fasta import iter_fasta, read_fasta
 from .seq.genome import GenomeStore
 from .constants import DNA
 
 
-def _emit(gs_list, fmt: int, out, q_len: int, gene_id: int) -> int:
-    for gs in gs_list:
-        if fmt == 3:
-            out.write("\n".join(gff3_lines(gs, q_len=q_len,
-                                           gene_id=gene_id)) + "\n")
-        elif fmt == 4:
-            out.write("\n".join(exon_table_lines(gs, q_len=q_len)) + "\n")
-        elif fmt == 6:
-            lines = intron_lines(gs)
-            if lines:
-                out.write("\n".join(lines) + "\n")
-        elif fmt == 15:
-            out.write(sam_line(gs, q_len=q_len) + "\n")
-        else:
-            raise SystemExit(f"unsupported output format -O{fmt}")
-        gene_id += 1
-    return gene_id
+class OutputSink:
+    """Multi-format writer (AlnOutModes role, aln.h:312-333): one pass
+    over results feeds every requested -O form; -O12 shards collect in
+    memory and flush as one .grd.npz per run."""
+
+    def __init__(self, fmts: list[int], out, grd_path: str = "run"):
+        self.fmts = fmts
+        self.out = out
+        self.gene_id = 1
+        self.grd_path = grd_path
+        self.bin_records = []
+        self.q_lens = {}
+        if 0 in fmts or 2 in fmts:
+            out.write("##gff-version 3\n")
+
+    def emit(self, gs_list, q_len: int) -> None:
+        w = self.out.write
+        for gs in gs_list:
+            for fmt in self.fmts:
+                if fmt == 0:
+                    w("\n".join(gff3_lines(gs, q_len=q_len,
+                                           gene_id=self.gene_id)) + "\n")
+                elif fmt == 1:
+                    w("\n".join(alignment_lines(gs)) + "\n")
+                elif fmt == 2:
+                    w("\n".join(gff3_match_lines(
+                        gs, q_len=q_len, gene_id=self.gene_id)) + "\n")
+                elif fmt == 3:
+                    w(bed_line(gs) + "\n")
+                elif fmt == 4:
+                    w("\n".join(exon_table_lines(gs, q_len=q_len)) + "\n")
+                elif fmt == 5:
+                    lines = intron_lines(gs)
+                    if lines:
+                        w("\n".join(lines) + "\n")
+                elif fmt == 6:
+                    w("\n".join(cdna_fasta(gs)) + "\n")
+                elif fmt == 7:
+                    w("\n".join(translated_fasta(gs)) + "\n")
+                elif fmt == 10:
+                    w(sam_line(gs, q_len=q_len) + "\n")
+                elif fmt in (12, 15):
+                    pass                   # collected below
+                else:
+                    raise SystemExit(f"unsupported output format -O{fmt}")
+            if 12 in self.fmts or 15 in self.fmts:
+                self.bin_records.append(gs)
+                self.q_lens[gs.q_name] = q_len
+            self.gene_id += 1
+
+    def close(self) -> None:
+        if 12 in self.fmts and self.bin_records:
+            from .out.sortgrcd import write_grd
+            write_grd(self.grd_path + ".grd.npz", self.bin_records,
+                      self.q_lens)
+            print(f"binary shard -> {self.grd_path}.grd.npz",
+                  file=sys.stderr)
+        if 15 in self.fmts:
+            from .out.sortgrcd import unique_introns
+            for row in unique_introns(self.bin_records):
+                self.out.write("\t".join(map(str, row)) + "\n")
+
+
+def _parse_fmts(s) -> list[int]:
+    return [int(x) for x in str(s).split(",")]
 
 
 def cmd_align(args) -> int:
+    from .constants import PROTEIN
     tables = TableDir(find_table_dir(args.table_dir), species=args.species)
-    ctx = AlignerContext.create(tables)
     genome_recs = read_fasta(args.genomic, molc=DNA)
     out = open(args.output, "w") if args.output else sys.stdout
-    gene_id = 1
-    if args.fmt == 3:
-        out.write("##gff-version 3\n")
-    for rec in iter_fasta(args.queries, molc=DNA):
+    sink = OutputSink(_parse_fmts(args.fmt), out,
+                      grd_path=(args.output or "run").rsplit(".", 1)[0])
+    ctx = pctx = None
+    for rec in iter_fasta(args.queries):
         for grec in genome_recs:
-            gs_list = align_cdna(rec.codes, grec.codes, ctx,
-                                 strand=args.strand, q_name=rec.name,
-                                 g_name=grec.name, lanes=args.lanes)
-            gene_id = _emit(gs_list, args.fmt, out, len(rec.codes),
-                            gene_id)
+            if rec.molc == PROTEIN:
+                if pctx is None:
+                    from .align.protein_driver import (
+                        ProteinAlignerContext, align_protein)
+                    pctx = ProteinAlignerContext.create(tables)
+                gs_list = align_protein(rec.codes, grec.codes, pctx,
+                                        strand=args.strand,
+                                        q_name=rec.name,
+                                        g_name=grec.name,
+                                        lanes=args.lanes)
+            else:
+                if ctx is None:
+                    ctx = AlignerContext.create(tables)
+                gs_list = align_cdna(rec.codes, grec.codes, ctx,
+                                     strand=args.strand, q_name=rec.name,
+                                     g_name=grec.name, lanes=args.lanes)
+            sink.emit(gs_list, len(rec.codes))
+    sink.close()
     if args.output:
         out.close()
     return 0
 
 
 def cmd_index(args) -> int:
-    from .seed.blockindex import BlockIndex
+    from .seed.blockindex import BlockIndex, ProteinBlockIndex
     store = GenomeStore.from_fasta(args.genome, molc=DNA)
     prefix = args.prefix or args.genome.rsplit(".", 1)[0]
     store.save(prefix)
-    idx = BlockIndex.build(store)
-    idx.save(prefix)
-    print(f"indexed {store.n_contigs} contigs, {store.total_len} bases "
-          f"-> {prefix}.bkn.npz", file=sys.stderr)
+    kinds = args.kind.upper()
+    if "D" in kinds:
+        BlockIndex.build(store).save(prefix)
+        print(f"indexed {store.n_contigs} contigs, {store.total_len} "
+              f"bases -> {prefix}.bkn.npz", file=sys.stderr)
+    if "P" in kinds:
+        ProteinBlockIndex.build(store).save(prefix)
+        print(f"6-frame protein index -> {prefix}.bkp.npz",
+              file=sys.stderr)
     return 0
 
 
 def cmd_map(args) -> int:
-    from .seed.blockindex import BlockIndex
-    from .align.mapper import GenomeMapper
+    from .constants import PROTEIN
+    from .seed.blockindex import BlockIndex, ProteinBlockIndex
+    from .align.mapper import GenomeMapper, ProteinGenomeMapper
     store = GenomeStore.load(args.genome_db)
-    idx = BlockIndex.load(args.genome_db)
     tables = TableDir(find_table_dir(args.table_dir), species=args.species)
-    ctx = AlignerContext.create(tables)
-    mapper = GenomeMapper(store, idx, ctx)
     out = open(args.output, "w") if args.output else sys.stdout
-    gene_id = 1
-    if args.fmt == 3:
-        out.write("##gff-version 3\n")
-    for rec in iter_fasta(args.queries, molc=DNA):
-        gs_list = mapper.map_query(rec.codes, q_name=rec.name,
-                                   strand=args.strand, lanes=args.lanes)
-        gene_id = _emit(gs_list, args.fmt, out, len(rec.codes), gene_id)
+    sink = OutputSink(_parse_fmts(args.fmt), out,
+                      grd_path=(args.output or "run").rsplit(".", 1)[0])
+    mapper = pmapper = None
+    for rec in iter_fasta(args.queries):
+        if rec.molc == PROTEIN:
+            if pmapper is None:
+                from .align.protein_driver import ProteinAlignerContext
+                pmapper = ProteinGenomeMapper(
+                    store, ProteinBlockIndex.load(args.genome_db),
+                    ProteinAlignerContext.create(tables))
+            gs_list = pmapper.map_query(rec.codes, q_name=rec.name,
+                                        lanes=args.lanes,
+                                        max_out=args.max_out)
+        else:
+            if mapper is None:
+                mapper = GenomeMapper(store,
+                                      BlockIndex.load(args.genome_db),
+                                      AlignerContext.create(tables))
+            gs_list = mapper.map_query(rec.codes, q_name=rec.name,
+                                       strand=args.strand,
+                                       lanes=args.lanes,
+                                       max_out=args.max_out)
+        sink.emit(gs_list, len(rec.codes))
+    sink.close()
+    if args.output:
+        out.close()
+    return 0
+
+
+def cmd_sortgrcd(args) -> int:
+    from .out.sortgrcd import (FilterParams, cluster_loci, locus_report,
+                               merge_grd, sort_records, unique_introns)
+    records, q_lens = merge_grd(args.shards)
+    out = open(args.output, "w") if args.output else sys.stdout
+    filt = FilterParams.preset(args.filter)
+    if args.min_coverage is not None:
+        filt.min_coverage = args.min_coverage
+    if args.min_identity is not None:
+        filt.min_identity = args.min_identity
+    fmts = _parse_fmts(args.fmt)
+    if 15 in fmts:
+        for row in unique_introns(records):
+            out.write("\t".join(map(str, row)) + "\n")
+    else:
+        loci = cluster_loci(records, q_lens=q_lens, filt=filt)
+        for line in locus_report(loci):
+            out.write(line + "\n")
     if args.output:
         out.close()
     return 0
@@ -105,9 +213,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("-O", dest="fmt", type=int, default=3,
-                        help="output format (3 gff3, 4 exon, 6 intron, "
-                             "15 sam)")
+        sp.add_argument("-O", dest="fmt", default="0",
+                        help="output format(s), comma-separated: 0 gff3 "
+                             "gene, 1 alignment, 2 gff3 match, 3 bed, "
+                             "4 exon, 5 intron, 6 cDNA, 7 translated, "
+                             "10 sam, 12 binary, 15 unique introns")
         sp.add_argument("-T", dest="species", default=None,
                         help="species/clade parameter set")
         sp.add_argument("-S", dest="strand", default="auto",
@@ -125,13 +235,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index", help="format genome + build block index")
     sp.add_argument("genome")
     sp.add_argument("-p", dest="prefix", default=None)
+    sp.add_argument("-K", dest="kind", default="D",
+                    help="index kind(s): D = nt queries (.bkn), "
+                         "P = protein queries (.bkp); e.g. -K DP")
     sp.set_defaults(func=cmd_index)
 
     sp = sub.add_parser("map", help="map queries onto an indexed genome")
     sp.add_argument("queries")
     sp.add_argument("-d", dest="genome_db", required=True)
+    sp.add_argument("-M", dest="max_out", type=int, default=1,
+                    help="report up to M loci per query (paralogs)")
     common(sp)
     sp.set_defaults(func=cmd_map)
+
+    sp = sub.add_parser("sortgrcd",
+                        help="merge/cluster/filter -O12 run shards")
+    sp.add_argument("shards", nargs="+")
+    sp.add_argument("-O", dest="fmt", default="0",
+                    help="0 locus report, 15 unique introns")
+    sp.add_argument("-F", dest="filter", type=int, default=0,
+                    help="filter preset 0..3 (sortgrcd.cc:56-64)")
+    sp.add_argument("-C", dest="min_coverage", type=float, default=None)
+    sp.add_argument("-I", dest="min_identity", type=float, default=None)
+    sp.add_argument("-o", dest="output", default=None)
+    sp.set_defaults(func=cmd_sortgrcd)
     return p
 
 
