@@ -78,3 +78,145 @@ def sam_line(gs: GeneStructure, g_off: int = 0, q_len: int = 0,
         f"AS:i:{int(gs.score / gs.scale)}",
         f"NM:i:{sum(e.mmc + e.unp for e in gs.exons)}",
     ]))
+
+
+def gff3_match_lines(gs: GeneStructure, g_off: int = 0, q_len: int = 0,
+                     gene_id: int = 1) -> list[str]:
+    """GFF3 match/match_part records (Gff3PWA, -O2)."""
+    g0, g1 = gs.g_span
+    mid = f"match{gene_id:05d}"
+    sc = gs.score / gs.scale
+    kind = "protein_match" if (gs.view and gs.view.q_is_aa) \
+        else "cDNA_match"
+    lines = ["\t".join([gs.g_name, _GFF_SRC, kind, str(g_off + g0 + 1),
+                        str(g_off + g1), f"{sc:.1f}", gs.strand, ".",
+                        f"ID={mid};Name={gs.q_name}"])]
+    for e in gs.exons:
+        attrs = (f"ID={mid};Target={gs.q_name} {e.q_start + 1} {e.q_end}")
+        lines.append("\t".join(
+            [gs.g_name, _GFF_SRC, "match_part",
+             str(g_off + e.g_start + 1), str(g_off + e.g_end),
+             f"{e.identity * 100:.1f}", gs.strand, ".", attrs]))
+    return lines
+
+
+def bed_line(gs: GeneStructure, g_off: int = 0) -> str:
+    """BED12 gene line (BedForm, -O3)."""
+    g0, g1 = gs.g_span
+    starts = [e.g_start - g0 for e in gs.exons]
+    sizes = [e.g_len for e in gs.exons]
+    score = min(1000, max(0, int(gs.score / gs.scale)))
+    return "\t".join(map(str, [
+        gs.g_name, g_off + g0, g_off + g1, gs.q_name, score, gs.strand,
+        g_off + g0, g_off + g1, "0",
+        len(gs.exons),
+        ",".join(map(str, sizes)) + ",",
+        ",".join(map(str, starts)) + ",",
+    ]))
+
+
+def cdna_fasta(gs: GeneStructure, width: int = 60) -> list[str]:
+    """Recovered spliced transcript sequence (-O6 cDNA form)."""
+    from ..seq.codec import decode_dna
+    v = gs.view
+    if v is None:
+        return []
+    seq = "".join(decode_dna(v.g[g0:g1]) for _, _, g0, g1 in v.exons)
+    head = (f">{gs.q_name} {gs.g_name} {gs.strand} "
+            f"{gs.g_span[0] + 1} {gs.g_span[1]}")
+    return [head] + [seq[i:i + width] for i in range(0, len(seq), width)]
+
+
+def translated_fasta(gs: GeneStructure, width: int = 60) -> list[str]:
+    """Translated gene product (-O7): translation of the recovered
+    transcript in the frame implied by the alignment."""
+    from ..seq.codec import decode_protein, translate
+    import numpy as np
+    v = gs.view
+    if v is None:
+        return []
+    spliced = np.concatenate([v.g[g0:g1] for _, _, g0, g1 in v.exons])
+    if v.q_is_aa:
+        # alignment consumed whole codons from the first exon start
+        aa = translate(spliced, 0)
+    else:
+        aa = translate(spliced, 0)
+    head = (f">{gs.q_name} {gs.g_name} {gs.strand} translated")
+    s = decode_protein(aa)
+    return [head] + [s[i:i + width] for i in range(0, len(s), width)]
+
+
+def _dec(codes, is_aa):
+    from ..seq.codec import decode_dna, decode_protein
+    return decode_protein(codes) if is_aa else decode_dna(codes)
+
+
+def alignment_lines(gs: GeneStructure, width: int = 60) -> list[str]:
+    """Pretty pairwise alignment (print2 role, -O1), rendered from the
+    exact traceback op stream.
+
+    cDNA: query vs genome nt with a match line; introns elided to a
+    length marker.  Protein: query aa over the translation of each
+    aligned genome codon; frameshift slips render as '!'.
+    """
+    v = gs.view
+    if v is None or not v.ops:
+        return []
+    is_aa = v.q_is_aa
+    from ..seq.codec import translate
+    qrow: list[str] = []
+    grow: list[str] = []
+
+    def qc(m):
+        return _dec(v.q[m - 1:m], is_aa)
+
+    for op in v.ops:
+        kind = op[0]
+        if kind == 'D':
+            m, n = op[1], op[2]
+            qrow.append(qc(m))
+            if is_aa:
+                grow.append(_dec(translate(v.g[n - 3:n], 0), True))
+            else:
+                grow.append(_dec(v.g[n - 1:n], False))
+        elif kind == 'E':
+            if is_aa:
+                _, m, n, w = op
+                qrow.append("-" * ((w + 2) // 3 or 1))
+                grow.append(_dec(translate(v.g[n - w:n], 0), True)
+                            if w == 3 else "!" * ((w + 2) // 3 or 1))
+            else:
+                _, m, n = op
+                qrow.append("-")
+                grow.append(_dec(v.g[n - 1:n], False))
+        elif kind == 'F':
+            if is_aa:
+                _, m, n, s = op
+                qrow.append(qc(m))
+                grow.append("-" if s == 0 else "!")
+            else:
+                _, m, n = op
+                qrow.append(qc(m))
+                grow.append("-")
+        elif kind == 'I':
+            if is_aa:
+                _, m, n5, n3, phs = op
+                ilen = n3 - n5
+            else:
+                _, m, n5, n3 = op
+                ilen = n3 - n5
+            marker = f"...{ilen}nt..."
+            qrow.append(marker)
+            grow.append(marker)
+    qs = "".join(qrow)
+    gt = "".join(grow)
+    match = "".join("|" if a == b and a not in "-.! " else " "
+                    for a, b in zip(qs, gt))
+    out = [f"{gs.q_name} x {gs.g_name} {gs.strand}  score "
+           f"{gs.score / gs.scale:.1f}"]
+    for i in range(0, len(qs), width):
+        out.append(f"Q {qs[i:i + width]}")
+        out.append(f"  {match[i:i + width]}")
+        out.append(f"G {gt[i:i + width]}")
+        out.append("")
+    return out

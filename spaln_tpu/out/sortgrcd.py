@@ -109,3 +109,81 @@ def locus_report(loci: list[Locus]) -> list[str]:
                          f"\t{g.score / g.scale:.1f}\t{len(g.exons)}"
                          f"\t{g.identity * 100:.1f}")
     return lines
+
+
+# ---------------------------------------------------------------- O12 binary
+# The reference's -O12 writes GeneRecord/ExonRecord/name triples
+# (.grd/.erd/.qrd, seq.h:1212-1255) that sortgrcd merges across runs.
+# TPU-native equivalent: one compressed npz shard per run with columnar
+# gene/exon tables — append-only result shards + a merge step
+# (SURVEY.md section 5 checkpoint stance).
+
+def write_grd(path: str, records: list[GeneStructure],
+              q_lens: dict | None = None) -> None:
+    import numpy as np
+    names: list[str] = []
+    chroms: list[str] = []
+    gene_rows = []
+    exon_rows = []
+    intr_rows = []
+    for g in records:
+        qi = len(names)
+        names.append(g.q_name)
+        ci = chroms.index(g.g_name) if g.g_name in chroms else len(chroms)
+        if ci == len(chroms):
+            chroms.append(g.g_name)
+        g0, g1 = g.g_span
+        gene_rows.append((qi, ci, 1 if g.strand == "+" else -1, g.score,
+                          g0, g1, len(g.exons), len(exon_rows),
+                          len(intr_rows),
+                          (q_lens or {}).get(g.q_name, 0)))
+        for e in g.exons:
+            exon_rows.append((e.q_start, e.q_end, e.g_start, e.g_end,
+                              e.mch, e.mmc, e.gap, e.unp, e.sig5, e.sig3))
+        for i in g.introns:
+            intr_rows.append((i.g_start, i.g_end, i.q_pos, i.sig5, i.sig3,
+                              1 if i.canonical else 0))
+    np.savez_compressed(
+        path,
+        genes=np.array(gene_rows, dtype=np.int64).reshape(-1, 10),
+        exons=np.array(exon_rows, dtype=np.int64).reshape(-1, 10),
+        introns=np.array(intr_rows, dtype=np.int64).reshape(-1, 6),
+        names=np.array(names), chroms=np.array(chroms))
+
+
+def read_grd(path: str) -> tuple[list[GeneStructure], dict]:
+    import numpy as np
+    from ..align.gene import Exon, Intron
+    z = np.load(path, allow_pickle=False)
+    names = [str(x) for x in z["names"]]
+    chroms = [str(x) for x in z["chroms"]]
+    genes, exons, introns = z["genes"], z["exons"], z["introns"]
+    out: list[GeneStructure] = []
+    q_lens: dict[str, int] = {}
+    for gi, row in enumerate(genes):
+        (qi, ci, sense, score, g0, g1, nexn, eoff, ioff, qlen) = row
+        nintr = nexn - 1
+        exs = [Exon(*map(int, exons[eoff + k])) for k in range(nexn)]
+        ins = []
+        for k in range(nintr):
+            s0, s1, qp, s5, s3, can = map(int, introns[ioff + k])
+            ins.append(Intron(g_start=s0, g_end=s1, q_pos=qp, sig5=s5,
+                              sig3=s3, canonical=bool(can)))
+        gs = GeneStructure(score=int(score), exons=exs, introns=ins,
+                           q_name=names[qi], g_name=chroms[ci],
+                           strand="+" if sense > 0 else "-")
+        out.append(gs)
+        if qlen:
+            q_lens[names[qi]] = int(qlen)
+    return out, q_lens
+
+
+def merge_grd(paths: list[str]) -> tuple[list[GeneStructure], dict]:
+    """Merge many run shards (the sortgrcd multi-run entry)."""
+    records: list[GeneStructure] = []
+    q_lens: dict[str, int] = {}
+    for p in paths:
+        recs, ql = read_grd(p)
+        records.extend(recs)
+        q_lens.update(ql)
+    return records, q_lens
