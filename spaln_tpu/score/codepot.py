@@ -172,3 +172,61 @@ def build_tron_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
                        acc_joint=base.acc_joint,
                        sigE=_c_short(sigE), sigS=sigS, sigT=sigT,
                        btron=btron, spj_tron1=t1, spj_tron2=t2)
+
+
+@dataclass
+class ExinPot:
+    """Single-phase oligomer potential (IntronPotTab / ExonPotTab):
+    pot[w] = log10(p_fg(w)/p_bg(w)) for (morder+1)-mers; intpot() sums
+    the interior of an intron with immune margins (ExinPot::intpot,
+    utilseq.h:90-167; itn_lm/itn_rm utilseq.h:31-32)."""
+    data: np.ndarray              # (4^(morder+1),) float32
+    morder: int
+    lm: int = 6
+    rm: int = 16
+
+    @classmethod
+    def load(cls, tables: TableDir, fname: str = "IntronPotTab"
+             ) -> "ExinPot | None":
+        p = tables.path(fname)
+        if p is None:
+            return None
+        with open(p) as fh:
+            hdr = fh.readline().split()
+            ndata = int(hdr[2])
+            lm = int(hdr[7]) if len(hdr) > 7 else 6
+            rm = int(hdr[8]) if len(hdr) > 8 else 16
+            vals = []
+            for line in fh:
+                toks = line.split()
+                if toks and _isnum(toks[0]):
+                    vals.append(float(toks[0]))
+        data = np.asarray(vals[:ndata], dtype=np.float32)
+        morder = int(round(np.log2(max(len(data), 4)) / 2)) - 1
+        return cls(data=data, morder=morder, lm=lm, rm=rm)
+
+    def scan(self, codes: np.ndarray) -> np.ndarray:
+        """Per-position potential of the k-mer ending at each position."""
+        red = NT_REDUCE4[np.asarray(codes, dtype=np.int64)]
+        L = len(red)
+        kk = self.morder + 1
+        out = np.zeros(L, dtype=np.float32)
+        if L < kk:
+            return out
+        valid = red < 4
+        redc = np.where(valid, red, 0).astype(np.int64)
+        wv = np.zeros(L - kk + 1, dtype=np.int64)
+        okv = np.ones(L - kk + 1, dtype=bool)
+        for i in range(kk):
+            wv = wv * 4 + redc[i:L - kk + 1 + i]
+            okv &= valid[i:L - kk + 1 + i]
+        pos = np.arange(kk - 1, L)
+        out[pos[okv]] = self.data[wv[okv] % len(self.data)]
+        return out
+
+    def intpot(self, scan: np.ndarray, b5: int, b3: int) -> float:
+        """Sum of potentials over the intron interior [b5+lm, b3-rm)."""
+        lo, hi = b5 + self.lm, b3 - self.rm
+        if hi <= lo:
+            return 0.0
+        return float(scan[lo:hi].sum())
