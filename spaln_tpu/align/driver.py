@@ -71,20 +71,219 @@ def align_cdna(query: np.ndarray, genome: np.ndarray, ctx: AlignerContext,
         return []
     cands.sort(key=lambda c: -c[0])
     score0, st, q_use, chain = cands[0]
-    gs = _align_window(q_use, genome, ctx, chain, sh=sh, margin=margin,
-                       lanes=lanes, q_name=q_name, g_name=g_name,
-                       g_off=g_off, strand=st)
+    gs = None
+    if chain is not None and _max_gap(chain) > BIG_GAP:
+        gs = _align_long(q_use, genome, ctx, chain, sh=sh, margin=margin,
+                         lanes=lanes, q_name=q_name, g_name=g_name,
+                         strand=st)
+    if gs is None:
+        gs = _align_window(q_use, genome, ctx, chain, sh=sh, margin=margin,
+                           lanes=lanes, q_name=q_name, g_name=g_name,
+                           g_off=g_off, strand=st)
     if gs is not None:
         results.append(gs)
     return results
 
 
-def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
-                  chain: Chain | None, sh: int, margin: int, lanes: int,
-                  q_name: str, g_name: str, g_off: int,
-                  strand: str) -> GeneStructure | None:
+# genomic diagonal jump above which the DP splits around the intron and
+# the junction is resolved in closed form instead of inside the band
+# (the role of interpolateS choosing indelfreespjS for large gaps,
+# fwd2s1.cc:2003-2162, and of the cutrng shortcut fwd2s1.cc:423-430)
+BIG_GAP = 16384
+
+
+def _max_gap(chain: Chain) -> int:
+    return max((b.diag - a.diag for a, b in zip(chain.hsps,
+                                                chain.hsps[1:])),
+               default=0)
+
+
+def _split_chain(chain: Chain) -> list[Chain]:
+    groups: list[list] = [[chain.hsps[0]]]
+    for a, b in zip(chain.hsps, chain.hsps[1:]):
+        if b.diag - a.diag > BIG_GAP:
+            groups.append([b])
+        else:
+            groups[-1].append(b)
+    return [Chain(hsps=g, score=0) for g in groups]
+
+
+def _splice_join(q, g, sig, prm, d1: int, d2: int, m_lo: int, m_hi: int):
+    """Best splice junction connecting two fixed diagonals: maximize
+    prefix(m) + spj(m + d1, m + d2) + suffix(m) over junction query
+    position m in [m_lo, m_hi] (indelfreespjS, fwd2s1.cc:2003-2093).
+
+    Returns (m, gain, n5, n3) or None when no eligible site exists.
+    1-based m: exon left ends after query residue m; donor boundary
+    n5 = m + d1, acceptor boundary n3 = m + d2 (0-based positions)."""
+    ms = np.arange(m_lo, m_hi + 1)
+    n5 = ms + d1
+    n3 = ms + d2
+    N = len(g)
+    ok = (n5 >= 0) & (n3 + 1 <= N) & (n5 <= n3)
+    ok &= sig.is_donor[np.clip(n5, 0, N - 1)] != 0
+    ok &= sig.is_accpt[np.clip(n3, 0, N - 1)] != 0
+    if not ok.any():
+        return None
+    # per-m diagonal substitution scores, cumulative: residue m (1-based)
+    # pairs with g[m-1+d] on diagonal d
+    qi = np.asarray(q, dtype=np.int64)[ms - 1]
+    sub1 = prm.qprof_mtx[qi, np.asarray(
+        g, dtype=np.int64)[np.clip(ms - 1 + d1, 0, N - 1)]]
+    sub2 = prm.qprof_mtx[qi, np.asarray(
+        g, dtype=np.int64)[np.clip(ms - 1 + d2, 0, N - 1)]]
+    # prefix: residues m_lo+1..m on d1 (residue m_lo itself belongs to
+    # the left anchor); suffix: residues m+1..m_hi on d2
+    pre = np.concatenate([[0], np.cumsum(sub1[1:])])
+    suf = np.concatenate([np.cumsum(sub2[1:][::-1])[::-1], [0]])
+    ilen = d2 - d1
+    ipen = int(prm.intron_table(ilen + 2)[ilen])
+    accb = sig.sig3.astype(np.int64) - sig.tabs.tab3[sig.dinc3]
+    joint = sig.acc_joint[np.clip(n3, 0, N - 1),
+                          np.clip(sig.dinc5[np.clip(n5, 0, N - 1)], 0, 15)]
+    spj = (sig.sig5[np.clip(n5, 0, N - 1)].astype(np.int64)
+           + accb[np.clip(n3, 0, N - 1)] + joint + ipen)
+    tot = np.where(ok, pre + spj + suf, np.int64(-2**62))
+    k = int(np.argmax(tot))
+    if tot[k] <= -2**61:
+        return None
+    m = int(ms[k])
+    return m, int(tot[k]), int(n5[k]), int(n3[k])
+
+
+def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
+                chain: Chain, sh: int, margin: int, lanes: int,
+                q_name: str, g_name: str,
+                strand: str) -> GeneStructure | None:
+    """Long-intron path: per-segment banded DP + closed-form junction
+    joins, so band width (and traceback memory) stays bounded by exon
+    cluster geometry, not intron length."""
+    from ..ops.dp_spliced_scan import (forward_spliced_scan,
+                                       traceback_spliced_scan)
+    segs = _split_chain(chain)
+    JN = 24
     M = len(q)
-    # restrict the genomic window around the chain
+    sig_full = build_splice_signals(np.asarray(g), ctx.cfg, ctx.tables)
+    all_ops: list = []
+    prev = None                    # (d_right, q_end) of previous segment
+    for si, seg in enumerate(segs):
+        qa = 0 if si == 0 else min(seg.hsps[0].jx + JN, M - 1)
+        if si == len(segs) - 1:
+            qb = M
+        else:
+            qb = min(segs[si + 1].hsps[0].jx, seg.hsps[-1].rx)
+        qb = max(qb, qa + 1)
+        if si > 0:
+            # join previous segment to this one across the big gap
+            d1, _ = prev
+            d2 = seg.hsps[0].diag
+            m_lo = max(prev[1], 1)
+            m_hi = min(seg.hsps[0].jx + JN, M - 1)
+            jn = _splice_join(q, g, sig_full, ctx.prm, d1, d2,
+                              m_lo, m_hi)
+            if jn is None:
+                return None        # no junction: caller may fall back
+            mb, _, n5, n3 = jn
+            for m in range(m_lo + 1, mb + 1):
+                all_ops.append(('D', m, m + d1))
+            all_ops.append(('I', mb, n5, n3))
+            for m in range(mb + 1, qa + 1):
+                all_ops.append(('D', m, m + d2))
+        # banded DP over this segment's query slice
+        q_sub = np.asarray(q[qa:qb])
+        lo = max(0, seg.hsps[0].jy - (seg.hsps[0].jx - qa) - margin)
+        hi = min(len(g), seg.hsps[-1].ry + (qb - seg.hsps[-1].rx)
+                 + margin)
+        gw = np.asarray(g[lo:hi])
+        sig = build_splice_signals(gw, ctx.cfg, ctx.tables)
+        # full coords: n = m + d; sub coords m' = m - qa, n' = n - lo
+        # => d' = d - lo + qa
+        diags = [h.diag - lo + qa for h in seg.hsps]
+        Ms = len(q_sub)
+        lw = max(min(diags) - sh, -Ms)
+        up = min(max(diags) + sh, len(gw))
+        if si == 0 and qa == 0 and seg.hsps[0].jx > 15:
+            lw = max(lw - seg.hsps[0].jx - margin, -Ms)
+        if si == len(segs) - 1 and qb == M and M - seg.hsps[-1].rx > 15:
+            up = min(up + (M - seg.hsps[-1].rx) + margin, len(gw))
+        W = up - lw + 1
+        Wb = _round_up(W, 256)
+        lw = max(lw - (Wb - W) // 2, -Ms)
+        up = min(lw + Wb - 1, len(gw))
+        lw = max(up - Wb + 1, -Ms)
+        score, em, en, tr = forward_spliced_scan(q_sub, gw, ctx.prm,
+                                                 sig=sig, lw=lw, up=up,
+                                                 L=lanes)
+        ops = traceback_spliced_scan(tr, em, en)
+        # shift sub-problem coords into full coords
+        for op in ops:
+            if op[0] == 'I':
+                all_ops.append(('I', op[1] + qa, op[2] + lo, op[3] + lo))
+            else:
+                all_ops.append((op[0], op[1] + qa, op[2] + lo))
+        prev = (seg.hsps[-1].diag, min(qb, em + qa))
+    total = 0                       # rescore from the op stream
+    gs = build_gene_structure(all_ops, q, np.asarray(g), total,
+                              sig=sig_full, q_name=q_name, g_name=g_name,
+                              strand=strand)
+    if gs is None:
+        return None
+    gs.score = _score_ops(all_ops, q, g, sig_full, ctx.prm)
+    return gs
+
+
+def _score_ops(ops: list, q, g, sig, prm) -> int:
+    """Score an op stream under the engine's model (for joined paths)."""
+    tot = 0
+    ipen_cache: dict[int, int] = {}
+    accb = None
+    state = None
+    for op in ops:
+        if op[0] == 'D':
+            _, m, n = op
+            tot += int(prm.qprof_mtx[q[m - 1], g[n - 1]])
+            state = None
+        elif op[0] in ('E', 'F'):
+            tot += prm.gep + (prm.gop if state != op[0] else 0)
+            state = op[0]
+        elif op[0] == 'I':
+            _, m, n5, n3 = op
+            ilen = n3 - n5
+            if ilen not in ipen_cache:
+                ipen_cache[ilen] = int(prm.intron_table(ilen + 2)[ilen])
+            if accb is None:
+                accb = sig.sig3.astype(np.int64) - sig.tabs.tab3[sig.dinc3]
+            joint = sig.acc_joint[n3, np.clip(sig.dinc5[n5], 0, 15)]
+            tot += (int(sig.sig5[n5]) + int(accb[n3]) + int(joint)
+                    + ipen_cache[ilen])
+            state = None
+    return int(tot)
+
+
+@dataclass
+class AlignJob:
+    """One query x genomic-window DP problem, band resolved, ready for
+    the batched engine (the unit the reference's ThQueue dispatches,
+    spaln.cc:1220-1296 — here jobs bucket by geometry and run as one
+    device launch)."""
+    q: np.ndarray
+    gw: np.ndarray
+    sig: object
+    lw: int
+    up: int
+    strand: str
+    lo: int                      # gw offset within the caller's window
+    q_name: str = ""
+    g_name: str = ""
+
+
+def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
+                chain: Chain | None, sh: int = 100, margin: int = 2000,
+                q_name: str = "", g_name: str = "",
+                strand: str = "+") -> AlignJob | None:
+    """Window restriction + band geometry for one problem (stripe role,
+    aln2.cc:156-199)."""
+    M = len(q)
     if chain is not None:
         g0, g1 = chain.g_span
         q0, q1 = chain.q_span
@@ -118,18 +317,101 @@ def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     lw = max(lw - extra // 2, -M)
     up = min(lw + Wb - 1, N)
     lw = max(up - Wb + 1, -M)
-    score, em, en, tr = forward_spliced_scan(q, gw, ctx.prm, sig=sig,
-                                             lw=lw, up=up, L=lanes)
-    ops = traceback_spliced_scan(tr, em, en)
-    gs = build_gene_structure(ops, q, gw, score, sig=sig, q_name=q_name,
-                              g_name=g_name, strand=strand)
+    return AlignJob(q=q, gw=gw, sig=sig, lw=lw, up=up, strand=strand,
+                    lo=lo, q_name=q_name, g_name=g_name)
+
+
+def _finish_job(job: AlignJob, score: int, ops: list
+                ) -> GeneStructure | None:
+    gs = build_gene_structure(ops, job.q, job.gw, score, sig=job.sig,
+                              q_name=job.q_name, g_name=job.g_name,
+                              strand=job.strand)
     if gs is None:
         return None
-    # shift genome coords back to the full window
     for e in gs.exons:
-        e.g_start += lo
-        e.g_end += lo
+        e.g_start += job.lo
+        e.g_end += job.lo
     for i in gs.introns:
-        i.g_start += lo
-        i.g_end += lo
+        i.g_start += job.lo
+        i.g_end += job.lo
     return gs
+
+
+def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
+                 lanes: int = 128, max_batch: int = 32,
+                 mesh=None) -> list[GeneStructure | None]:
+    """Run many jobs through the batched wavefront engine, bucketed by
+    padded geometry (the data-parallel replacement of the reference's
+    worker pool; one launch per (W, Mpad) bucket)."""
+    from ..ops.dp_spliced_scan import (collect_batch_results,
+                                       prepare_spliced_batch,
+                                       run_spliced_batch,
+                                       traceback_spliced_scan)
+    results: list[GeneStructure | None] = [None] * len(jobs)
+    buckets: dict[tuple, list[int]] = {}
+    for i, job in enumerate(jobs):
+        if job is None:
+            continue
+        W = job.up - job.lw + 1
+        Mpad = _round_up(len(job.q), lanes)
+        key = (W, Mpad)
+        buckets.setdefault(key, []).append(i)
+    for (W, Mpad), idxs in buckets.items():
+        for c0 in range(0, len(idxs), max_batch):
+            part = idxs[c0:c0 + max_batch]
+            js = [jobs[i] for i in part]
+            bp = prepare_spliced_batch(
+                [j.q for j in js], [j.gw for j in js], ctx.prm,
+                sigs=[j.sig for j in js], lws=[j.lw for j in js], W=W,
+                L=lanes)
+            if mesh is not None:
+                bp = _shard_batch(bp, mesh)
+            row_h, rc_h, traces = run_spliced_batch(bp, ctx.prm,
+                                                    score_only=False)
+            scores, ends, btr = collect_batch_results(bp, row_h, rc_h,
+                                                      traces, False)
+            for bi, ji in enumerate(part):
+                ops = traceback_spliced_scan(btr[bi], int(ends[bi][0]),
+                                             int(ends[bi][1]))
+                results[ji] = _finish_job(jobs[ji], int(scores[bi]), ops)
+    return results
+
+
+def _shard_batch(bp, mesh):
+    """Place batch operands data-parallel over a device mesh: XLA
+    partitions the vmapped scan along the batch axis (query-parallel
+    across chips, riding ICI — no collectives needed until the locus
+    merge)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import dataclasses
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    if bp.B % ndev != 0:
+        return bp                  # uneven batch: stay single-device
+    return dataclasses.replace(
+        bp,
+        ops={k: put(v, P(axis)) for k, v in bp.ops.items()},
+        qprof_all=put(bp.qprof_all, P(axis)),
+        bnd_h0=put(bp.bnd_h0, P(axis)), bnd_f0=put(bp.bnd_f0, P(axis)),
+        Ms_j=put(bp.Ms_j, P(axis)), Ns_j=put(bp.Ns_j, P(axis)),
+        lws_j=put(bp.lws_j, P(axis)))
+
+
+def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
+                  chain: Chain | None, sh: int, margin: int, lanes: int,
+                  q_name: str, g_name: str, g_off: int,
+                  strand: str) -> GeneStructure | None:
+    job = prepare_job(q, g, ctx, chain, sh=sh, margin=margin,
+                      q_name=q_name, g_name=g_name, strand=strand)
+    if job is None:
+        return None
+    score, em, en, tr = forward_spliced_scan(job.q, job.gw, ctx.prm,
+                                             sig=job.sig, lw=job.lw,
+                                             up=job.up, L=lanes)
+    ops = traceback_spliced_scan(tr, em, en)
+    return _finish_job(job, score, ops)

@@ -11,9 +11,11 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..seed.blockindex import BlockIndex, ProteinBlockIndex
+from ..seed.wilip import wilip
 from ..seq.codec import comrev
 from ..seq.genome import GenomeStore
-from .driver import AlignerContext, align_cdna
+from .driver import (AlignerContext, align_cdna, execute_jobs,
+                     prepare_job)
 from .gene import GeneStructure
 from .protein_driver import ProteinAlignerContext, align_protein
 
@@ -85,6 +87,107 @@ class GenomeMapper:
                 break
         results.sort(key=lambda g: -g.score)
         return results[:max_out]
+
+
+def _map_queries_batched(self, queries: list, q_names: list | None = None,
+                         strand: str = "auto", ncand: int = 10,
+                         max_out: int = 1, min_coverage: float = 0.3,
+                         lanes: int = 128, max_batch: int = 32,
+                         mesh=None) -> list[list[GeneStructure]]:
+    """Map many queries in bucketed device batches — the data-parallel
+    replacement of the reference's master-worker ThQueue
+    (spaln.cc:1220-1468).  Per round: locate candidates + seed on host,
+    run all DP problems as batched wavefront launches, widen windows
+    that clipped a gene (ExtBlock) and re-queue for the next round.
+    Optionally shards the batch across a device mesh."""
+    q_names = q_names or [""] * len(queries)
+    maxgene = self.index.maxgene
+    total = self.store.total_len
+    # (qi, g0, g1, retry) work items
+    work = []
+    for qi, q in enumerate(queries):
+        cands = list(self.index.candidate_ranges(q, ncand))
+        if strand in ("auto", "-"):
+            cands += self.index.candidate_ranges(comrev(q), ncand)
+        cands.sort(key=lambda c: -c[2])
+        picked = []
+        for g0, g1, score in cands:
+            if any(not (g1 <= p0 or g0 >= p1) for p0, p1 in picked):
+                continue
+            picked.append((g0, g1))
+            work.append([qi, g0, g1, 0])
+            if len(picked) >= max_out * 3:
+                break
+    results: list[list[GeneStructure]] = [[] for _ in queries]
+    for _round in range(3):
+        if not work:
+            break
+        jobs, meta = [], []
+        for qi, g0, g1, retry in work:
+            q = queries[qi]
+            window = self.store.window(g0, g1)
+            ci, _ = self.store.locate(g0)
+            # strand selection by chain score (geneorient, wln.cc:1024)
+            cands = []
+            fwd = wilip(q, window, ipen=self.ctx.ipen)
+            if strand in ("auto", "+") and fwd:
+                cands.append((fwd[0].score, "+", q, fwd[0]))
+            if strand in ("auto", "-"):
+                rc = comrev(q)
+                rev = wilip(rc, window, ipen=self.ctx.ipen)
+                if rev:
+                    cands.append((rev[0].score, "-", rc, rev[0]))
+            if not cands:
+                continue
+            cands.sort(key=lambda c: -c[0])
+            _, st, q_use, chain = cands[0]
+            job = prepare_job(q_use, window, self.ctx, chain,
+                              q_name=q_names[qi],
+                              g_name=self.store.names[ci], strand=st)
+            if job is None:
+                continue
+            jobs.append(job)
+            meta.append((qi, g0, g1, retry, ci, len(window)))
+        if not jobs:
+            break
+        out = execute_jobs(jobs, self.ctx, lanes=lanes,
+                           max_batch=max_batch, mesh=mesh)
+        work = []
+        for gs, (qi, g0, g1, retry, ci, wlen) in zip(out, meta):
+            if gs is None:
+                continue
+            q = queries[qi]
+            qlo = min(e.q_start for e in gs.exons)
+            qhi = max(e.q_end for e in gs.exons)
+            glo = min(e.g_start for e in gs.exons)
+            ghi = max(e.g_end for e in gs.exons)
+            edge = max(len(q), 64)
+            grow_l = (maxgene // 2 if (qlo > 8 and glo < edge and g0 > 0)
+                      else 0)
+            grow_r = (maxgene // 2
+                      if (len(q) - qhi > 8 and wlen - ghi < edge
+                          and g1 < total) else 0)
+            if (grow_l or grow_r) and retry < 2:
+                work.append([qi, max(g0 - grow_l, 0),
+                             min(g1 + grow_r, total), retry + 1])
+                continue
+            if gs.coverage(len(q)) < min_coverage:
+                continue
+            off = g0 - int(self.store.offsets[ci])
+            for e in gs.exons:
+                e.g_start += off
+                e.g_end += off
+            for i in gs.introns:
+                i.g_start += off
+                i.g_end += off
+            results[qi].append(gs)
+    for qi in range(len(queries)):
+        results[qi].sort(key=lambda g: -g.score)
+        results[qi] = results[qi][:max_out]
+    return results
+
+
+GenomeMapper.map_queries = _map_queries_batched
 
 
 @dataclass

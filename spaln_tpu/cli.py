@@ -158,8 +158,27 @@ def cmd_map(args) -> int:
     sink = OutputSink(_parse_fmts(args.fmt), out,
                       grd_path=(args.output or "run").rsplit(".", 1)[0])
     mapper = pmapper = None
+    nt_batch: list = []            # (rec) pending cDNA queries
+    bs = max(args.batch, 1)
+
+    def flush_nt():
+        nonlocal mapper
+        if not nt_batch:
+            return
+        if mapper is None:
+            mapper = GenomeMapper(store, BlockIndex.load(args.genome_db),
+                                  AlignerContext.create(tables))
+        res = mapper.map_queries([r.codes for r in nt_batch],
+                                 q_names=[r.name for r in nt_batch],
+                                 strand=args.strand, lanes=args.lanes,
+                                 max_out=args.max_out, max_batch=bs)
+        for rec, gs_list in zip(nt_batch, res):
+            sink.emit(gs_list, len(rec.codes))
+        nt_batch.clear()
+
     for rec in iter_fasta(args.queries):
         if rec.molc == PROTEIN:
+            flush_nt()
             if pmapper is None:
                 from .align.protein_driver import ProteinAlignerContext
                 pmapper = ProteinGenomeMapper(
@@ -168,16 +187,12 @@ def cmd_map(args) -> int:
             gs_list = pmapper.map_query(rec.codes, q_name=rec.name,
                                         lanes=args.lanes,
                                         max_out=args.max_out)
+            sink.emit(gs_list, len(rec.codes))
         else:
-            if mapper is None:
-                mapper = GenomeMapper(store,
-                                      BlockIndex.load(args.genome_db),
-                                      AlignerContext.create(tables))
-            gs_list = mapper.map_query(rec.codes, q_name=rec.name,
-                                       strand=args.strand,
-                                       lanes=args.lanes,
-                                       max_out=args.max_out)
-        sink.emit(gs_list, len(rec.codes))
+            nt_batch.append(rec)
+            if len(nt_batch) >= 4 * bs:
+                flush_nt()
+    flush_nt()
     sink.close()
     if args.output:
         out.close()
@@ -245,6 +260,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-d", dest="genome_db", required=True)
     sp.add_argument("-M", dest="max_out", type=int, default=1,
                     help="report up to M loci per query (paralogs)")
+    sp.add_argument("--batch", type=int, default=32,
+                    help="queries per device launch (cDNA path)")
     common(sp)
     sp.set_defaults(func=cmd_map)
 

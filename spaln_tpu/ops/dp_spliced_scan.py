@@ -397,9 +397,10 @@ def _scan_slab(L, W, gop, gep, llmt, T, pad2, Npad, Mpad,
 
     if batched:
         # batch axis over problems: carry/operands batched, step scalar
-        # args (m0, lw, a_exgr) shared, per-problem M/N/mrow batched
+        # args (m0, a_exgr) shared, per-problem lw/M/N/mrow batched (each
+        # problem may place its band independently)
         run1 = jax.vmap(run1,
-                        in_axes=(0, 0, 0, None, None, 0, 0, 0, None))
+                        in_axes=(0, 0, 0, None, 0, 0, 0, 0, None))
     return jax.jit(run1)
 
 
@@ -413,8 +414,10 @@ class BatchProblem:
     bnd_f0: object
     Ms: list
     Ns: list
+    lws: list
     Ms_j: object
     Ns_j: object
+    lws_j: object
     B: int
     L: int
     W: int
@@ -432,16 +435,27 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
                           sigs: list | None = None,
                           lw: int = None, up: int = None,
                           flags: DpFlags | None = None,
-                          L: int = 128) -> BatchProblem:
-    """Host stage: pad B problems to a common geometry and ship operands."""
+                          L: int = 128,
+                          lws: list | None = None,
+                          W: int | None = None) -> BatchProblem:
+    """Host stage: pad B problems to a common geometry and ship operands.
+
+    Either one (lw, up) band for the whole batch, or per-problem band
+    placements ``lws`` with a common width ``W`` (each problem's band is
+    [lws[i], lws[i] + W - 1])."""
     flags = flags or DpFlags()
     B = len(queries)
     Ms = [len(q) for q in queries]
     Ns = [len(g) for g in genomes]
     Mmax, Nmax = max(Ms), max(Ns)
-    if lw is None:
-        lw, up = -Mmax, Nmax
-    W = up - lw + 1
+    if lws is None:
+        if lw is None:
+            lw, up = -Mmax, Nmax
+        W = up - lw + 1
+        lws = [lw] * B
+    else:
+        assert W is not None
+        lw, up = min(lws), max(lws) + W - 1
     n_slabs = (Mmax + L - 1) // L
     Mpad = n_slabs * L
     Nmax = -(-Nmax // 256) * 256        # bucketed: reuse compilations
@@ -482,8 +496,9 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     bnd_f = np.full((B, Nmax + 2), NEVSEL, dtype=np.int32)
     return BatchProblem(ops=ops, qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
-                        Ms=Ms, Ns=Ns, Ms_j=jnp.asarray(Ms),
-                        Ns_j=jnp.asarray(Ns), B=B, L=L, W=W, lw=lw, up=up,
+                        Ms=Ms, Ns=Ns, lws=lws, Ms_j=jnp.asarray(Ms),
+                        Ns_j=jnp.asarray(Ns), lws_j=jnp.asarray(lws),
+                        B=B, L=L, W=W, lw=lw, up=up,
                         Mpad=Mpad, Nmax=Nmax, T=T, pad2=pad_extra // 2,
                         n_slabs=n_slabs, flags=flags)
 
@@ -512,8 +527,8 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
             jnp.zeros((B, L, NCAND), jnp.int32),
             jnp.zeros((B, L, NCAND), jnp.int32),
             bnd_h, bnd_f, row_h, rc_h)
-        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.lw, bp.Ms_j,
-                         bp.Ns_j, bp.Ms_j, bp.flags.a_exgr)
+        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.lws_j,
+                         bp.Ms_j, bp.Ns_j, bp.Ms_j, bp.flags.a_exgr)
         bnd_h, bnd_f, row_h, rc_h = (carry[9], carry[10], carry[11],
                                      carry[12])
         if not score_only:
@@ -528,11 +543,12 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
     """Host stage: final score/end extraction (lastS_ng semantics)."""
     row_np = np.asarray(row_h)
     rc_np = np.asarray(rc_h)
-    flags, lw, up = bp.flags, bp.lw, bp.up
+    flags = bp.flags
     scores = np.empty(bp.B, dtype=np.int64)
     ends = np.empty((bp.B, 2), dtype=np.int64)
     for i in range(bp.B):
         M, N = bp.Ms[i], bp.Ns[i]
+        lw, up = bp.lws[i], bp.lws[i] + bp.W - 1
         bv, bm, bn = int(row_np[i, N]), M, N
         if flags.a_exgr:
             n_lo = max(M + lw, 0) + 1
@@ -554,7 +570,8 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
     for i in range(bp.B):
         fl = [np.asarray(ys[0][i]) for ys in traces]
         sp = [np.asarray(ys[1][i]) for ys in traces]
-        btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=lw, W=bp.W))
+        btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=bp.lws[i],
+                                  W=bp.W))
     return scores, ends, btraces
 
 
