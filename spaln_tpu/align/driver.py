@@ -347,6 +347,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                                        prepare_spliced_batch,
                                        run_spliced_batch,
                                        traceback_spliced_scan)
+    from ..utils.metrics import metrics, stage
     results: list[GeneStructure | None] = [None] * len(jobs)
     buckets: dict[tuple, list[int]] = {}
     for i, job in enumerate(jobs):
@@ -360,20 +361,28 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         for c0 in range(0, len(idxs), max_batch):
             part = idxs[c0:c0 + max_batch]
             js = [jobs[i] for i in part]
-            bp = prepare_spliced_batch(
-                [j.q for j in js], [j.gw for j in js], ctx.prm,
-                sigs=[j.sig for j in js], lws=[j.lw for j in js], W=W,
-                L=lanes)
-            if mesh is not None:
-                bp = _shard_batch(bp, mesh)
-            row_h, rc_h, traces = run_spliced_batch(bp, ctx.prm,
-                                                    score_only=False)
-            scores, ends, btr = collect_batch_results(bp, row_h, rc_h,
-                                                      traces, False)
-            for bi, ji in enumerate(part):
-                ops = traceback_spliced_scan(btr[bi], int(ends[bi][0]),
-                                             int(ends[bi][1]))
-                results[ji] = _finish_job(jobs[ji], int(scores[bi]), ops)
+            with stage("prep"):
+                bp = prepare_spliced_batch(
+                    [j.q for j in js], [j.gw for j in js], ctx.prm,
+                    sigs=[j.sig for j in js], lws=[j.lw for j in js],
+                    W=W, L=lanes)
+                if mesh is not None:
+                    bp = _shard_batch(bp, mesh)
+            with stage("device_dp"):
+                row_h, rc_h, traces = run_spliced_batch(
+                    bp, ctx.prm, score_only=False)
+            metrics.bump("dp_cells",
+                         bp.B * bp.n_slabs * bp.L * bp.W)
+            with stage("traceback"):
+                scores, ends, btr = collect_batch_results(
+                    bp, row_h, rc_h, traces, False)
+                for bi, ji in enumerate(part):
+                    ops = traceback_spliced_scan(btr[bi],
+                                                 int(ends[bi][0]),
+                                                 int(ends[bi][1]))
+                    results[ji] = _finish_job(jobs[ji],
+                                              int(scores[bi]), ops)
+            metrics.bump("jobs", len(part))
     return results
 
 

@@ -100,13 +100,16 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
     run all DP problems as batched wavefront launches, widen windows
     that clipped a gene (ExtBlock) and re-queue for the next round.
     Optionally shards the batch across a device mesh."""
+    from ..utils.metrics import metrics, stage
     q_names = q_names or [""] * len(queries)
     maxgene = self.index.maxgene
     total = self.store.total_len
+    metrics.bump("queries", len(queries))
     # (qi, g0, g1, retry) work items
     work = []
     for qi, q in enumerate(queries):
-        cands = list(self.index.candidate_ranges(q, ncand))
+        with stage("vote"):
+            cands = list(self.index.candidate_ranges(q, ncand))
         if strand in ("auto", "-"):
             cands += self.index.candidate_ranges(comrev(q), ncand)
         cands.sort(key=lambda c: -c[2])
@@ -129,7 +132,8 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             ci, _ = self.store.locate(g0)
             # strand selection by chain score (geneorient, wln.cc:1024)
             cands = []
-            fwd = wilip(q, window, ipen=self.ctx.ipen)
+            with stage("seed"):
+                fwd = wilip(q, window, ipen=self.ctx.ipen)
             if strand in ("auto", "+") and fwd:
                 cands.append((fwd[0].score, "+", q, fwd[0]))
             if strand in ("auto", "-"):

@@ -106,21 +106,36 @@ def cmd_align(args) -> int:
     sink = OutputSink(_parse_fmts(args.fmt), out,
                       grd_path=(args.output or "run").rsplit(".", 1)[0])
     ctx = pctx = None
-    for rec in iter_fasta(args.queries):
-        for grec in genome_recs:
+    from .align.segment import G_SEGMENT, annotate_segment
+    recs = list(iter_fasta(args.queries))
+    need_p = any(r.molc == PROTEIN for r in recs)
+    need_n = any(r.molc != PROTEIN for r in recs)
+    if need_p:
+        from .align.protein_driver import (ProteinAlignerContext,
+                                           align_protein)
+        pctx = ProteinAlignerContext.create(tables)
+    if need_n:
+        ctx = AlignerContext.create(tables)
+    for grec in genome_recs:
+        if len(grec.codes) > G_SEGMENT:
+            # long genomic query: chunked annotation with seam stitching
+            gss = annotate_segment(
+                grec.codes, [r.codes for r in recs], ctx=ctx, pctx=pctx,
+                q_names=[r.name for r in recs],
+                molc_is_aa=[r.molc == PROTEIN for r in recs],
+                g_name=grec.name, lanes=args.lanes, strand=args.strand)
+            qlen = {r.name: len(r.codes) for r in recs}
+            for gs in gss:
+                sink.emit([gs], qlen.get(gs.q_name, 0))
+            continue
+        for rec in recs:
             if rec.molc == PROTEIN:
-                if pctx is None:
-                    from .align.protein_driver import (
-                        ProteinAlignerContext, align_protein)
-                    pctx = ProteinAlignerContext.create(tables)
                 gs_list = align_protein(rec.codes, grec.codes, pctx,
                                         strand=args.strand,
                                         q_name=rec.name,
                                         g_name=grec.name,
                                         lanes=args.lanes)
             else:
-                if ctx is None:
-                    ctx = AlignerContext.create(tables)
                 gs_list = align_cdna(rec.codes, grec.codes, ctx,
                                      strand=args.strand, q_name=rec.name,
                                      g_name=grec.name, lanes=args.lanes)
@@ -240,6 +255,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-t", dest="table_dir", default=None)
         sp.add_argument("-o", dest="output", default=None)
         sp.add_argument("--lanes", type=int, default=128)
+        sp.add_argument("--metrics", action="store_true",
+                        help="print per-stage counters/timings to stderr")
 
     sp = sub.add_parser("align", help="align queries to genomic segments")
     sp.add_argument("genomic")
@@ -281,7 +298,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    rc = args.func(args)
+    if getattr(args, "metrics", False):
+        from .utils.metrics import metrics
+        print(metrics.report(), file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":
