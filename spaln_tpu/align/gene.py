@@ -66,6 +66,7 @@ class AlnView:
     exons: list[tuple]                # (q0, q1, g0, g1) local coords
     introns: list[tuple]              # (g5, g3) local coords
     q_is_aa: bool = False
+    g_is_aa: bool = False             # protein x protein (AvsA)
     ops: list | None = None           # raw traceback op stream
 
 
@@ -167,7 +168,8 @@ def trim_terminal_microexons(exons: list[Exon], introns: list[Intron],
 def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                          score: int, sig: SpliceSignals | None = None,
                          q_name: str = "", g_name: str = "",
-                         strand: str = "+") -> GeneStructure | None:
+                         strand: str = "+",
+                         aa_pair: bool = False) -> GeneStructure | None:
     """Convert a traceback op stream (from traceback_spliced_*) into exon /
     intron records with per-exon stats.
 
@@ -249,7 +251,7 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                    exons=[(e.q_start, e.q_end, e.g_start, e.g_end)
                           for e in exons],
                    introns=[(i.g_start, i.g_end) for i in introns],
-                   ops=ops)
+                   q_is_aa=aa_pair, g_is_aa=aa_pair, ops=ops)
     return GeneStructure(score=score, exons=exons, introns=introns,
                          q_name=q_name, g_name=g_name, strand=strand,
                          view=view)

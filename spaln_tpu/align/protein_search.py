@@ -71,7 +71,8 @@ def search_protein_db(query: np.ndarray, db: list, ctx_tables=None,
                 score_only=False)
             ops = traceback_spliced_scan(tr[0], int(e[0][0]), int(e[0][1]))
             gsr = build_gene_structure(ops, query, codes, int(s[0]),
-                                       q_name="query", g_name=name)
+                                       q_name="query", g_name=name,
+                                       aa_pair=True)
             if gsr is not None:
                 hit.structure = gsr
                 hit.identity = gsr.identity

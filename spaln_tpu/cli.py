@@ -237,6 +237,49 @@ def cmd_sortgrcd(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Protein vs protein-DB search (the spaln -a mode, AvsA)."""
+    from .align.protein_search import search_protein_db
+    from .out.formats import (alignment_lines, hit_stat_line, psl_line,
+                              sam_line, sugar_line)
+    from .constants import PROTEIN
+    db = [(r.name, r.codes) for r in iter_fasta(args.db, molc=PROTEIN)]
+    out = open(args.output, "w") if args.output else sys.stdout
+    fmts = _parse_fmts(args.fmt)
+    for rec in iter_fasta(args.queries, molc=PROTEIN):
+        hits = search_protein_db(rec.codes, db,
+                                 table_dir=find_table_dir(args.table_dir),
+                                 max_hits=args.max_hits,
+                                 align_top=args.align_top,
+                                 lanes=args.lanes)
+        for hit in hits:
+            gs = hit.structure
+            for fmt in fmts:
+                if fmt == 0:
+                    out.write(f"{rec.name}\t" + hit_stat_line(hit) + "\n")
+                elif gs is None:
+                    continue
+                elif fmt == 1:
+                    out.write("\n".join(alignment_lines(gs)) + "\n")
+                elif fmt == 2:
+                    out.write(sugar_line(gs) + "\n")
+                elif fmt == 3:
+                    out.write(psl_line(gs, q_len=len(rec.codes),
+                                       t_len=dict(db)[hit.name].size)
+                              + "\n")
+                elif fmt == 8:
+                    out.write(gs.cigar() + "\n")
+                elif fmt == 9:
+                    out.write(gs.vulgar() + "\n")
+                elif fmt == 10:
+                    out.write(sam_line(gs, q_len=len(rec.codes)) + "\n")
+                else:
+                    raise SystemExit(f"unsupported AvsA format -O{fmt}")
+    if args.output:
+        out.close()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spaln_tpu",
                                 description="TPU-native spliced aligner")
@@ -282,6 +325,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(func=cmd_map)
 
+    sp = sub.add_parser("search",
+                        help="protein query vs protein DB (-a mode)")
+    sp.add_argument("queries")
+    sp.add_argument("-a", dest="db", required=True,
+                    help="protein DB fasta")
+    sp.add_argument("--max-hits", dest="max_hits", type=int, default=10)
+    sp.add_argument("--align-top", dest="align_top", type=int, default=1)
+    common(sp)
+    sp.set_defaults(func=cmd_search)
+
     sp = sub.add_parser("sortgrcd",
                         help="merge/cluster/filter -O12 run shards")
     sp.add_argument("shards", nargs="+")
@@ -307,3 +360,4 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+

@@ -175,12 +175,12 @@ def alignment_lines(gs: GeneStructure, width: int = 60) -> list[str]:
         if kind == 'D':
             m, n = op[1], op[2]
             qrow.append(qc(m))
-            if is_aa:
+            if is_aa and not v.g_is_aa:
                 grow.append(_dec(translate(v.g[n - 3:n], 0), True))
             else:
-                grow.append(_dec(v.g[n - 1:n], False))
+                grow.append(_dec(v.g[n - 1:n], v.g_is_aa))
         elif kind == 'E':
-            if is_aa:
+            if is_aa and not v.g_is_aa:
                 _, m, n, w = op
                 qrow.append("-" * ((w + 2) // 3 or 1))
                 grow.append(_dec(translate(v.g[n - w:n], 0), True)
@@ -188,9 +188,9 @@ def alignment_lines(gs: GeneStructure, width: int = 60) -> list[str]:
             else:
                 _, m, n = op
                 qrow.append("-")
-                grow.append(_dec(v.g[n - 1:n], False))
+                grow.append(_dec(v.g[n - 1:n], v.g_is_aa))
         elif kind == 'F':
-            if is_aa:
+            if is_aa and not v.g_is_aa:
                 _, m, n, s = op
                 qrow.append(qc(m))
                 grow.append("-" if s == 0 else "!")
@@ -199,7 +199,7 @@ def alignment_lines(gs: GeneStructure, width: int = 60) -> list[str]:
                 qrow.append(qc(m))
                 grow.append("-")
         elif kind == 'I':
-            if is_aa:
+            if is_aa and not v.g_is_aa:
                 _, m, n5, n3, phs = op
                 ilen = n3 - n5
             else:
@@ -220,3 +220,37 @@ def alignment_lines(gs: GeneStructure, width: int = 60) -> list[str]:
         out.append(f"G {gt[i:i + width]}")
         out.append("")
     return out
+
+
+def sugar_line(gs: GeneStructure) -> str:
+    """Exonerate SUGAR line (-O2 AvsA form)."""
+    q0, q1 = gs.q_span
+    s0, s1 = gs.g_span
+    return (f"sugar: {gs.q_name} {q0} {q1} + {gs.g_name} {s0} {s1} "
+            f"{gs.strand} {int(gs.score / gs.scale)}")
+
+
+def psl_line(gs: GeneStructure, q_len: int = 0, t_len: int = 0) -> str:
+    """UCSC PSL 21-column line (-O3 AvsA / PslForm)."""
+    mch = gs.n_matches
+    mmc = sum(e.mmc for e in gs.exons)
+    qgap = sum(max(b.q_start - a.q_end, 0)
+               for a, b in zip(gs.exons, gs.exons[1:]))
+    tgap = sum(max(b.g_start - a.g_end, 0)
+               for a, b in zip(gs.exons, gs.exons[1:]))
+    q0, q1 = gs.q_span
+    t0, t1 = gs.g_span
+    sizes = ",".join(str(min(e.q_len, e.g_len)) for e in gs.exons) + ","
+    qst = ",".join(str(e.q_start) for e in gs.exons) + ","
+    tst = ",".join(str(e.g_start) for e in gs.exons) + ","
+    return "\t".join(map(str, [
+        mch, mmc, 0, 0, len(gs.exons) - 1, qgap, len(gs.exons) - 1, tgap,
+        gs.strand, gs.q_name, q_len or q1, q0, q1,
+        gs.g_name, t_len or t1, t0, t1, len(gs.exons), sizes, qst, tst]))
+
+
+def hit_stat_line(hit) -> str:
+    """AvsA -O0 statistics line: query subject score span identity."""
+    return "\t".join(map(str, [
+        hit.name, int(hit.score / 10), hit.q_span[0] + 1, hit.q_span[1],
+        hit.s_span[0] + 1, hit.s_span[1], f"{hit.identity * 100:.1f}"]))
