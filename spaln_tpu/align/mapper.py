@@ -13,6 +13,7 @@ import numpy as np
 from ..seed.blockindex import BlockIndex, ProteinBlockIndex
 from ..seed.wilip import wilip
 from ..seq.codec import comrev
+from ..seq.utilseq import rm_polya
 from ..seq.genome import GenomeStore
 from .driver import (AlignerContext, align_cdna, execute_jobs,
                      prepare_job)
@@ -29,8 +30,16 @@ class GenomeMapper:
     def map_query(self, query: np.ndarray, q_name: str = "",
                   strand: str = "auto", ncand: int = 10,
                   max_out: int = 1, min_coverage: float = 0.3,
-                  lanes: int = 128) -> list[GeneStructure]:
+                  lanes: int = 128,
+                  trim_polya: bool = True) -> list[GeneStructure]:
         """Map one query onto the whole genome; returns best loci."""
+        qoff = 0
+        if trim_polya:
+            lo, hi, hint = rm_polya(query)
+            if hi - lo >= 30:
+                query, qoff = query[lo:hi], lo
+                if strand == "auto" and hint in (1, 2):
+                    strand = "+" if hint == 1 else "-"
         cands: list[tuple[float, int, int]] = []
         for g0, g1, score in self.index.candidate_ranges(query, ncand):
             cands.append((score, g0, g1))
@@ -82,6 +91,10 @@ class GenomeMapper:
                 for i in gs.introns:
                     i.g_start += off
                     i.g_end += off
+                if qoff:
+                    for e in gs.exons:
+                        e.q_start += qoff
+                        e.q_end += qoff
                 results.append(gs)
             if len(results) >= max_out * 3:
                 break
@@ -105,12 +118,22 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
     maxgene = self.index.maxgene
     total = self.store.total_len
     metrics.bump("queries", len(queries))
+    # poly-A trimming + strand hints (PolyA::rmpolyA, spaln.cc:1154)
+    queries = list(queries)
+    q_offs = [0] * len(queries)
+    strands = [strand] * len(queries)
+    for qi, q in enumerate(queries):
+        lo, hi, hint = rm_polya(q)
+        if hi - lo >= 30:
+            queries[qi], q_offs[qi] = q[lo:hi], lo
+            if strand == "auto" and hint in (1, 2):
+                strands[qi] = "+" if hint == 1 else "-"
     # (qi, g0, g1, retry) work items
     work = []
     for qi, q in enumerate(queries):
         with stage("vote"):
             cands = list(self.index.candidate_ranges(q, ncand))
-        if strand in ("auto", "-"):
+        if strands[qi] in ("auto", "-"):
             cands += self.index.candidate_ranges(comrev(q), ncand)
         cands.sort(key=lambda c: -c[2])
         picked = []
@@ -134,9 +157,9 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             cands = []
             with stage("seed"):
                 fwd = wilip(q, window, ipen=self.ctx.ipen)
-            if strand in ("auto", "+") and fwd:
+            if strands[qi] in ("auto", "+") and fwd:
                 cands.append((fwd[0].score, "+", q, fwd[0]))
-            if strand in ("auto", "-"):
+            if strands[qi] in ("auto", "-"):
                 rc = comrev(q)
                 rev = wilip(rc, window, ipen=self.ctx.ipen)
                 if rev:
@@ -181,6 +204,8 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             for e in gs.exons:
                 e.g_start += off
                 e.g_end += off
+                e.q_start += q_offs[qi]
+                e.q_end += q_offs[qi]
             for i in gs.introns:
                 i.g_start += off
                 i.g_end += off

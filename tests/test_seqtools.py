@@ -1,0 +1,115 @@
+"""Sequence toolbox + divergence estimators (utn/dvn/divseq/montseq
+roles)."""
+import math
+
+import numpy as np
+import pytest
+
+from spaln_tpu.seq.codec import encode_dna, encode_protein, comrev
+from spaln_tpu.seq.utilseq import rm_polya, find_orfs, composition
+from spaln_tpu.tools.divergence import (jukes_cantor, kimura_2p,
+                                        p_distance, poisson_aa,
+                                        kimura_aa, random_seq)
+
+
+def _mk(rng, n):
+    return "".join(rng.choice(np.array(list("ACGT")), n))
+
+
+def test_rm_polya_tail(rng):
+    body = _mk(rng, 200)
+    q = encode_dna(body + "A" * 30)
+    lo, hi, hint = rm_polya(q)
+    assert hint == 1
+    assert abs(hi - 200) <= 3
+    assert lo == 0
+
+
+def test_rm_polyt_head(rng):
+    body = _mk(rng, 200)
+    q = encode_dna("T" * 25 + body)
+    lo, hi, hint = rm_polya(q)
+    assert hint == 2
+    assert abs(lo - 25) <= 3
+    assert hi == len(q)
+
+
+def test_rm_polya_none(rng):
+    q = encode_dna(_mk(rng, 300))
+    lo, hi, hint = rm_polya(q)
+    assert (lo, hi, hint) == (0, len(q), 3)
+
+
+def test_find_orfs(rng):
+    # ATG + 60 stop-free codons + TAA
+    inner = "GCT" * 60
+    g = encode_dna(_mk(rng, 7) + "ATG" + inner + "TAA" + _mk(rng, 11))
+    orfs = find_orfs(g, min_len=150)
+    assert orfs
+    b0, b1, frame, strand = orfs[0]
+    assert b1 - b0 >= 180
+
+
+def test_composition():
+    c = composition(encode_dna("AACCGGTT"))
+    assert c == {"A": 2, "C": 2, "G": 2, "T": 2}
+
+
+def test_divergence_known_rates(rng):
+    n = 30000
+    a = random_seq(rng, n)
+    b = a.copy()
+    # 10% random substitutions
+    k = n // 10
+    pos = rng.choice(n, k, replace=False)
+    b[pos] = random_seq(rng, k)
+    p = p_distance(a, b)
+    assert 0.05 < p < 0.11
+    jc = jukes_cantor(a, b)
+    assert jc > p                       # correction increases distance
+    k2 = kimura_2p(a, b)
+    assert abs(k2 - jc) < 0.05
+    assert jukes_cantor(a, a) == 0.0
+
+
+def test_protein_distances(rng):
+    a = random_seq(rng, 5000, is_aa=True)
+    b = a.copy()
+    pos = rng.choice(5000, 500, replace=False)
+    b[pos] = random_seq(rng, 500, is_aa=True)
+    p = p_distance(a, b, is_aa=True)
+    assert 0.05 < p < 0.12
+    assert poisson_aa(a, b) > p
+    assert kimura_aa(a, b) >= poisson_aa(a, b) * 0.9
+
+
+def test_mapper_trims_polya(rng, table_dir):
+    """Poly-A tails do not drag alignments (rmpolyA before mapping,
+    spaln.cc:1154)."""
+    from spaln_tpu.align.driver import AlignerContext
+    from spaln_tpu.align.mapper import GenomeMapper
+    from spaln_tpu.seed.blockindex import BlockIndex
+    from spaln_tpu.seq.fasta import SeqRecord
+    from spaln_tpu.seq.genome import GenomeStore
+    from spaln_tpu.constants import DNA
+    ctx = AlignerContext.create(table_dir)
+    contig = _mk(rng, 25000)
+    e1, e2 = _mk(rng, 140), _mk(rng, 130)
+    ilen = 250
+    gene = e1 + "GTAAGT" + _mk(rng, ilen - 13) + "TTTCTAG" + e2
+    pos = 9000
+    contig = contig[:pos] + gene + contig[pos + len(gene):]
+    store = GenomeStore.from_records(
+        [SeqRecord("c1", encode_dna(contig), DNA)])
+    idx = BlockIndex.build(store)
+    mapper = GenomeMapper(store, idx, ctx)
+    q = encode_dna(e1 + e2 + "A" * 40)        # transcript + poly-A tail
+    for res in (mapper.map_query(q, lanes=32),
+                mapper.map_queries([q], lanes=32)[0]):
+        assert len(res) == 1
+        gs = res[0]
+        assert len(gs.introns) == 1
+        assert gs.introns[0].g_start == pos + 140
+        assert gs.identity == 1.0
+        # q coords refer to the original (untrimmed) query
+        assert gs.q_span[1] <= 270
