@@ -38,8 +38,15 @@ class AlignerContext:
 
     @classmethod
     def create(cls, tables: TableDir, cfg: Config | None = None,
-               dvsp: int = CvsG) -> "AlignerContext":
-        cfg = resolve(cfg or Config(), dvsp)
+               dvsp: int = CvsG,
+               y_args: list | None = None) -> "AlignerContext":
+        from ..config import apply_y_args
+        cfg = cfg or Config()
+        # species AlnParam file re-fed as -y args (readargs role)
+        cfg = apply_y_args(cfg, tables.alnparam_args())
+        if y_args:
+            cfg = apply_y_args(cfg, y_args)
+        cfg = resolve(cfg, dvsp)
         ipen = IntronPenalty(cfg, dvsp)
         prm = DpParams.build(cfg, Simmtx.dna(), dvsp, ipen=ipen)
         return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen)

@@ -43,8 +43,14 @@ class ProteinAlignerContext:
 
     @classmethod
     def create(cls, tables: TableDir, cfg: Config | None = None,
-               max_intron: int = 200_000) -> "ProteinAlignerContext":
-        cfg = resolve(cfg or Config(), PvsG)
+               max_intron: int = 200_000,
+               y_args: list | None = None) -> "ProteinAlignerContext":
+        from ..config import apply_y_args
+        cfg = cfg or Config()
+        cfg = apply_y_args(cfg, tables.alnparam_args())
+        if y_args:
+            cfg = apply_y_args(cfg, y_args)
+        cfg = resolve(cfg, PvsG)
         sm = Simmtx.protein(tables.root, slot=0)
         prm = TronDpParams.build(cfg, sm.tron().mtx)
         ipen = IntronPenalty(cfg, PvsG)

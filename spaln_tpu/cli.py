@@ -110,12 +110,13 @@ def cmd_align(args) -> int:
     recs = list(iter_fasta(args.queries))
     need_p = any(r.molc == PROTEIN for r in recs)
     need_n = any(r.molc != PROTEIN for r in recs)
+    ya = ["-y" + a for a in args.y_args]
     if need_p:
         from .align.protein_driver import (ProteinAlignerContext,
                                            align_protein)
-        pctx = ProteinAlignerContext.create(tables)
+        pctx = ProteinAlignerContext.create(tables, y_args=ya)
     if need_n:
-        ctx = AlignerContext.create(tables)
+        ctx = AlignerContext.create(tables, y_args=ya)
     for grec in genome_recs:
         if len(grec.codes) > G_SEGMENT:
             # long genomic query: chunked annotation with seam stitching
@@ -181,8 +182,10 @@ def cmd_map(args) -> int:
         if not nt_batch:
             return
         if mapper is None:
-            mapper = GenomeMapper(store, BlockIndex.load(args.genome_db),
-                                  AlignerContext.create(tables))
+            mapper = GenomeMapper(
+                store, BlockIndex.load(args.genome_db),
+                AlignerContext.create(
+                    tables, y_args=["-y" + a for a in args.y_args]))
         res = mapper.map_queries([r.codes for r in nt_batch],
                                  q_names=[r.name for r in nt_batch],
                                  strand=args.strand, lanes=args.lanes,
@@ -198,7 +201,8 @@ def cmd_map(args) -> int:
                 from .align.protein_driver import ProteinAlignerContext
                 pmapper = ProteinGenomeMapper(
                     store, ProteinBlockIndex.load(args.genome_db),
-                    ProteinAlignerContext.create(tables))
+                    ProteinAlignerContext.create(
+                        tables, y_args=["-y" + a for a in args.y_args]))
             gs_list = pmapper.map_query(rec.codes, q_name=rec.name,
                                         lanes=args.lanes,
                                         max_out=args.max_out)
@@ -300,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--lanes", type=int, default=128)
         sp.add_argument("--metrics", action="store_true",
                         help="print per-stage counters/timings to stderr")
+        sp.add_argument("-y", dest="y_args", action="append", default=[],
+                        help="alignment parameter (readalprm letters), "
+                             "e.g. -y w150 -y 'I\"20 800 ...\"'")
 
     sp = sub.add_parser("align", help="align queries to genomic segments")
     sp.add_argument("genomic")

@@ -142,3 +142,96 @@ def resolve(cfg: Config, dvsp: int) -> Config:
                  fact=it.fact if it.fact is not None else Y,
                  ip=it.ip if it.ip is not None else (15. if dvsp else 12.))
     return replace(cfg, aln2=a2, intron=it)
+
+
+def apply_y_args(cfg: Config, tokens: list[str]) -> Config:
+    """Apply spaln ``-y*`` parameter tokens (readalprm, simmtx.cc:
+    621-705) to the config tree — used both for explicit CLI options and
+    for the species AlnParam file re-fed as arguments (readargs,
+    spaln.cc:518-553)."""
+    aln, a2, it, alg = cfg.aln, cfg.aln2, cfg.intron, cfg.alg
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
+        if not tok.startswith("-y") or len(tok) < 3:
+            continue
+        opt = tok[2]
+        vl = tok[3:]
+        if not vl and i < len(tokens) and not tokens[i].startswith("-"):
+            vl = tokens[i]
+            i += 1
+        vl = vl.strip()
+        if opt == 'I':
+            v = vl.strip('"\'')
+            f = [float(x) for x in v.split()]
+            upd = dict(a1=1., a2=0.)
+            keys = ("llmt", "rlmt", "mean", "a1", "m1", "t1", "k1",
+                    "m2", "t2", "k2", "a2", "m3", "t3", "k3")
+            for key, x in zip(keys, f):
+                upd[key] = int(x) if key in ("llmt", "rlmt") else x
+            it = replace(it, **upd)
+            continue
+        if not vl:
+            continue
+        try:
+            x = float(vl.split(':')[0].rstrip('"'))
+        except ValueError:
+            continue
+        if opt == 'a':
+            alg = replace(alg, any=int(x))
+        elif opt == 'c':
+            a2 = replace(a2, jneibr=int(x))
+        elif opt == 'd':
+            a2 = replace(a2, desert=int(x))
+        elif opt == 'e':
+            aln = replace(aln, u0=x)
+        elif opt == 'f':
+            aln = replace(aln, v0=x)
+        elif opt == 'g':
+            aln = replace(aln, gamma=x)
+        elif opt == 'i':
+            it = replace(it, ip=x)
+        elif opt == 'j':
+            aln = replace(aln, u1=x)
+        elif opt == 'k':
+            aln = replace(aln, k1=int(x))
+        elif opt == 'l':
+            aln = replace(aln, ls=int(x))
+        elif opt == 'o':
+            a2 = replace(a2, o=x)
+        elif opt == 't':
+            aln = replace(aln, tgapf=x)
+        elif opt == 'u':
+            aln = replace(aln, u=x)
+        elif opt == 'v':
+            aln = replace(aln, v=x)
+        elif opt == 'w':
+            aln = replace(aln, sh=int(x))
+        elif opt == 'x':
+            a2 = replace(a2, x=x)
+        elif opt == 'y':
+            a2 = replace(a2, y=x)
+        elif opt == 'z':
+            a2 = replace(a2, z=x)
+        elif opt == 'A':
+            a2 = replace(a2, bti=x)
+        elif opt == 'E':
+            it = replace(it, elmt=int(x))
+        elif opt == 'J':
+            a2 = replace(a2, spb=x)
+        elif opt == 'K':
+            a2 = replace(a2, termk1=int(x))
+        elif opt == 'L':
+            it = replace(it, llmt=int(x), minl=int(x))
+        elif opt == 'M':
+            it = replace(it, maxl=int(x))
+        elif opt == 'Q':
+            it = replace(it, nquant=int(x))
+        elif opt == 'S':
+            a2 = replace(a2, sss=(x / 100. if x > 1. else x))
+        elif opt == 'T':
+            it = replace(it, tlmt=int(x))
+        elif opt == 'Y':
+            it = replace(it, fact=x)
+    return replace(cfg, aln=aln, aln2=a2, intron=it, alg=alg)

@@ -74,10 +74,12 @@ class TableDir:
         p = self.path("AlnParam")
         if p is None:
             return []
+        import shlex
         args: list[str] = []
         with open(p) as fh:
             for line in fh:
                 line = line.split(";")[0].split("#")[0].strip()
                 if line:
-                    args.extend(line.split())
+                    # quote-aware: -yI"15 131 ..." stays one token
+                    args.extend(shlex.split(line))
         return args

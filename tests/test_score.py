@@ -137,3 +137,26 @@ def test_splice_joint_table_consistency(table_dir):
     expect = (sig.sig3[n3] - sig.tabs.tab3[sig.dinc3[n3]]
               + sig.acc_joint[n3, sig.dinc5[n5]])
     assert sig.sig53_ie53(n5, n3) == expect
+
+
+def test_species_alnparam_applies(table_dir):
+    """-T species re-feeds the AlnParam file as -y args (readargs role):
+    the Dictyostelium ILD replaces the generic Frechet mixture."""
+    from spaln_tpu.align.driver import AlignerContext
+    from spaln_tpu.score.tables import TableDir
+    import numpy as np
+    generic = AlignerContext.create(table_dir)
+    dicty = AlignerContext.create(TableDir(table_dir.root,
+                                           species="Dictyost"))
+    assert dicty.cfg.intron.llmt == 15
+    assert dicty.cfg.intron.rlmt == 131
+    pen_g = generic.ipen.penalty(np.array([100, 500]))
+    pen_d = dicty.ipen.penalty(np.array([100, 500]))
+    assert (pen_g != pen_d).any()
+
+
+def test_y_args_override(table_dir):
+    from spaln_tpu.align.driver import AlignerContext
+    ctx = AlignerContext.create(table_dir, y_args=["-yw150", "-yv12"])
+    assert ctx.cfg.aln.sh == 150
+    assert ctx.prm.gop == -120
