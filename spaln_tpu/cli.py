@@ -26,7 +26,8 @@ from .out.formats import (alignment_lines, bed_line, cdna_fasta,
                           exon_table_lines, gff3_lines, gff3_match_lines,
                           intron_lines, sam_line, translated_fasta)
 from .score.tables import TableDir, find_table_dir
-from .seq.fasta import iter_fasta, read_fasta
+from .seq.fasta import iter_fasta, iter_seqfile, parse_seq_arg, \
+    read_fasta
 from .seq.genome import GenomeStore
 from .constants import DNA
 
@@ -101,13 +102,17 @@ def _parse_fmts(s) -> list[int]:
 def cmd_align(args) -> int:
     from .constants import PROTEIN
     tables = TableDir(find_table_dir(args.table_dir), species=args.species)
-    genome_recs = read_fasta(args.genomic, molc=DNA)
+    gpath, g_from, g_to = parse_seq_arg(args.genomic)
+    genome_recs = list(iter_seqfile(gpath, molc=DNA))
+    if g_from is not None:
+        for grec in genome_recs:
+            grec.codes = grec.codes[g_from:g_to]
     out = open(args.output, "w") if args.output else sys.stdout
     sink = OutputSink(_parse_fmts(args.fmt), out,
                       grd_path=(args.output or "run").rsplit(".", 1)[0])
     ctx = pctx = None
     from .align.segment import G_SEGMENT, annotate_segment
-    recs = list(iter_fasta(args.queries))
+    recs = list(iter_seqfile(args.queries))
     need_p = any(r.molc == PROTEIN for r in recs)
     need_n = any(r.molc != PROTEIN for r in recs)
     ya = ["-y" + a for a in args.y_args]
@@ -194,7 +199,7 @@ def cmd_map(args) -> int:
             sink.emit(gs_list, len(rec.codes))
         nt_batch.clear()
 
-    for rec in iter_fasta(args.queries):
+    for rec in iter_seqfile(args.queries):
         if rec.molc == PROTEIN:
             flush_nt()
             if pmapper is None:
@@ -247,10 +252,10 @@ def cmd_search(args) -> int:
     from .out.formats import (alignment_lines, hit_stat_line, psl_line,
                               sam_line, sugar_line)
     from .constants import PROTEIN
-    db = [(r.name, r.codes) for r in iter_fasta(args.db, molc=PROTEIN)]
+    db = [(r.name, r.codes) for r in iter_seqfile(args.db, molc=PROTEIN)]
     out = open(args.output, "w") if args.output else sys.stdout
     fmts = _parse_fmts(args.fmt)
-    for rec in iter_fasta(args.queries, molc=PROTEIN):
+    for rec in iter_seqfile(args.queries, molc=PROTEIN):
         hits = search_protein_db(rec.codes, db,
                                  table_dir=find_table_dir(args.table_dir),
                                  max_hits=args.max_hits,

@@ -91,3 +91,78 @@ def write_fasta(path: str, records: list[tuple[str, str]], width: int = 60):
             fh.write(f">{name}\n")
             for i in range(0, len(seq), width):
                 fh.write(seq[i:i + width] + "\n")
+
+
+def iter_genbank(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
+    """Stream GenBank flat-file records (Seq::get_gbseq role,
+    seq.cc GenBank reader): LOCUS..ORIGIN..// sections."""
+    name, descr, chunks, in_seq = None, "", [], False
+    with _open_text(path) as fh:
+        for line in fh:
+            if line.startswith("LOCUS"):
+                toks = line.split()
+                name = toks[1] if len(toks) > 1 else ""
+                chunks, in_seq = [], False
+            elif line.startswith("DEFINITION"):
+                descr = line[10:].strip()
+            elif line.startswith("ORIGIN"):
+                in_seq = True
+            elif line.startswith("//"):
+                if name is not None:
+                    yield _make_record(name, descr, "".join(chunks), molc)
+                name, descr, chunks, in_seq = None, "", [], False
+            elif in_seq:
+                chunks.append("".join(c for c in line if c.isalpha()))
+
+
+def iter_embl(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
+    """Stream EMBL flat-file records (ID..SQ..// sections)."""
+    name, descr, chunks, in_seq = None, "", [], False
+    with _open_text(path) as fh:
+        for line in fh:
+            if line.startswith("ID"):
+                toks = line[2:].replace(";", " ").split()
+                name = toks[0] if toks else ""
+                chunks, in_seq = [], False
+            elif line.startswith("DE"):
+                descr = (descr + " " + line[2:].strip()).strip()
+            elif line.startswith("SQ"):
+                in_seq = True
+            elif line.startswith("//"):
+                if name is not None:
+                    yield _make_record(name, descr, "".join(chunks), molc)
+                name, descr, chunks, in_seq = None, "", [], False
+            elif in_seq:
+                chunks.append("".join(c for c in line if c.isalpha()))
+
+
+def iter_seqfile(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
+    """Format-sniffing reader: FASTA / GenBank / EMBL (.gz transparent),
+    the Seq reader dispatch role (seq.cc fasta/GenBank/EMBL/MSF)."""
+    with _open_text(path) as fh:
+        first = ""
+        for line in fh:
+            if line.strip():
+                first = line
+                break
+    if first.startswith("LOCUS"):
+        yield from iter_genbank(path, molc)
+    elif first.startswith("ID") and not first.startswith("ID\t>"):
+        yield from iter_embl(path, molc)
+    else:
+        yield from iter_fasta(path, molc)
+
+
+def parse_seq_arg(arg: str):
+    """spaln-style sequence argument: 'path [from to]' 1-based inclusive
+    subrange (README.md:243 'chr1.fa 10001 40000' syntax).
+
+    Returns (path, from0, to) with python half-open 0-based coords, or
+    (path, None, None)."""
+    toks = arg.split()
+    if len(toks) == 3:
+        try:
+            return toks[0], int(toks[1]) - 1, int(toks[2])
+        except ValueError:
+            pass
+    return arg, None, None

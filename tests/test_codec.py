@@ -64,3 +64,22 @@ def test_translate_frames():
     codes = encode_dna("AATGGCT")
     aa1 = translate(codes, frame=1)      # ATG GCT
     assert decode_protein(aa1) == "MA"
+
+
+def test_genbank_embl_readers(tmp_path):
+    from spaln_tpu.seq.fasta import iter_seqfile, parse_seq_arg
+    gb = ("LOCUS       REC1       24 bp    DNA\n"
+          "DEFINITION  a genbank record.\nORIGIN\n"
+          "        1 acgtacgtac gtacgtacgt acgt\n//\n")
+    p = tmp_path / "x.gb"
+    p.write_text(gb)
+    recs = list(iter_seqfile(str(p)))
+    assert recs[0].name == "REC1" and len(recs[0].codes) == 24
+    em = ("ID   REC2; SV 1; linear; DNA\nDE   an embl record\n"
+          "SQ   Sequence 12 BP;\n     acgtacgtacgt        12\n//\n")
+    p2 = tmp_path / "x.em"
+    p2.write_text(em)
+    recs = list(iter_seqfile(str(p2)))
+    assert recs[0].name == "REC2" and len(recs[0].codes) == 12
+    assert parse_seq_arg("chr.fa 101 200") == ("chr.fa", 100, 200)
+    assert parse_seq_arg("chr.fa") == ("chr.fa", None, None)
