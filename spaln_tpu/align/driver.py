@@ -365,8 +365,13 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         key = (W, Mpad)
         buckets.setdefault(key, []).append(i)
     for (W, Mpad), idxs in buckets.items():
-        for c0 in range(0, len(idxs), max_batch):
-            part = idxs[c0:c0 + max_batch]
+        # traceback planes cost ~(W + 2L) * L * 13B per slab per problem;
+        # cap the batch so a wide-band bucket stays within ~1.5 GB
+        T = W + 2 * lanes - 2
+        per = T * lanes * 13 * max(Mpad // lanes, 1)
+        mb = max(1, min(max_batch, (3 << 29) // max(per, 1)))
+        for c0 in range(0, len(idxs), mb):
+            part = idxs[c0:c0 + mb]
             js = [jobs[i] for i in part]
             with stage("prep"):
                 bp = prepare_spliced_batch(

@@ -176,7 +176,12 @@ def cmd_map(args) -> int:
     store = GenomeStore.load(args.genome_db)
     tables = TableDir(find_table_dir(args.table_dir), species=args.species)
     out = open(args.output, "w") if args.output else sys.stdout
-    sink = OutputSink(_parse_fmts(args.fmt), out,
+    fmts = _parse_fmts(args.fmt)
+    if 10 in fmts:
+        # SAM @SQ headers (put_genome_entries, spaln.cc:1209-1218)
+        for name, ln in zip(store.names, store.lengths):
+            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+    sink = OutputSink(fmts, out,
                       grd_path=(args.output or "run").rsplit(".", 1)[0])
     mapper = pmapper = None
     nt_batch: list = []            # (rec) pending cDNA queries

@@ -115,3 +115,62 @@ def sample_frechet_mixture(rng: np.random.Generator, n: int,
     th = np.asarray(thetas)[comp]
     kk = np.asarray(kappas)[comp]
     return mus + th * (-np.log(u)) ** (-1. / kk)
+
+
+def ild_pdf(fit: IldFit, x: np.ndarray) -> np.ndarray:
+    """Mixture density at lengths x (numpy; plotild/decompild support)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    for a, m, t, k in zip(fit.weights, fit.mus, fit.thetas, fit.kappas):
+        z = np.maximum((x - m) / t, 1e-12)
+        out += a * (k / t) * z ** (-1. - k) * np.exp(-z ** (-k))
+    return out
+
+
+def decompose_ild(fit: IldFit, x: np.ndarray) -> np.ndarray:
+    """(n_modes, len(x)) per-component weighted densities (decompild)."""
+    x = np.asarray(x, dtype=np.float64)
+    rows = []
+    for a, m, t, k in zip(fit.weights, fit.mus, fit.thetas, fit.kappas):
+        z = np.maximum((x - m) / t, 1e-12)
+        rows.append(a * (k / t) * z ** (-1. - k) * np.exp(-z ** (-k)))
+    return np.stack(rows)
+
+
+def compare_ilds(fa: IldFit, fb: IldFit, x_max: int = 20000) -> float:
+    """Symmetrized KL divergence between two fitted ILDs over a length
+    grid (compild role)."""
+    x = np.arange(max(min(fa.mus + fb.mus), 1) + 1, x_max, dtype=float)
+    pa = np.maximum(ild_pdf(fa, x), 1e-300)
+    pb = np.maximum(ild_pdf(fb, x), 1e-300)
+    pa /= pa.sum()
+    pb /= pb.sum()
+    return float(0.5 * (np.sum(pa * np.log(pa / pb))
+                        + np.sum(pb * np.log(pb / pa))))
+
+
+def plot_ild_text(fit: IldFit, lengths: np.ndarray | None = None,
+                  width: int = 60, bins: int = 24,
+                  x_max: int | None = None) -> list[str]:
+    """ASCII density plot (plotild role): fitted curve (*) and, when a
+    sample is given, observed histogram (#) over log-spaced bins."""
+    if x_max is None:
+        x_max = int(max(fit.thetas) * 10 + max(fit.mus) + 100)
+    lo = max(min(fit.mus) + 1., 10.)
+    edges = np.exp(np.linspace(np.log(lo), np.log(x_max), bins + 1))
+    mids = np.sqrt(edges[:-1] * edges[1:])
+    pdf = ild_pdf(fit, mids) * np.diff(edges)
+    hist = None
+    if lengths is not None and len(lengths):
+        hist, _ = np.histogram(lengths, bins=edges)
+        hist = hist / hist.sum()
+    top = max(pdf.max(), hist.max() if hist is not None else 0., 1e-9)
+    out = []
+    for i, m in enumerate(mids):
+        nstar = int(width * pdf[i] / top)
+        line = f"{int(m):>7d} |" + "*" * nstar
+        if hist is not None:
+            nh = int(width * hist[i] / top)
+            line += " " * max(nh - nstar, 0) + ("#" if nh else "")
+        out.append(line)
+    return out

@@ -143,3 +143,22 @@ def test_make_ssp_end_to_end(tmp_path, rng):
     assert p5.nsupport == 60
     line = open(td.path("AlnParam")).read()
     assert line.startswith("-yI\"")
+
+
+def test_ild_compare_decompose_plot(rng):
+    from spaln_tpu.tools.fitild import (IldFit, compare_ilds,
+                                        decompose_ild, ild_pdf,
+                                        plot_ild_text,
+                                        sample_frechet_mixture)
+    f1 = IldFit([0.6, 0.4], [20., 20.], [80., 600.], [1.2, 1.5], 0., 100)
+    f2 = IldFit([1.0], [20.], [100.], [1.3], 0., 100)
+    assert compare_ilds(f1, f1) == 0.0
+    assert compare_ilds(f1, f2) > 0.01
+    x = np.array([50., 200., 1000.])
+    comp = decompose_ild(f1, x)
+    assert comp.shape == (2, 3)
+    assert np.allclose(comp.sum(axis=0), ild_pdf(f1, x))
+    lens = sample_frechet_mixture(rng, 500, f1.weights, f1.mus,
+                                  f1.thetas, f1.kappas)
+    lines = plot_ild_text(f1, lens)
+    assert len(lines) == 24 and any("*" in l for l in lines)
