@@ -62,10 +62,11 @@ def main():
 
     bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
                                lw=lw, up=up, L=L)
-    # warmup/compile (twice: first touch also pays tunnel/cache warmup)
+    # warmup/compile; run_spliced_batch(block=True) materializes one
+    # element — block_until_ready alone does not guarantee completion on
+    # remote-tunnel backends, so timings below are honest wall-clock
     run_spliced_batch(bp, prm, score_only=True)
-    run_spliced_batch(bp, prm, score_only=True)
-    iters = int(os.environ.get("BENCH_ITERS", 7))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -73,7 +74,7 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]               # median: contention-robust
-    scores, ends, _ = collect_batch_results(bp, row_h, rc_h, None, True)
+    scores, ends, _ = collect_batch_results(bp, row_h, rc_h, None, True, prm=prm)
     assert (scores > 0).all(), "benchmark alignments must score positive"
 
     cells = B * bp.n_slabs * L * bp.W

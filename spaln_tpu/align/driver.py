@@ -387,7 +387,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                          bp.B * bp.n_slabs * bp.L * bp.W)
             with stage("traceback"):
                 scores, ends, btr = collect_batch_results(
-                    bp, row_h, rc_h, traces, False)
+                    bp, row_h, rc_h, traces, False, prm=ctx.prm)
                 for bi, ji in enumerate(part):
                     ops = traceback_spliced_scan(btr[bi],
                                                  int(ends[bi][0]),
@@ -417,10 +417,11 @@ def _shard_batch(bp, mesh):
     return dataclasses.replace(
         bp,
         ops={k: put(v, P(axis)) for k, v in bp.ops.items()},
+        ops_s={k: put(v, P()) for k, v in bp.ops_s.items()},
         qprof_all=put(bp.qprof_all, P(axis)),
         bnd_h0=put(bp.bnd_h0, P(axis)), bnd_f0=put(bp.bnd_f0, P(axis)),
         Ms_j=put(bp.Ms_j, P(axis)), Ns_j=put(bp.Ns_j, P(axis)),
-        lws_j=put(bp.lws_j, P(axis)))
+        deltas_j=put(bp.deltas_j, P(axis)))
 
 
 def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,

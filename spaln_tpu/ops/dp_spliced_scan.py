@@ -52,38 +52,60 @@ class SplicedOperands:
     rb_isacc: np.ndarray
     rb_sig5: np.ndarray     # reversed donor signal
     rb_accb: np.ndarray     # reversed acceptor base sig3 - tab3[dinc3]
-    rb_dinc5: np.ndarray    # reversed donor dinucleotide codes
-    rb_joint: np.ndarray    # (Npad+PAD, 16) reversed tab53[16*d5 + dinc3[n]]
+    rb_d5cls: np.ndarray    # reversed donor dinucleotide class ids
+    rb_joint4: np.ndarray   # (Npad+PAD, ncls) reversed joint acceptor term
     ipen: np.ndarray        # (Npad+1,) intron penalty by length
-    colinit: np.ndarray     # (Mpad+1,) H[m][0] init column
+    colinit: np.ndarray     # (Mpad+L+2,) H[m][0] init column (padded)
+    ncls: int
     M: int
     N: int
 
 
 def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
                    sig: SpliceSignals | None, Mpad: int, Npad: int,
-                   flags: DpFlags, pad_extra: int) -> SplicedOperands:
+                   flags: DpFlags, pad_extra: int,
+                   L: int = 128, shift: int = 0) -> SplicedOperands:
+    """``shift`` pre-bakes this problem's band placement (lw - lw0) into
+    the array layout so the per-step slice offsets inside the scan are
+    batch-invariant — under vmap a batch-varying dynamic-slice start
+    lowers to a gather, which dominated the step cost."""
     M, N = len(a), len(b)
     qprof = np.zeros((Mpad, prm.qprof_mtx.shape[1]), dtype=np.int32)
     qprof[:M] = prm.qprof_mtx[np.asarray(a, dtype=np.int64)]
 
     def rev(x, fill=0, width=None):
-        # right-aligned at pad2 + Npad so index pad2 + Npad - n addresses
-        # b[n-1] uniformly for any N <= Npad (geometry bucketing)
+        # right-aligned at pad2 + Npad (+ per-problem band shift) so the
+        # shared index pad2 + Npad - n addresses b[n-1] uniformly for any
+        # N <= Npad (geometry bucketing)
         out = np.full(Npad + pad_extra, fill, dtype=np.int32) if width is None \
             else np.full((Npad + pad_extra, width), fill, dtype=np.int32)
-        o = pad_extra // 2 + Npad - N
+        o = pad_extra // 2 + Npad - N + shift
         out[o:o + N] = x[::-1]
         return out
 
+    NCLS = 4                      # donor dinucleotide classes (GT/GC/AT..)
     if sig is not None:
         accb = sig.sig3.astype(np.int32) - sig.tabs.tab3[sig.dinc3]
+        # compress the 16-wide joint acceptor table to the dinucleotide
+        # classes that can actually sit in a candidate (donor-eligible
+        # positions only) — turns the close-time gather into a 4-term
+        # one-hot sum
+        don_dincs = np.unique(sig.dinc5[sig.is_donor != 0])
+        if len(don_dincs) > NCLS:
+            raise ValueError("more than 4 eligible donor dinucleotide "
+                             "classes; rebuild with a wider class table")
+        cls_of = np.zeros(16, dtype=np.int32)
+        for ci, dv in enumerate(don_dincs):
+            cls_of[dv] = ci
+        joint4 = np.zeros((N, NCLS), dtype=np.int32)
+        for ci, dv in enumerate(don_dincs):
+            joint4[:, ci] = sig.acc_joint[:, dv]
         rb_isdon = rev(sig.is_donor.astype(np.int32))
         rb_isacc = rev(sig.is_accpt.astype(np.int32))
         rb_sig5 = rev(sig.sig5.astype(np.int32))
         rb_accb = rev(accb)
-        rb_dinc5 = rev(sig.dinc5.astype(np.int32))
-        rb_joint = rev(sig.acc_joint, width=16)
+        rb_d5cls = rev(cls_of[sig.dinc5.astype(np.int64)])
+        rb_joint4 = rev(joint4, width=NCLS)
         ipen = prm.intron_table(Npad + 1)
     else:
         z = np.zeros(N, dtype=np.int32)
@@ -91,20 +113,21 @@ def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
         rb_isacc = rev(z)
         rb_sig5 = rev(z)
         rb_accb = rev(z)
-        rb_dinc5 = rev(z)
-        rb_joint = rev(np.zeros((N, 16), np.int32), width=16)
+        rb_d5cls = rev(z)
+        rb_joint4 = rev(np.zeros((N, NCLS), np.int32), width=NCLS)
         ipen = np.full(Npad + 1, NEVSEL // 2, dtype=np.int32)
 
     rb_code = rev(np.asarray(b, dtype=np.int32))
-    colinit = np.zeros(Mpad + 1, dtype=np.int64)
+    colinit = np.zeros(Mpad + L + 2, dtype=np.int64)
     if not flags.b_exgl:
-        ms = np.arange(1, Mpad + 1)
+        ms = np.arange(1, Mpad + L + 2)
         colinit[1:] = prm.gop + prm.gep * ms
     return SplicedOperands(qprof=qprof, rb_code=rb_code, rb_isdon=rb_isdon,
                            rb_isacc=rb_isacc, rb_sig5=rb_sig5,
-                           rb_accb=rb_accb, rb_dinc5=rb_dinc5,
-                           rb_joint=rb_joint, ipen=ipen,
-                           colinit=colinit.astype(np.int32), M=M, N=N)
+                           rb_accb=rb_accb, rb_d5cls=rb_d5cls,
+                           rb_joint4=rb_joint4, ipen=ipen,
+                           colinit=colinit.astype(np.int32), ncls=NCLS,
+                           M=M, N=N)
 
 
 def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
@@ -125,16 +148,37 @@ def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
     return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c5, d5))
 
 
-def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
-               n_states=3, emit_trace=True):
-    """Build the scan step function (closures over static geometry).
-    lw, m0, M, N are traced so one compilation serves every band
-    placement / sequence length within the padded geometry."""
+def _pads(L, T, Npad, Mpad):
+    """Left pad / total sizes for the n-indexed (boundary, final-row) and
+    m-indexed (right-column) write-back arrays.  Values for problem i sit
+    at PB + n - delta_i (n-indexed) / PBm + m - delta_i (m-indexed) where
+    delta_i = lw_i - lw0 is the per-problem band shift, so PB must cover
+    the largest shift (<= Mpad + Npad) and the totals every window."""
+    PBn = Mpad + Npad + L + 16
+    TOTn = PBn + Mpad + Npad + T + 2 * L + 16
+    PBm = Mpad + Npad + L + 16
+    TOTm = PBm + 2 * Mpad + Npad + T + L + 16
+    return PBn, TOTn, PBm, TOTm
 
-    def step(carry, t, *, qprof_slab, ops, m0, lw, M, N, mrow, a_exgr):
-        (h1, h2, f1, e1, psp, cv, cj, cd, c5,
-         bnd_h, bnd_f, row_h, rc_h) = carry
-        a_exgr = jnp.asarray(a_exgr, bool)   # python-bool ~ is arithmetic
+
+def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
+               n_states=3, emit_trace=True):
+    """Build the scan step (closures over static geometry; lw0, delta,
+    m0, M, N traced).  TPU-tuned: no per-step scatters (boundary/result
+    values are emitted as scan outputs and written back as contiguous
+    slices after the scan — their cursors advance by exactly one column
+    per step), and every per-step dynamic-slice start is batch-invariant
+    (band placement is pre-baked into the operand layout as delta =
+    lw - lw0; a batch-varying start under vmap lowers to a gather, which
+    dominated the step cost).  The only remaining per-element gather is
+    the intron-length penalty lookup; substitution scores and the
+    donor/acceptor joint table use one-hot arithmetic."""
+
+    def step(carry, t, *, qprof_slab, ops_b, ops_s, bnd_h, bnd_f, col_m,
+             col_m1, e_const, m0, lw0, delta, M, N, a_exgr):
+        (h1, h2, f1, e1, psp, cv, cj, cd, c5) = carry
+        a_exgr = jnp.asarray(a_exgr, bool)
+        lw = lw0 + delta                                  # real band lw
         lanes = jnp.arange(L)
         m = m0 + lanes                                    # (L,)
         n = (m0 + lw + 1 + t) - lanes
@@ -145,40 +189,51 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
                   & (m >= 1) & (m <= M))
         first = r_off == 0                                # lane (re)activates
 
-        # ---- reversed-array slices: index pad/2 + (N-1) - (n-1)
-        # slice value at (base + i) = original[n_i - 1]; splice signals are
-        # indexed by the boundary position n itself, so they use base - 1
-        base = pad2 + Npad - (m0 + lw + 1 + t)            # index for lane 0
+        # ---- reversed-array slices: value at (base + i) = orig[n_i - 1];
+        # splice signals index the boundary position n itself (base - 1).
+        # base uses lw0 (batch-shared) — the per-problem lw shift is baked
+        # into the array placement (build_operands shift)
+        base = pad2 + Npad - (m0 + lw0 + 1 + t)           # index for lane 0
         sl = lambda arr, o=0: jax.lax.dynamic_slice_in_dim(arr, base + o, L)
-        b_code = sl(ops["rb_code"])
-        isdon = sl(ops["rb_isdon"], -1) != 0
-        isacc = sl(ops["rb_isacc"], -1) != 0
-        sig5 = sl(ops["rb_sig5"], -1)
-        accb = sl(ops["rb_accb"], -1)
-        dinc5 = sl(ops["rb_dinc5"], -1)
-        joint = jax.lax.dynamic_slice(ops["rb_joint"], (base - 1, 0),
-                                      (L, 16))
+        b_code = sl(ops_b["rb_code"])
+        isdon = sl(ops_b["rb_isdon"], -1) != 0
+        isacc = sl(ops_b["rb_isacc"], -1) != 0
+        sig5 = sl(ops_b["rb_sig5"], -1)
+        accb = sl(ops_b["rb_accb"], -1)
+        d5cls = sl(ops_b["rb_d5cls"], -1)
+        joint4 = jax.lax.dynamic_slice(ops_b["rb_joint4"], (base - 1, 0),
+                                       (L, ncls))
 
-        # per-lane substitution score s(a[m-1], b[n-1])
-        score = jnp.take_along_axis(qprof_slab, b_code[:, None],
-                                    axis=1)[:, 0]
+        # substitution score s(a[m-1], b[n-1]) by one-hot accumulation
+        alpha = qprof_slab.shape[1]
+        score = jnp.zeros(L, jnp.int32)
+        for k in range(alpha):
+            score = score + jnp.where(b_code == k, qprof_slab[:, k], 0)
 
         # ---- neighbor values
         up_h = jnp.concatenate([jnp.full((1,), NEV), h1[:-1]])
         up_f = jnp.concatenate([jnp.full((1,), NEV), f1[:-1]])
         diag_h = jnp.concatenate([jnp.full((1,), NEV), h2[:-1]])
-        # lane 0 reads the previous slab / init row boundary
-        n0 = m0 + lw + 1 + t
-        bh = jax.lax.dynamic_slice_in_dim(bnd_h, jnp.maximum(n0 - 1, 0), 2)
-        bf = jax.lax.dynamic_slice_in_dim(bnd_f, jnp.maximum(n0 - 1, 0), 2)
+        # lane 0 reads the previous slab / init row boundary (padded);
+        # storage position PB + n - delta, read at the shared cursor
+        n0s = m0 + lw0 + 1 + t                            # shifted cursor
+        n0 = n0s + delta                                  # real column
+        bh = jax.lax.dynamic_slice_in_dim(bnd_h, n0s - 1 + PB, 2)
+        bf = jax.lax.dynamic_slice_in_dim(bnd_f, n0s - 1 + PB, 2)
         up_h = up_h.at[0].set(jnp.where(n0 <= N + 1, bh[1], NEV))
         up_f = up_f.at[0].set(jnp.where(n0 <= N + 1, bf[1], NEV))
         diag_h = diag_h.at[0].set(jnp.where(n0 - 1 <= N, bh[0], NEV))
         left_h = h1
-        # column-0 overrides
-        col_m = jnp.take(ops["colinit"], jnp.clip(m, 0, Mpad))
-        col_m1 = jnp.take(ops["colinit"], jnp.clip(m - 1, 0, Mpad))
-        left_h = jnp.where(n == 1, col_m, jnp.where(first, NEV, left_h))
+        # column-0 overrides (col_m/col_m1 precomputed per slab)
+        # band-edge cells (first computed diagonal r = lw + 1) read the
+        # band's lw slot as LEFT — the stale column value H(-lw, 0),
+        # constant across rows (dp_spliced_ref init, mirroring fwd2s1's
+        # band-edge convention); the diagonal is the previous row's edge
+        # cell, which the lane shift already provides
+        edge = first & (n != 1)
+        left_h = jnp.where(n == 1, col_m,
+                           jnp.where(edge, e_const,
+                                     jnp.where(first, NEV, left_h)))
         diag_h = jnp.where(n == 1, col_m1, diag_h)
         # band-right edge: vertical sources invalid
         at_top = r_off >= W - 1
@@ -214,8 +269,10 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
         internal = (~a_exgr) | (m < M)
         acc_ok = isacc & internal & active & (n < N)
         ilen = n[:, None] - cj                            # (L, NCAND)
-        pen = jnp.take(ops["ipen"], jnp.clip(ilen, 0, Npad))
-        j16 = jnp.take_along_axis(joint, jnp.clip(c5, 0, 15), axis=1)
+        pen = jnp.take(ops_s["ipen"], jnp.clip(ilen, 0, Npad))
+        j16 = jnp.zeros((L, NCAND), jnp.int32)
+        for c in range(ncls):
+            j16 = j16 + jnp.where(c5 == c, joint4[:, c][:, None], 0)
         xc = cv + pen + accb[:, None] + j16
         cand_ok = (acc_ok[:, None] & (ilen >= llmt) & (cv > NEV // 2))
         xc = jnp.where(cand_ok, xc, NEV)
@@ -256,48 +313,129 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
             x = fv + sig5
             cv, cj, cd, c5 = _insert_candidate(
                 cv, cj, cd, c5, x, n, jnp.full(L, k, jnp.int32),
-                dinc5, elig)
+                d5cls, elig)
 
         # ---- masked commit
         h_out = jnp.where(active, h_out, NEV)
         f_out = jnp.where(active, f_val, NEV)
         e1 = jnp.where(active, e_val, e1)
 
-        # ---- boundary / result scatter-writes
-        last_lane = L - 1
-        nl = jnp.clip(n[last_lane], 0, N + 1)
-        wl = active[last_lane]
-        bnd_h = jax.lax.dynamic_update_slice_in_dim(
-            bnd_h, jnp.where(wl, h_out[last_lane], bnd_h[nl])[None], nl, 0)
-        bnd_f = jax.lax.dynamic_update_slice_in_dim(
-            bnd_f, jnp.where(wl, f_out[last_lane], bnd_f[nl])[None], nl, 0)
-        # final-row / right-column trackers
-        mrow_i = mrow - m0                                # lane of row M
-        in_slab = (mrow_i >= 0) & (mrow_i < L)
-        li = jnp.clip(mrow_i, 0, L - 1)
-        nr = jnp.clip(n[li], 0, N + 1)
-        wr = in_slab & active[li]
-        row_h = jax.lax.dynamic_update_slice_in_dim(
-            row_h, jnp.where(wr, h_out[li], row_h[nr])[None], nr, 0)
-        rcl = jnp.argmax(jnp.where(n == N, 1, 0))
-        wc = (n[rcl] == N) & active[rcl]
-        mc = jnp.clip(m[rcl], 0, Mpad + 1)
-        rc_h = jax.lax.dynamic_update_slice_in_dim(
-            rc_h, jnp.where(wc, h_out[rcl], rc_h[mc])[None], mc, 0)
-
-        carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5,
-                 bnd_h, bnd_f, row_h, rc_h)
+        carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5)
+        # ---- emissions (written back as contiguous slices post-scan):
+        # boundary value at the last lane, final-row / right-column cells
+        li = jnp.clip(M - m0, 0, L - 1)
+        row_v = jnp.sum(jnp.where(lanes == li, h_out, 0))
+        rcl = n0 - N                                      # lane with n == N
+        rc_v = jnp.sum(jnp.where(lanes == rcl, h_out, 0))
+        ys = (h_out[L - 1], f_out[L - 1], row_v, rc_v)
         if not emit_trace:
-            return carry, ()
-        # ---- traceback emissions
+            return carry, ys
         flags8 = (hdir.astype(jnp.uint8)
                   | (e_open.astype(jnp.uint8) << 2)
                   | (f_open.astype(jnp.uint8) << 3))
         flags8 = jnp.where(active, flags8, jnp.uint8(255))
-        spj_out = jnp.stack(spj, axis=1).astype(jnp.int32)   # (L, 3)
-        return carry, (flags8, spj_out)
+        spj_out = jnp.stack(spj, axis=1).astype(jnp.int32)
+        return carry, ys + (flags8, spj_out)
 
     return step
+
+
+def _seq_update(dst, vals, mask, start, PB, d_extra=0, wlen=None):
+    """Masked contiguous write-back: dst[start+PB+j] <- vals[j - d] for
+    d = clamp-shift + d_extra (the post-scan replacement for per-step
+    scatter updates).  ``start`` must be batch-invariant under vmap (a
+    batch-varying dynamic-update start lowers to a scatter); per-problem
+    placement goes through ``d_extra`` instead, re-aligned by the same
+    take that already handles dynamic_slice start clamping.  ``wlen``
+    widens the window beyond len(vals) when d_extra > 0."""
+    T = vals.shape[0]
+    WLEN = T if wlen is None else wlen
+    TOT = dst.shape[0]
+    s_req = start + PB
+    s = jnp.clip(s_req, 0, TOT - WLEN)
+    d = (s_req - s) + d_extra            # clamp shift + problem placement
+    # dst[s + j] takes vals[j - d] (window position j maps to step j - d)
+    idx = jnp.arange(WLEN) - d
+    ok = (idx >= 0) & (idx < T)
+    cidx = jnp.clip(idx, 0, T - 1)
+    vals2 = jnp.take(vals, cidx)
+    mask2 = jnp.take(mask, cidx) & ok
+    old = jax.lax.dynamic_slice_in_dim(dst, s, WLEN)
+    return jax.lax.dynamic_update_slice_in_dim(
+        dst, jnp.where(mask2, vals2, old), s, 0)
+
+
+@functools.lru_cache(maxsize=128)
+def _scan_slab(L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
+               emit_trace=True, batched=False, unroll=4):
+    """Compile one slab runner per static geometry (cached).  Band
+    placement (lw) and true lengths (M, N) are traced arguments, so only
+    the padded geometry (L, W/T, Npad, Mpad) forces a new compilation."""
+    PBn, _, PBm, _ = _pads(L, T, Npad, Mpad)
+    step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PBn, ncls,
+                      emit_trace=emit_trace)
+
+    def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, row_h, rc_h, m0,
+             lw0, delta, M, N, a_exgr):
+        lw = lw0 + delta                  # real band placement
+        col_m = jax.lax.dynamic_slice_in_dim(
+            ops_s["colinit"], jnp.clip(m0, 0, Mpad), L)
+        col_m1 = jax.lax.dynamic_slice_in_dim(
+            ops_s["colinit"], jnp.clip(m0 - 1, 0, Mpad), L)
+        e_const = jnp.where(
+            lw >= -M,
+            jax.lax.dynamic_slice_in_dim(
+                ops_s["colinit"], jnp.clip(-lw, 0, Mpad + L + 1), 1)[0],
+            NEV)
+        f = functools.partial(step, qprof_slab=qprof_slab, ops_b=ops_b,
+                              ops_s=ops_s, bnd_h=bnd_h, bnd_f=bnd_f,
+                              col_m=col_m, col_m1=col_m1, e_const=e_const,
+                              m0=m0, lw0=lw0, delta=delta, M=M, N=N,
+                              a_exgr=a_exgr)
+        carry0 = (
+            jnp.full(L, NEV), jnp.full(L, NEV), jnp.full(L, NEV),
+            jnp.full(L, NEV), jnp.zeros(L, jnp.int32),
+            jnp.full((L, NCAND), NEV), jnp.zeros((L, NCAND), jnp.int32),
+            jnp.zeros((L, NCAND), jnp.int32),
+            jnp.zeros((L, NCAND), jnp.int32))
+        carry, ys = jax.lax.scan(f, carry0, jnp.arange(T), unroll=unroll)
+        bh_v, bf_v, row_v, rc_v = ys[:4]
+        ts = jnp.arange(T)
+        # all write-back cursors are lw0-based (batch-invariant starts);
+        # per-problem placement delta goes through _seq_update d_extra so
+        # values land at PB + n - delta (n-indexed) / PBm + m - delta
+        # last-lane boundary: column nl(t) = m0 + lw + 2 - L + t
+        m_last = m0 + L - 1
+        cb0 = m0 + lw0 + 2 - L
+        nl = cb0 + delta + ts
+        wl = ((ts - 2 * (L - 1) >= 0) & (ts - 2 * (L - 1) < W)
+              & (nl >= 1) & (nl <= N) & (m_last >= 1) & (m_last <= M))
+        bnd_h = _seq_update(bnd_h, bh_v, wl, cb0, PBn)
+        bnd_f = _seq_update(bnd_f, bf_v, wl, cb0, PBn)
+        # final-row cells: lane li = clip(M - m0), column nr(t) = cr + t
+        li = jnp.clip(M - m0, 0, L - 1)
+        in_slab = (M - m0 >= 0) & (M - m0 < L)
+        cr0 = m0 + lw0 + 1 - L
+        nr = cr0 + delta + (L - li) + ts
+        wr = (in_slab & (ts - 2 * li >= 0) & (ts - 2 * li < W)
+              & (nr >= 1) & (nr <= N))
+        row_h = _seq_update(row_h, row_v, wr, cr0, PBn,
+                            d_extra=L - li, wlen=T + L)
+        # right-column cells: lane rcl(t) = n0 - N, row mc(t) = cc + t
+        cc0 = 2 * m0 + lw0 + 1 - Npad
+        mc = cc0 + delta + (Npad - N) + ts
+        rcl = m0 + lw + 1 + ts - N
+        wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
+              & (ts - 2 * rcl < W) & (mc >= 1) & (mc <= M))
+        rc_h = _seq_update(rc_h, rc_v, wc, cc0, PBm,
+                           d_extra=Npad - N, wlen=T + Npad)
+        return (bnd_h, bnd_f, row_h, rc_h), ys[4:]
+
+    if batched:
+        run1 = jax.vmap(
+            run1,
+            in_axes=(0, 0, None, 0, 0, 0, 0, None, None, 0, 0, 0, None))
+    return jax.jit(run1)
 
 
 def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
@@ -315,109 +453,104 @@ def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
     Mpad = n_slabs * L
     Ngeom = -(-N // 256) * 256          # bucketed: reuse compilations
     pad_extra = 2 * (L + W + 4)
-    opsd = build_operands(a, b, prm, sig, Mpad, Ngeom, flags, pad_extra)
+    opsd = build_operands(a, b, prm, sig, Mpad, Ngeom, flags, pad_extra,
+                          L=L)
 
-    ops = {
+    ops_b = {
         "rb_code": jnp.asarray(opsd.rb_code),
         "rb_isdon": jnp.asarray(opsd.rb_isdon),
         "rb_isacc": jnp.asarray(opsd.rb_isacc),
         "rb_sig5": jnp.asarray(opsd.rb_sig5),
         "rb_accb": jnp.asarray(opsd.rb_accb),
-        "rb_dinc5": jnp.asarray(opsd.rb_dinc5),
-        "rb_joint": jnp.asarray(opsd.rb_joint),
+        "rb_d5cls": jnp.asarray(opsd.rb_d5cls),
+        "rb_joint4": jnp.asarray(opsd.rb_joint4),
+    }
+    ops_s = {
         "ipen": jnp.asarray(opsd.ipen),
         "colinit": jnp.asarray(opsd.colinit),
     }
     T = W + 2 * (L - 1)
+    PB, TOTn, PBm, TOTm = _pads(L, T, Ngeom, Mpad)
 
-    # init-row boundary (row m0 - 1 = 0): H[0][n]
+    # init-row boundary (row m0 - 1 = 0): H[0][n], generously padded so
+    # every slice window stays in bounds
+    bnd_h = np.full(TOTn, NEVSEL, dtype=np.int32)
     if flags.a_exgl:
-        bnd_h = np.zeros(Ngeom + 2, dtype=np.int32)
+        bnd_h[PB:PB + N + 1] = 0
     else:
-        ns = np.arange(Ngeom + 2)
-        bnd_h = (prm.gop + prm.gep * ns).astype(np.int32)
-        bnd_h[0] = 0
-    bnd_h[N + 1:] = NEVSEL
-    bnd_f = np.full(Ngeom + 2, NEVSEL, dtype=np.int32)
-    row_h = jnp.full(Ngeom + 2, NEV)
-    rc_h = jnp.full(Mpad + 2, NEV)
+        ns = np.arange(N + 1)
+        bnd_h[PB:PB + N + 1] = (prm.gop + prm.gep * ns).astype(np.int32)
+        bnd_h[PB] = 0
+    bnd_f = np.full(TOTn, NEVSEL, dtype=np.int32)
+    row_h = jnp.full(TOTn, NEV)
+    rc_h = jnp.full(TOTm, NEV)
     bnd_h = jnp.asarray(bnd_h)
     bnd_f = jnp.asarray(bnd_f)
 
     all_flags, all_spj = [], []
     scan = _scan_slab(L, W, prm.gop, prm.gep, prm.intron_llmt, T,
-                      pad_extra // 2, Ngeom, Mpad)
+                      pad_extra // 2, Ngeom, Mpad, opsd.ncls)
     for s in range(n_slabs):
         m0 = s * L + 1
         qprof_slab = jnp.asarray(opsd.qprof[m0 - 1:m0 - 1 + L])
-        carry0 = (
-            jnp.full(L, NEV), jnp.full(L, NEV), jnp.full(L, NEV),
-            jnp.full(L, NEV), jnp.zeros(L, jnp.int32),
-            jnp.full((L, NCAND), NEV), jnp.zeros((L, NCAND), jnp.int32),
-            jnp.zeros((L, NCAND), jnp.int32), jnp.zeros((L, NCAND),
-                                                        jnp.int32),
-            bnd_h, bnd_f, row_h, rc_h)
-        carry, (fl, sp) = scan(carry0, qprof_slab, ops, m0, lw, M, N, M,
-                               flags.a_exgr)
-        bnd_h, bnd_f, row_h, rc_h = carry[9], carry[10], carry[11], carry[12]
+        (bnd_h, bnd_f, row_h, rc_h), (fl, sp) = scan(
+            qprof_slab, ops_b, ops_s, bnd_h, bnd_f, row_h, rc_h, m0, lw,
+            0, M, N, flags.a_exgr)
         all_flags.append(np.asarray(fl))
         all_spj.append(np.asarray(sp))
 
-    row_h = np.asarray(row_h)
-    rc_h = np.asarray(rc_h)
-    # final score selection (lastS_ng semantics)
-    best_val, best_m, best_n = int(row_h[N]), M, N
+    row_np = np.asarray(row_h)[PB:PB + Ngeom + 2]
+    rc_np = np.asarray(rc_h)[PBm:PBm + Mpad + 2]
+    # final score selection (lastS_ng, fwd2s1.cc:188-215): strict > over
+    # row M for r in [max(lw, -M), N - M), then the right column for
+    # r in (N - M, min(up, N)].  The band's lowest slot holds the stale
+    # column value H(-lw, 0); slot N holds the init-row value H(0, N).
+    best_val, best_m, best_n = int(row_np[N]), M, N
+
+    def _col(mm):                      # H(mm, 0) init column value
+        return 0 if flags.b_exgl else prm.gop + prm.gep * mm
     if flags.a_exgr:
-        n_lo = max(M + lw, 0) + 1
-        for n in range(n_lo, N):
-            if row_h[n] > best_val:
-                best_val, best_m, best_n = int(row_h[n]), M, n
+        n_first = max(M + lw, 0)
+        for n in range(n_first, N):
+            if n == n_first and lw >= -M:
+                v = _col(-lw)          # stale band-edge slot
+            elif n == 0:
+                v = _col(M)
+            else:
+                v = int(row_np[n])
+            if v > best_val:
+                best_val, best_m, best_n = v, M, n
     if flags.b_exgr:
-        m_lo = max(N - up, 1)
-        for m in range(m_lo, M):
-            if rc_h[m] > best_val:
-                best_val, best_m, best_n = int(rc_h[m]), m, N
+        for m in range(max(N - up, 0), M):
+            if m == 0:
+                v = 0 if flags.a_exgl else prm.gop + prm.gep * N
+            else:
+                v = int(rc_np[m])
+            if v > best_val:
+                best_val, best_m, best_n = v, m, N
     trace = SliceTrace(flags=all_flags, spj=all_spj, L=L, lw=lw, W=W)
     return best_val, best_m, best_n, trace
-
-
-@functools.lru_cache(maxsize=128)
-def _scan_slab(L, W, gop, gep, llmt, T, pad2, Npad, Mpad,
-               emit_trace=True, batched=False):
-    """Compile one slab runner per static geometry (cached).  Band
-    placement (lw) and true lengths (M, N) are traced arguments, so only
-    the padded geometry (L, W/T, Npad, Mpad) forces a new compilation."""
-    step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad,
-                      emit_trace=emit_trace)
-
-    def run1(carry0, qprof_slab, ops, m0, lw, M, N, mrow, a_exgr):
-        f = functools.partial(step, qprof_slab=qprof_slab, ops=ops, m0=m0,
-                              lw=lw, M=M, N=N, mrow=mrow, a_exgr=a_exgr)
-        return jax.lax.scan(f, carry0, jnp.arange(T))
-
-    if batched:
-        # batch axis over problems: carry/operands batched, step scalar
-        # args (m0, a_exgr) shared, per-problem lw/M/N/mrow batched (each
-        # problem may place its band independently)
-        run1 = jax.vmap(run1,
-                        in_axes=(0, 0, 0, None, 0, 0, 0, 0, None))
-    return jax.jit(run1)
 
 
 @dataclass
 class BatchProblem:
     """Device-resident batched operands (host prep separated from the DP
-    execute so benchmarks measure pure device throughput)."""
+    execute so benchmarks measure pure device throughput).  ops holds the
+    per-problem (batched) operands; ops_s the batch-shared tables (intron
+    penalty, init column).  Band placements are pre-baked into the operand
+    layout as deltas = lws - lw (see build_operands shift)."""
     ops: dict
+    ops_s: dict
     qprof_all: object          # jnp (B, Mpad, alpha)
     bnd_h0: object
     bnd_f0: object
     Ms: list
     Ns: list
     lws: list
+    deltas: list
     Ms_j: object
     Ns_j: object
-    lws_j: object
+    deltas_j: object
     B: int
     L: int
     W: int
@@ -427,6 +560,8 @@ class BatchProblem:
     Nmax: int
     T: int
     pad2: int
+    PB: int
+    ncls: int
     n_slabs: int
     flags: DpFlags
 
@@ -441,8 +576,7 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     """Host stage: pad B problems to a common geometry and ship operands.
 
     Either one (lw, up) band for the whole batch, or per-problem band
-    placements ``lws`` with a common width ``W`` (each problem's band is
-    [lws[i], lws[i] + W - 1])."""
+    placements ``lws`` with a common width ``W``."""
     flags = flags or DpFlags()
     B = len(queries)
     Ms = [len(q) for q in queries]
@@ -456,109 +590,137 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     else:
         assert W is not None
         lw, up = min(lws), max(lws) + W - 1
+    deltas = [l - lw for l in lws]      # per-problem band shift >= 0
+    dmax = max(deltas)
+    dpad = -(-dmax // 256) * 256 if dmax else 0   # bucketed pad
     n_slabs = (Mmax + L - 1) // L
     Mpad = n_slabs * L
     Nmax = -(-Nmax // 256) * 256        # bucketed: reuse compilations
-    pad_extra = 2 * (L + W + 4)
+    pad_extra = 2 * (L + W + 4 + dpad)
     T = W + 2 * (L - 1)
+    PB, TOTn, PBm, TOTm = _pads(L, T, Nmax, Mpad)
 
     keys = ("rb_code", "rb_isdon", "rb_isacc", "rb_sig5", "rb_accb",
-            "rb_dinc5", "rb_joint", "ipen", "colinit")
+            "rb_d5cls", "rb_joint4")
     stacked = {k: [] for k in keys}
     qprofs = []
+    ncls = 4
+    colinit = None
+    any_sig = sigs is not None and any(s is not None for s in sigs)
     for i in range(B):
         sig = sigs[i] if sigs is not None else None
         od = build_operands(np.asarray(queries[i]), np.asarray(genomes[i]),
-                            prm, sig, Mpad, Nmax, flags, pad_extra)
-        # build_operands right-aligns reversed data at pad2 + Nmax, so
-        # index pad2 + Nmax - n addresses b[n-1] uniformly across
-        # problems of different N
-        for k, arr in (("rb_code", od.rb_code), ("rb_isdon", od.rb_isdon),
-                       ("rb_isacc", od.rb_isacc), ("rb_sig5", od.rb_sig5),
-                       ("rb_accb", od.rb_accb), ("rb_dinc5", od.rb_dinc5),
-                       ("rb_joint", od.rb_joint)):
-            stacked[k].append(arr)
-        stacked["ipen"].append(od.ipen)
-        stacked["colinit"].append(od.colinit)
+                            prm, sig, Mpad, Nmax, flags, pad_extra, L=L,
+                            shift=deltas[i])
+        ncls = od.ncls
+        for k in keys:
+            stacked[k].append(getattr(od, k))
         qprofs.append(od.qprof)
+        colinit = od.colinit            # prm/flags-derived: batch-shared
     ops = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
     qprof_all = jnp.asarray(np.stack(qprofs))          # (B, Mpad, 17)
+    # intron penalty table is batch-shared (one prm per batch); a no-sig
+    # problem never pushes donor candidates, so the table is inert there
+    ipen = (prm.intron_table(Nmax + 1) if any_sig
+            else np.full(Nmax + 1, NEVSEL // 2, dtype=np.int32))
+    ops_s = {"ipen": jnp.asarray(ipen), "colinit": jnp.asarray(colinit)}
 
-    if flags.a_exgl:
-        bnd_h = np.zeros((B, Nmax + 2), dtype=np.int32)
-    else:
-        ns = np.arange(Nmax + 2)
-        bnd_h = np.broadcast_to((prm.gop + prm.gep * ns).astype(np.int32),
-                                (B, Nmax + 2)).copy()
-        bnd_h[:, 0] = 0
+    bnd_h = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     for i in range(B):
-        bnd_h[i, Ns[i] + 1:] = NEVSEL
-    bnd_f = np.full((B, Nmax + 2), NEVSEL, dtype=np.int32)
-    return BatchProblem(ops=ops, qprof_all=qprof_all,
+        o = PB - deltas[i]              # storage: PB + n - delta
+        if flags.a_exgl:
+            bnd_h[i, o:o + Ns[i] + 1] = 0
+        else:
+            ns = np.arange(Ns[i] + 1)
+            bnd_h[i, o:o + Ns[i] + 1] = (prm.gop
+                                         + prm.gep * ns).astype(np.int32)
+            bnd_h[i, o] = 0
+    bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
+    return BatchProblem(ops=ops, ops_s=ops_s, qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
-                        Ms=Ms, Ns=Ns, lws=lws, Ms_j=jnp.asarray(Ms),
-                        Ns_j=jnp.asarray(Ns), lws_j=jnp.asarray(lws),
+                        Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
+                        Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
+                        deltas_j=jnp.asarray(deltas),
                         B=B, L=L, W=W, lw=lw, up=up,
                         Mpad=Mpad, Nmax=Nmax, T=T, pad2=pad_extra // 2,
-                        n_slabs=n_slabs, flags=flags)
+                        PB=PB, ncls=ncls, n_slabs=n_slabs, flags=flags)
 
 
 def run_spliced_batch(bp: BatchProblem, prm: DpParams,
                       score_only: bool = True, block: bool = True):
     """Device stage: run all slabs; returns (row_h, rc_h, traces_raw)."""
     B, L = bp.B, bp.L
+    _, TOTn, _, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
     scan = _scan_slab(L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
+                      bp.ncls,
                       emit_trace=not score_only, batched=True)
     bnd_h, bnd_f = bp.bnd_h0, bp.bnd_f0
-    row_h = jnp.full((B, bp.Nmax + 2), NEV)
-    rc_h = jnp.full((B, bp.Mpad + 2), NEV)
+    row_h = jnp.full((B, TOTn), NEV)
+    rc_h = jnp.full((B, TOTm), NEV)
     traces = []
+    lw0 = jnp.asarray(bp.lw)            # batch-shared band base (traced)
     for s in range(bp.n_slabs):
         m0 = s * L + 1
         qprof_slab = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
                                                   axis=1)
-        carry0 = (
-            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
-            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
-            jnp.zeros((B, L), jnp.int32),
-            jnp.full((B, L, NCAND), NEV),
-            jnp.zeros((B, L, NCAND), jnp.int32),
-            jnp.zeros((B, L, NCAND), jnp.int32),
-            jnp.zeros((B, L, NCAND), jnp.int32),
-            bnd_h, bnd_f, row_h, rc_h)
-        carry, ys = scan(carry0, qprof_slab, bp.ops, m0, bp.lws_j,
-                         bp.Ms_j, bp.Ns_j, bp.Ms_j, bp.flags.a_exgr)
-        bnd_h, bnd_f, row_h, rc_h = (carry[9], carry[10], carry[11],
-                                     carry[12])
+        (bnd_h, bnd_f, row_h, rc_h), ys = scan(
+            qprof_slab, bp.ops, bp.ops_s, bnd_h, bnd_f, row_h, rc_h, m0,
+            lw0, bp.deltas_j, bp.Ms_j, bp.Ns_j, bp.flags.a_exgr)
         if not score_only:
             traces.append(ys)
     if block:
-        row_h.block_until_ready()
+        # materialize one element: block_until_ready alone does not
+        # guarantee completion on remote-tunnel backends
+        np.asarray(row_h[:1, :1])
     return row_h, rc_h, traces
 
 
 def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
-                          score_only: bool):
+                          score_only: bool, prm: DpParams | None = None):
     """Host stage: final score/end extraction (lastS_ng semantics)."""
-    row_np = np.asarray(row_h)
-    rc_np = np.asarray(rc_h)
+    PB, _, PBm, _ = _pads(bp.L, bp.T, bp.Nmax, bp.Mpad)
+    prm_gop = prm.gop if prm is not None else 0
+    prm_gep = prm.gep if prm is not None else 0
+    row_full = np.asarray(row_h)
+    rc_full = np.asarray(rc_h)
     flags = bp.flags
     scores = np.empty(bp.B, dtype=np.int64)
     ends = np.empty((bp.B, 2), dtype=np.int64)
     for i in range(bp.B):
         M, N = bp.Ms[i], bp.Ns[i]
         lw, up = bp.lws[i], bp.lws[i] + bp.W - 1
-        bv, bm, bn = int(row_np[i, N]), M, N
+        d = bp.deltas[i]                # storage: PB + n - delta
+        row_np_i = row_full[i, PB - d:PB - d + bp.Nmax + 2]
+        rc_np_i = rc_full[i, PBm - d:PBm - d + bp.Mpad + 2]
+        bv, bm, bn = int(row_np_i[N]), M, N
+
+        def _col(mm):
+            return 0 if flags.b_exgl else prm_gop + prm_gep * mm
         if flags.a_exgr:
-            n_lo = max(M + lw, 0) + 1
-            seg = row_np[i, n_lo:N]
+            n_first = max(M + lw, 0)
+            # stale band-edge / column-0 corner candidates come first in
+            # the oracle's strict-> scan order
+            if lw >= -M:
+                v = _col(-lw)
+                if v > bv:
+                    bv, bm, bn = v, M, n_first
+            elif n_first == 0:
+                v = _col(M)
+                if v > bv:
+                    bv, bm, bn = v, M, 0
+            n_lo = max(n_first, 1)
+            seg = row_np_i[n_lo:N]
             if len(seg) and seg.max() > bv:
                 k = int(np.argmax(seg))
                 bv, bm, bn = int(seg[k]), M, n_lo + k
         if flags.b_exgr:
+            if max(N - up, 0) == 0:
+                v = 0 if flags.a_exgl else prm_gop + prm_gep * N
+                if v > bv:
+                    bv, bm, bn = v, 0, N
             m_lo = max(N - up, 1)
-            seg = rc_np[i, m_lo:M]
+            seg = rc_np_i[m_lo:M]
             if len(seg) and seg.max() > bv:
                 k = int(np.argmax(seg))
                 bv, bm, bn = int(seg[k]), m_lo + k, N
@@ -586,7 +748,8 @@ def forward_spliced_batch(queries: list, genomes: list, prm: DpParams,
     bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs, lw=lw,
                                up=up, flags=flags, L=L)
     row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=score_only)
-    return collect_batch_results(bp, row_h, rc_h, traces, score_only)
+    return collect_batch_results(bp, row_h, rc_h, traces, score_only,
+                                 prm=prm)
 
 
 @dataclass
