@@ -67,7 +67,9 @@ def make(variant):
     do_slices = variant in ("slices", "recur", "cand", "full")
     do_recur = variant in ("recur", "cand", "full")
     do_cand = variant in ("cand", "full")
-    do_ipen = variant == "full"
+    do_ipen = variant.startswith("full")
+    tabsz = {"full": 16384, "full1k": 1023, "full512": 511,
+             "full128": 127}.get(variant, 16384)
 
     def step(carry, t):
         h1, h2, f1, e1, cv, cj, cd = carry
@@ -117,7 +119,7 @@ def make(variant):
             n = (9000 + t) - jnp.arange(L)[None, :]
             ilen = n[:, :, None] - cj
             if do_ipen:
-                pen = jnp.take(ipen, jnp.clip(ilen, 0, 16384))
+                pen = jnp.take(ipen, jnp.clip(ilen, 0, tabsz))
             else:
                 pen = jnp.clip(ilen, -5000, 0)
             j16 = jnp.zeros((B, L, NCAND), jnp.int32)
