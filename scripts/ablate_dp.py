@@ -69,7 +69,7 @@ def make(variant):
     do_cand = variant in ("cand", "full")
     do_ipen = variant.startswith("full")
     tabsz = {"full": 16384, "full1k": 1023, "full512": 511,
-             "full128": 127}.get(variant, 16384)
+             "full128": 127, "fullsplit": -1}.get(variant, 16384)
 
     def step(carry, t):
         h1, h2, f1, e1, cv, cj, cd = carry
@@ -118,7 +118,14 @@ def make(variant):
         if do_cand:
             n = (9000 + t) - jnp.arange(L)[None, :]
             ilen = n[:, :, None] - cj
-            if do_ipen:
+            if do_ipen and tabsz < 0:
+                # round-2 candidate fix: one bare-clip small take + an
+                # arithmetically-computed tail, one select between them
+                head = jnp.take(ipen, jnp.clip(ilen, 0, 1023))
+                nf = jnp.maximum(ilen - 200, 1).astype(jnp.float32)
+                tail = (-3000.0 - 47.0 * jnp.log(nf)).astype(jnp.int32)
+                pen = jnp.where(ilen >= 1024, tail, head)
+            elif do_ipen:
                 pen = jnp.take(ipen, jnp.clip(ilen, 0, tabsz))
             else:
                 pen = jnp.clip(ilen, -5000, 0)
@@ -171,5 +178,11 @@ def make(variant):
 import sys as _s
 for v in [_s.argv[4] if len(_s.argv) > 4 else "full"]:
     f = make(v)
+    if len(_s.argv) > 5 and _s.argv[5] == "profile":
+        r = f(); jax.block_until_ready(r)
+        import jax.profiler as _jp
+        with _jp.trace("/tmp/jxprof2"):
+            r = f(); jax.block_until_ready(r)
+            np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
     dt = timeit(f)
     report(v, dt)
