@@ -63,17 +63,18 @@ def carry0():
             jnp.zeros((B, L, NCAND), jnp.int32))
 
 
-def make(variant):
-    do_slices = variant in ("slices", "recur", "cand", "full")
-    do_recur = variant in ("recur", "cand", "full")
-    do_cand = variant in ("cand", "full")
-    do_ipen = variant.startswith("full")
+def make(variant, c0=None):
+    v0 = variant.replace("_arg", "")
+    do_slices = v0 in ("slices", "recur", "cand", "full")
+    do_recur = v0 in ("recur", "cand", "full")
+    do_cand = v0 in ("cand", "full")
+    do_ipen = v0.startswith("full")
     tabsz = {"full": 16384, "full1k": 1023, "full512": 511,
-             "full128": 127, "fullsplit": -1}.get(variant, 16384)
+             "full128": 127, "fullsplit": -1}.get(v0, 16384)
 
-    def step(carry, t):
+    def step(carry, t, *, coff=None):
         h1, h2, f1, e1, cv, cj, cd = carry
-        base = 9000 - t
+        base = (9000 - t) if coff is None else (coff - t)
 
         def sl(a):
             return jax.lax.dynamic_slice(a, (0, base), (B, L))
@@ -168,10 +169,17 @@ def make(variant):
         h_out = mx_val
         return (h_out, h1, f_val, e_val, cv, cj, cd), h_out[:, -1]
 
-    @jax.jit
-    def run():
-        c, ys = jax.lax.scan(step, carry0(), jnp.arange(T), unroll=4)
-        return c[0], ys
+    if variant.endswith("_arg"):
+        @jax.jit
+        def run(coff=jnp.asarray(9000)):
+            f = functools.partial(step, coff=coff)
+            c, ys = jax.lax.scan(f, carry0(), jnp.arange(T), unroll=4)
+            return c[0], ys
+    else:
+        @jax.jit
+        def run():
+            c, ys = jax.lax.scan(step, carry0(), jnp.arange(T), unroll=4)
+            return c[0], ys
     return run
 
 

@@ -11,7 +11,16 @@ outputs: left (E/H) = same lane @ t-1, up (F/H) = lane i-1 @ t-1,
 diag = lane i-1 @ t-2.  All genome-indexed operands (residues, splice
 signals, acceptor tables) are read as contiguous slices of pre-reversed
 arrays, so each step is pure VPU work with no gathers except the
-intron-length penalty lookup.
+intron-length penalty lookup (bucket-split into <=1024-entry constant
+tables, see _pack_ipen).
+
+The step is authored NATIVELY BATCHED over B problems — (B, L) lanes,
+(B, L, NCAND) candidates — never vmapped: vmap rewrites the penalty
+take into a batch-dims gather that Mosaic lowers to a scalar SMEM loop,
+~500x slower than the vectorized small-table gather (profiled;
+PERF_NOTES.md).  Per-problem band placement is pre-baked into the
+operand layout (build_operands shift) so every in-scan dynamic-slice
+start is batch-invariant.
 
 Splice state per lane: the NCAND=4 donor-candidate list (value, junction,
 state, donor dinucleotide) kept sorted by value with masked insertion —
@@ -21,7 +30,7 @@ bitmask.  Tie-breaking and comparison directions follow the scalar oracle
 
 Query rows beyond one slab of L lanes run as consecutive slabs; slab i+1
 reads its top boundary (H/F of the previous slab's last row, per n) from
-buffers the previous slab scatter-writes one element per step.
+buffers the previous slab writes as post-scan windows.
 
 Scores are x10 fixed-point int32 (no re-basing needed, unlike the
 reference's int16 lanes, fwd2s1_simd.cc:458-465).
@@ -67,8 +76,8 @@ def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
                    L: int = 128, shift: int = 0) -> SplicedOperands:
     """``shift`` pre-bakes this problem's band placement (lw - lw0) into
     the array layout so the per-step slice offsets inside the scan are
-    batch-invariant — under vmap a batch-varying dynamic-slice start
-    lowers to a gather, which dominated the step cost."""
+    batch-invariant (a batch-varying dynamic-slice start lowers to a
+    gather)."""
     M, N = len(a), len(b)
     qprof = np.zeros((Mpad, prm.qprof_mtx.shape[1]), dtype=np.int32)
     qprof[:M] = prm.qprof_mtx[np.asarray(a, dtype=np.int64)]
@@ -130,19 +139,40 @@ def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
                            M=M, N=N)
 
 
+def _pack_ipen(tab: np.ndarray) -> tuple:
+    """Reduce the dense penalty table (built by DpParams.intron_table,
+    which quantizes lengths to ipen_bucket_bases) to the per-bucket
+    (base, value) pairs, as a hashable tuple-of-pairs so it enters the
+    compiled slab as compile-time constants (part of the _scan_slab
+    cache key).  The kernel evaluates the buckets as a compare/select
+    chain: every gather formulation of this lookup — any table size,
+    placement, clip structure, index rank — lowers to a serialized
+    scalar loop on this toolchain (~350 us/step, profiled), while ~200
+    compare/selects cost ~15 us/step (PERF_NOTES.md)."""
+    from .params import ipen_bucket_bases
+    tab = np.asarray(tab, dtype=np.int32)
+    bases = ipen_bucket_bases(len(tab))
+    vals = tab[bases]
+    # drop consecutive buckets with equal values (common in flat spans)
+    keep = np.ones(len(bases), dtype=bool)
+    keep[1:] = vals[1:] != vals[:-1]
+    return tuple((int(b), int(v))
+                 for b, v in zip(bases[keep], vals[keep]))
+
+
 def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
     """Masked insertion of (x, jnc, kdir, d5) into the sorted candidate
-    list (L, NCAND), evicting the worst.  Ties keep existing entries first
-    (reference scans from the tail with strict >, fwd2s1.cc:393-398)."""
-    pos = jnp.sum(cv >= x[:, None], axis=1)              # insertion slot
-    slot = jnp.arange(NCAND)[None, :]
-    ins_here = (slot == pos[:, None]) & do_push[:, None]
-    shift = (slot > pos[:, None]) & do_push[:, None]
+    list (B, L, NCAND), evicting the worst.  Ties keep existing entries
+    first (reference scans from the tail with strict >, fwd2s1.cc:393-398)."""
+    pos = jnp.sum(cv >= x[..., None], axis=-1)           # insertion slot
+    slot = jnp.arange(NCAND)[None, None, :]
+    ins_here = (slot == pos[..., None]) & do_push[..., None]
+    shift = (slot > pos[..., None]) & do_push[..., None]
 
     def place(arr, new):
         shifted = jnp.concatenate(
-            [arr[:, :1], arr[:, :-1]], axis=1)           # arr[j-1]
-        return jnp.where(ins_here, new[:, None],
+            [arr[..., :1], arr[..., :-1]], axis=-1)      # arr[j-1]
+        return jnp.where(ins_here, new[..., None],
                          jnp.where(shift, shifted, arr))
 
     return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c5, d5))
@@ -150,105 +180,113 @@ def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
 
 def _pads(L, T, Npad, Mpad):
     """Left pad / total sizes for the n-indexed (boundary, final-row) and
-    m-indexed (right-column) write-back arrays.  Values for problem i sit
-    at PB + n - delta_i (n-indexed) / PBm + m - delta_i (m-indexed) where
-    delta_i = lw_i - lw0 is the per-problem band shift, so PB must cover
-    the largest shift (<= Mpad + Npad) and the totals every window."""
-    PBn = Mpad + Npad + L + 16
+    m-indexed (right-column) write-back arrays.  Windows are written at
+    BATCH-SHARED cursors; per-problem placement is applied by the host
+    readers (collect).  Storage conventions (delta = lw_i - lw0):
+      bnd:   p = PBn + n - delta
+      row_h: p = PBn + n - delta + li - L     (li = lane of final row M)
+      rc_h:  p = PBm + m - delta - (Npad - N)
+    so the left pads must absorb the largest negative offsets."""
+    PBn = Mpad + Npad + 2 * L + 16
     TOTn = PBn + Mpad + Npad + T + 2 * L + 16
-    PBm = Mpad + Npad + L + 16
+    PBm = Mpad + 2 * Npad + L + 16
     TOTm = PBm + 2 * Mpad + Npad + T + L + 16
     return PBn, TOTn, PBm, TOTm
 
 
-def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
+def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
                n_states=3, emit_trace=True):
-    """Build the scan step (closures over static geometry; lw0, delta,
-    m0, M, N traced).  TPU-tuned: no per-step scatters (boundary/result
-    values are emitted as scan outputs and written back as contiguous
-    slices after the scan — their cursors advance by exactly one column
-    per step), and every per-step dynamic-slice start is batch-invariant
-    (band placement is pre-baked into the operand layout as delta =
-    lw - lw0; a batch-varying start under vmap lowers to a gather, which
-    dominated the step cost).  The only remaining per-element gather is
-    the intron-length penalty lookup; substitution scores and the
-    donor/acceptor joint table use one-hot arithmetic."""
+    """Build the scan step — natively batched over B (closures over
+    static geometry; lw0, delta, m0, M, N traced).  TPU-tuned: no
+    per-step scatters (boundary/result values are emitted as scan
+    outputs and written back as contiguous windows after the scan),
+    every dynamic-slice start batch-invariant, no vmap anywhere (vmap
+    turns the penalty take into a scalar-lowered gather), and the
+    penalty lookup evaluated as a compare/select chain over the
+    (base, value) constants in ipen_key (PERF_NOTES.md)."""
 
-    def step(carry, t, *, qprof_slab, ops_b, ops_s, bnd_h, bnd_f, col_m,
-             col_m1, e_const, m0, lw0, delta, M, N, a_exgr):
+    def step(carry, t, *, B, qprof_slab, ops_b, ops_s, bnd_h, bnd_f,
+             col_m, col_m1, e_const, li, m0, lw0, delta, M, N, a_exgr):
         (h1, h2, f1, e1, psp, cv, cj, cd, c5) = carry
         a_exgr = jnp.asarray(a_exgr, bool)
-        lw = lw0 + delta                                  # real band lw
-        lanes = jnp.arange(L)
+        lanes = jnp.arange(L)                             # (L,)
+        dl = delta[:, None]                               # (B, 1)
         m = m0 + lanes                                    # (L,)
-        n = (m0 + lw + 1 + t) - lanes
+        n = (m0 + lw0 + 1 + t) + dl - lanes[None, :]      # (B, L) real
         r_off = t - 2 * lanes                             # r - (lw+1)
-        started = r_off >= 0
-        in_band = r_off < W
-        active = (started & in_band & (n >= 1) & (n <= N)
-                  & (m >= 1) & (m <= M))
-        first = r_off == 0                                # lane (re)activates
+        started = (r_off >= 0)[None, :]
+        in_band = (r_off < W)[None, :]
+        active = (started & in_band & (n >= 1) & (n <= N[:, None])
+                  & (m >= 1)[None, :] & (m <= M[:, None]))
+        first = (r_off == 0)[None, :]                     # lane (re)activates
 
         # ---- reversed-array slices: value at (base + i) = orig[n_i - 1];
         # splice signals index the boundary position n itself (base - 1).
         # base uses lw0 (batch-shared) — the per-problem lw shift is baked
         # into the array placement (build_operands shift)
-        base = pad2 + Npad - (m0 + lw0 + 1 + t)           # index for lane 0
-        sl = lambda arr, o=0: jax.lax.dynamic_slice_in_dim(arr, base + o, L)
+        base = pad2 + Npad - (m0 + lw0 + 1 + t)           # lane-0 index
+        sl = lambda arr, o=0: jax.lax.dynamic_slice(arr, (0, base + o),
+                                                    (B, L))
         b_code = sl(ops_b["rb_code"])
         isdon = sl(ops_b["rb_isdon"], -1) != 0
         isacc = sl(ops_b["rb_isacc"], -1) != 0
         sig5 = sl(ops_b["rb_sig5"], -1)
         accb = sl(ops_b["rb_accb"], -1)
         d5cls = sl(ops_b["rb_d5cls"], -1)
-        joint4 = jax.lax.dynamic_slice(ops_b["rb_joint4"], (base - 1, 0),
-                                       (L, ncls))
+        joint4 = jax.lax.dynamic_slice(ops_b["rb_joint4"],
+                                       (0, base - 1, 0), (B, L, ncls))
 
         # substitution score s(a[m-1], b[n-1]) by one-hot accumulation
-        alpha = qprof_slab.shape[1]
-        score = jnp.zeros(L, jnp.int32)
+        # (the per-class qprof slices are scan-invariant and hoisted)
+        alpha = qprof_slab.shape[-1]
+        score = jnp.zeros((B, L), jnp.int32)
         for k in range(alpha):
-            score = score + jnp.where(b_code == k, qprof_slab[:, k], 0)
+            score = score + jnp.where(b_code == k, qprof_slab[:, :, k], 0)
 
-        # ---- neighbor values
-        up_h = jnp.concatenate([jnp.full((1,), NEV), h1[:-1]])
-        up_f = jnp.concatenate([jnp.full((1,), NEV), f1[:-1]])
-        diag_h = jnp.concatenate([jnp.full((1,), NEV), h2[:-1]])
-        # lane 0 reads the previous slab / init row boundary (padded);
-        # storage position PB + n - delta, read at the shared cursor
+        # ---- neighbor values (lane shifts)
+        negcol = jnp.full((B, 1), NEV)
+        up_h = jnp.concatenate([negcol, h1[:, :-1]], axis=1)
+        up_f = jnp.concatenate([negcol, f1[:, :-1]], axis=1)
+        diag_h = jnp.concatenate([negcol, h2[:, :-1]], axis=1)
+        # lane 0 reads the previous slab / init row boundary, stored at
+        # PB + n - delta and read at the shared (shifted) cursor
         n0s = m0 + lw0 + 1 + t                            # shifted cursor
-        n0 = n0s + delta                                  # real column
-        bh = jax.lax.dynamic_slice_in_dim(bnd_h, n0s - 1 + PB, 2)
-        bf = jax.lax.dynamic_slice_in_dim(bnd_f, n0s - 1 + PB, 2)
-        up_h = up_h.at[0].set(jnp.where(n0 <= N + 1, bh[1], NEV))
-        up_f = up_f.at[0].set(jnp.where(n0 <= N + 1, bf[1], NEV))
-        diag_h = diag_h.at[0].set(jnp.where(n0 - 1 <= N, bh[0], NEV))
+        n0 = n0s + delta                                  # (B,) real col
+        bh = jax.lax.dynamic_slice(bnd_h, (0, n0s - 1 + PB), (B, 2))
+        bf = jax.lax.dynamic_slice(bnd_f, (0, n0s - 1 + PB), (B, 2))
+        lane0 = (lanes == 0)[None, :]
+        up_h = jnp.where(lane0, jnp.where(n0 <= N + 1, bh[:, 1],
+                                          NEV)[:, None], up_h)
+        up_f = jnp.where(lane0, jnp.where(n0 <= N + 1, bf[:, 1],
+                                          NEV)[:, None], up_f)
+        diag_h = jnp.where(lane0, jnp.where(n0 - 1 <= N, bh[:, 0],
+                                            NEV)[:, None], diag_h)
         left_h = h1
-        # column-0 overrides (col_m/col_m1 precomputed per slab)
+        # column-0 overrides (col_m/col_m1 precomputed per slab, shared);
         # band-edge cells (first computed diagonal r = lw + 1) read the
         # band's lw slot as LEFT — the stale column value H(-lw, 0),
         # constant across rows (dp_spliced_ref init, mirroring fwd2s1's
         # band-edge convention); the diagonal is the previous row's edge
         # cell, which the lane shift already provides
         edge = first & (n != 1)
-        left_h = jnp.where(n == 1, col_m,
-                           jnp.where(edge, e_const,
+        left_h = jnp.where(n == 1, col_m[None, :],
+                           jnp.where(edge, e_const[:, None],
                                      jnp.where(first, NEV, left_h)))
-        diag_h = jnp.where(n == 1, col_m1, diag_h)
+        diag_h = jnp.where(n == 1, col_m1[None, :], diag_h)
         # band-right edge: vertical sources invalid
-        at_top = r_off >= W - 1
+        at_top = (r_off >= W - 1)[None, :]
         up_h = jnp.where(at_top, NEV, up_h)
         up_f = jnp.where(at_top, NEV, up_f)
         e1 = jnp.where(first, NEV, e1)
         psp = jnp.where(first, 0, psp)
-        cv = jnp.where(first[:, None], NEV, cv)
-        cj = jnp.where(first[:, None], 0, cj)
-        cd = jnp.where(first[:, None], 0, cd)
-        c5 = jnp.where(first[:, None], 0, c5)
+        cv = jnp.where(first[..., None], NEV, cv)
+        cj = jnp.where(first[..., None], 0, cj)
+        cd = jnp.where(first[..., None], 0, cd)
+        c5 = jnp.where(first[..., None], 0, c5)
 
         # ================= recurrence (order = fwd2s1.cc:276-431) =========
         h_val = diag_h + score                            # Diagonal
-        mx_val, mx_k = h_val, jnp.zeros(L, jnp.int32)
+        mx_val, mx_k = h_val, jnp.zeros((B, L), jnp.int32)
         # Vertical (F): new-gap >= extend
         xo = up_h + gop
         f_open = xo >= up_f
@@ -266,25 +304,34 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
         mx_k = jnp.where(ge, 1, mx_k)
 
         # ---- acceptor close (fwd2s1.cc:333-354)
-        internal = (~a_exgr) | (m < M)
-        acc_ok = isacc & internal & active & (n < N)
-        ilen = n[:, None] - cj                            # (L, NCAND)
-        pen = jnp.take(ops_s["ipen"], jnp.clip(ilen, 0, Npad))
-        j16 = jnp.zeros((L, NCAND), jnp.int32)
+        internal = (~a_exgr) | (m[None, :] < M[:, None])
+        acc_ok = isacc & internal & active & (n < N[:, None])
+        ilen = n[..., None] - cj                          # (B, L, NCAND)
+        # penalty via a compare/select chain over the bucket constants
+        # (ascending bases, last write wins) — every gather formulation
+        # of this lookup serializes scalar-side on this toolchain (see
+        # _pack_ipen / PERF_NOTES.md)
+        pen = jnp.full_like(ilen, NEVSEL // 2)
+        for b_, v_ in ipen_key:
+            if b_ > Npad:
+                break
+            pen = jnp.where(ilen >= b_, v_, pen)
+        j16 = jnp.zeros((B, L, NCAND), jnp.int32)
         for c in range(ncls):
-            j16 = j16 + jnp.where(c5 == c, joint4[:, c][:, None], 0)
-        xc = cv + pen + accb[:, None] + j16
-        cand_ok = (acc_ok[:, None] & (ilen >= llmt) & (cv > NEV // 2))
+            j16 = j16 + jnp.where(c5 == c, joint4[..., c][..., None], 0)
+        xc = cv + pen + accb[..., None] + j16
+        cand_ok = (acc_ok[..., None] & (ilen >= llmt) & (cv > NEV // 2))
         xc = jnp.where(cand_ok, xc, NEV)
         state_vals = [h_val, e_val, f_val]
         spj = []
         for k in range(n_states):
             cur = state_vals[k]
-            jnc_k = jnp.zeros(L, jnp.int32)
+            jnc_k = jnp.zeros((B, L), jnp.int32)
             for l in range(NCAND):                        # best-first order
-                take = (cd[:, l] == k) & (xc[:, l] >= cur) & cand_ok[:, l]
-                cur = jnp.where(take, xc[:, l], cur)
-                jnc_k = jnp.where(take, cj[:, l] + 1, jnc_k)
+                take = ((cd[..., l] == k) & (xc[..., l] >= cur)
+                        & cand_ok[..., l])
+                cur = jnp.where(take, xc[..., l], cur)
+                jnc_k = jnp.where(take, cj[..., l] + 1, jnc_k)
             state_vals[k] = cur
             spj.append(jnc_k)
             closed = jnc_k > 0
@@ -299,7 +346,7 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
         hdir = mx_k
 
         # ---- donor push (fwd2s1.cc:380-406)
-        don_ok = isdon & internal & active & (n < N)
+        don_ok = isdon & internal & active & (n < N[:, None])
         GOPk = (0, gop, gop)                              # GOP[k//2]
         for k in range(n_states):
             fv = (h_val, e_val, f_val)[k]
@@ -312,7 +359,7 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
             elig &= ~prune
             x = fv + sig5
             cv, cj, cd, c5 = _insert_candidate(
-                cv, cj, cd, c5, x, n, jnp.full(L, k, jnp.int32),
+                cv, cj, cd, c5, x, n, jnp.full((B, L), k, jnp.int32),
                 d5cls, elig)
 
         # ---- masked commit
@@ -321,226 +368,154 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls,
         e1 = jnp.where(active, e_val, e1)
 
         carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5)
-        # ---- emissions (written back as contiguous slices post-scan):
-        # boundary value at the last lane, final-row / right-column cells
-        li = jnp.clip(M - m0, 0, L - 1)
-        row_v = jnp.sum(jnp.where(lanes == li, h_out, 0))
+        # ---- emissions (written back as contiguous windows post-scan):
+        # boundary at the last lane, final-row / right-column cells
+        row_v = jnp.sum(jnp.where(lanes[None, :] == li[:, None],
+                                  h_out, 0), axis=1)
         rcl = n0 - N                                      # lane with n == N
-        rc_v = jnp.sum(jnp.where(lanes == rcl, h_out, 0))
-        ys = (h_out[L - 1], f_out[L - 1], row_v, rc_v)
+        rc_v = jnp.sum(jnp.where(lanes[None, :] == rcl[:, None],
+                                 h_out, 0), axis=1)
+        ys = (h_out[:, L - 1], f_out[:, L - 1], row_v, rc_v)
         if not emit_trace:
             return carry, ys
         flags8 = (hdir.astype(jnp.uint8)
                   | (e_open.astype(jnp.uint8) << 2)
                   | (f_open.astype(jnp.uint8) << 3))
         flags8 = jnp.where(active, flags8, jnp.uint8(255))
-        spj_out = jnp.stack(spj, axis=1).astype(jnp.int32)
+        spj_out = jnp.stack(spj, axis=-1).astype(jnp.int32)
         return carry, ys + (flags8, spj_out)
 
     return step
 
 
-def _seq_update(dst, vals, mask, start, PB, d_extra=0, wlen=None):
-    """Masked contiguous write-back: dst[start+PB+j] <- vals[j - d] for
-    d = clamp-shift + d_extra (the post-scan replacement for per-step
-    scatter updates).  ``start`` must be batch-invariant under vmap (a
-    batch-varying dynamic-update start lowers to a scatter); per-problem
-    placement goes through ``d_extra`` instead, re-aligned by the same
-    take that already handles dynamic_slice start clamping.  ``wlen``
-    widens the window beyond len(vals) when d_extra > 0."""
-    T = vals.shape[0]
-    WLEN = T if wlen is None else wlen
-    TOT = dst.shape[0]
-    s_req = start + PB
-    s = jnp.clip(s_req, 0, TOT - WLEN)
-    d = (s_req - s) + d_extra            # clamp shift + problem placement
-    # dst[s + j] takes vals[j - d] (window position j maps to step j - d)
-    idx = jnp.arange(WLEN) - d
-    ok = (idx >= 0) & (idx < T)
-    cidx = jnp.clip(idx, 0, T - 1)
-    vals2 = jnp.take(vals, cidx)
-    mask2 = jnp.take(mask, cidx) & ok
-    old = jax.lax.dynamic_slice_in_dim(dst, s, WLEN)
-    return jax.lax.dynamic_update_slice_in_dim(
-        dst, jnp.where(mask2, vals2, old), s, 0)
+def _win_update(dst, vals, mask, start, PB):
+    """Masked window write-back at a batch-shared cursor: dst[:, start +
+    PB + t] <- vals[:, t] where mask.  _pads sizes the arrays so the
+    window is always in bounds; per-problem placement is applied by the
+    host readers (collect), keeping every device index batch-invariant
+    (a batch-varying update start would lower to a scatter)."""
+    B, T = vals.shape
+    s = jnp.clip(start + PB, 0, dst.shape[1] - T)
+    old = jax.lax.dynamic_slice(dst, (0, s), (B, T))
+    return jax.lax.dynamic_update_slice(dst, jnp.where(mask, vals, old),
+                                        (0, s))
 
 
 @functools.lru_cache(maxsize=128)
-def _scan_slab(L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
-               emit_trace=True, batched=False, unroll=4):
+def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
+               ipen_key, emit_trace=True, unroll=4):
     """Compile one slab runner per static geometry (cached).  Band
-    placement (lw) and true lengths (M, N) are traced arguments, so only
-    the padded geometry (L, W/T, Npad, Mpad) forces a new compilation."""
+    placement (lw0 + per-problem deltas) and true lengths (M, N) are
+    traced arguments, so only the padded geometry (B, L, W/T, Npad,
+    Mpad) and the penalty-table constant force a new compilation."""
     PBn, _, PBm, _ = _pads(L, T, Npad, Mpad)
     step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PBn, ncls,
-                      emit_trace=emit_trace)
+                      ipen_key, emit_trace=emit_trace)
 
     def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, row_h, rc_h, m0,
              lw0, delta, M, N, a_exgr):
-        lw = lw0 + delta                  # real band placement
+        B = qprof_slab.shape[0]
+        lw = lw0 + delta                  # (B,) real band placement
         col_m = jax.lax.dynamic_slice_in_dim(
             ops_s["colinit"], jnp.clip(m0, 0, Mpad), L)
         col_m1 = jax.lax.dynamic_slice_in_dim(
             ops_s["colinit"], jnp.clip(m0 - 1, 0, Mpad), L)
         e_const = jnp.where(
             lw >= -M,
-            jax.lax.dynamic_slice_in_dim(
-                ops_s["colinit"], jnp.clip(-lw, 0, Mpad + L + 1), 1)[0],
-            NEV)
-        f = functools.partial(step, qprof_slab=qprof_slab, ops_b=ops_b,
-                              ops_s=ops_s, bnd_h=bnd_h, bnd_f=bnd_f,
-                              col_m=col_m, col_m1=col_m1, e_const=e_const,
-                              m0=m0, lw0=lw0, delta=delta, M=M, N=N,
-                              a_exgr=a_exgr)
+            jnp.take(ops_s["colinit"],
+                     jnp.clip(-lw, 0, Mpad + L + 1)), NEV)
+        li = jnp.clip(M - m0, 0, L - 1)   # (B,) lane of final row
+        f = functools.partial(step, B=B, qprof_slab=qprof_slab,
+                              ops_b=ops_b, ops_s=ops_s, bnd_h=bnd_h,
+                              bnd_f=bnd_f, col_m=col_m, col_m1=col_m1,
+                              e_const=e_const, li=li, m0=m0, lw0=lw0,
+                              delta=delta, M=M, N=N, a_exgr=a_exgr)
         carry0 = (
-            jnp.full(L, NEV), jnp.full(L, NEV), jnp.full(L, NEV),
-            jnp.full(L, NEV), jnp.zeros(L, jnp.int32),
-            jnp.full((L, NCAND), NEV), jnp.zeros((L, NCAND), jnp.int32),
-            jnp.zeros((L, NCAND), jnp.int32),
-            jnp.zeros((L, NCAND), jnp.int32))
+            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
+            jnp.full((B, L), NEV), jnp.full((B, L), NEV),
+            jnp.zeros((B, L), jnp.int32),
+            jnp.full((B, L, NCAND), NEV),
+            jnp.zeros((B, L, NCAND), jnp.int32),
+            jnp.zeros((B, L, NCAND), jnp.int32),
+            jnp.zeros((B, L, NCAND), jnp.int32))
         carry, ys = jax.lax.scan(f, carry0, jnp.arange(T), unroll=unroll)
-        bh_v, bf_v, row_v, rc_v = ys[:4]
-        ts = jnp.arange(T)
-        # all write-back cursors are lw0-based (batch-invariant starts);
-        # per-problem placement delta goes through _seq_update d_extra so
-        # values land at PB + n - delta (n-indexed) / PBm + m - delta
+        bh_v, bf_v, row_v, rc_v = [y.T for y in ys[:4]]   # (B, T)
+        ts = jnp.arange(T)[None, :]
+        dl = delta[:, None]
+        # write-back cursors are lw0-based (batch-shared); masks use the
+        # real per-problem coordinates; host readers apply the offsets
+        # (storage conventions in _pads)
         # last-lane boundary: column nl(t) = m0 + lw + 2 - L + t
         m_last = m0 + L - 1
         cb0 = m0 + lw0 + 2 - L
-        nl = cb0 + delta + ts
-        wl = ((ts - 2 * (L - 1) >= 0) & (ts - 2 * (L - 1) < W)
-              & (nl >= 1) & (nl <= N) & (m_last >= 1) & (m_last <= M))
-        bnd_h = _seq_update(bnd_h, bh_v, wl, cb0, PBn)
-        bnd_f = _seq_update(bnd_f, bf_v, wl, cb0, PBn)
-        # final-row cells: lane li = clip(M - m0), column nr(t) = cr + t
-        li = jnp.clip(M - m0, 0, L - 1)
-        in_slab = (M - m0 >= 0) & (M - m0 < L)
+        nl = cb0 + dl + ts
+        wl = (((ts - 2 * (L - 1) >= 0) & (ts - 2 * (L - 1) < W))
+              & (nl >= 1) & (nl <= N[:, None])
+              & (m_last >= 1) & (m_last <= M[:, None]))
+        bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
+        bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
+        # final-row cells: lane li, column nr(t) = m0 + lw + 1 - li + t
+        li = jnp.clip(M - m0, 0, L - 1)[:, None]
+        in_slab = ((M - m0 >= 0) & (M - m0 < L))[:, None]
         cr0 = m0 + lw0 + 1 - L
-        nr = cr0 + delta + (L - li) + ts
+        nr = cr0 + dl + (L - li) + ts
         wr = (in_slab & (ts - 2 * li >= 0) & (ts - 2 * li < W)
-              & (nr >= 1) & (nr <= N))
-        row_h = _seq_update(row_h, row_v, wr, cr0, PBn,
-                            d_extra=L - li, wlen=T + L)
+              & (nr >= 1) & (nr <= N[:, None]))
+        row_h = _win_update(row_h, row_v, wr, cr0, PBn)
         # right-column cells: lane rcl(t) = n0 - N, row mc(t) = cc + t
         cc0 = 2 * m0 + lw0 + 1 - Npad
-        mc = cc0 + delta + (Npad - N) + ts
-        rcl = m0 + lw + 1 + ts - N
+        mc = cc0 + dl + (Npad - N[:, None]) + ts
+        rcl = m0 + lw0 + 1 + dl + ts - N[:, None]
         wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
-              & (ts - 2 * rcl < W) & (mc >= 1) & (mc <= M))
-        rc_h = _seq_update(rc_h, rc_v, wc, cc0, PBm,
-                           d_extra=Npad - N, wlen=T + Npad)
+              & (ts - 2 * rcl < W) & (mc >= 1) & (mc <= M[:, None]))
+        rc_h = _win_update(rc_h, rc_v, wc, cc0, PBm)
         return (bnd_h, bnd_f, row_h, rc_h), ys[4:]
 
-    if batched:
-        run1 = jax.vmap(
-            run1,
-            in_axes=(0, 0, None, 0, 0, 0, 0, None, None, 0, 0, 0, None))
     return jax.jit(run1)
+
+
+def _row_pos(PB, L, n, delta, li):
+    """Host-side storage position of the final-row cell for column n
+    (see _pads conventions)."""
+    return PB + n - delta + li - L
+
+
+def _rc_pos(PBm, Npad, m, delta, N):
+    """Host-side storage position of the right-column cell for row m."""
+    return PBm + m - delta - (Npad - N)
 
 
 def forward_spliced_scan(a: np.ndarray, b: np.ndarray, prm: DpParams,
                          sig: SpliceSignals | None = None,
                          lw: int | None = None, up: int | None = None,
                          flags: DpFlags | None = None, L: int = 128):
-    """Run the wavefront engine for one problem. Returns
-    (score, end_m, end_n, SliceTrace) with host traceback planes."""
+    """Run the wavefront engine for one problem (a batch of one).
+    Returns (score, end_m, end_n, SliceTrace) with host traceback
+    planes."""
     flags = flags or DpFlags()
     M, N = len(a), len(b)
     if lw is None:
         lw, up = -M, N
-    W = up - lw + 1
-    n_slabs = (M + L - 1) // L
-    Mpad = n_slabs * L
-    Ngeom = -(-N // 256) * 256          # bucketed: reuse compilations
-    pad_extra = 2 * (L + W + 4)
-    opsd = build_operands(a, b, prm, sig, Mpad, Ngeom, flags, pad_extra,
-                          L=L)
-
-    ops_b = {
-        "rb_code": jnp.asarray(opsd.rb_code),
-        "rb_isdon": jnp.asarray(opsd.rb_isdon),
-        "rb_isacc": jnp.asarray(opsd.rb_isacc),
-        "rb_sig5": jnp.asarray(opsd.rb_sig5),
-        "rb_accb": jnp.asarray(opsd.rb_accb),
-        "rb_d5cls": jnp.asarray(opsd.rb_d5cls),
-        "rb_joint4": jnp.asarray(opsd.rb_joint4),
-    }
-    ops_s = {
-        "ipen": jnp.asarray(opsd.ipen),
-        "colinit": jnp.asarray(opsd.colinit),
-    }
-    T = W + 2 * (L - 1)
-    PB, TOTn, PBm, TOTm = _pads(L, T, Ngeom, Mpad)
-
-    # init-row boundary (row m0 - 1 = 0): H[0][n], generously padded so
-    # every slice window stays in bounds
-    bnd_h = np.full(TOTn, NEVSEL, dtype=np.int32)
-    if flags.a_exgl:
-        bnd_h[PB:PB + N + 1] = 0
-    else:
-        ns = np.arange(N + 1)
-        bnd_h[PB:PB + N + 1] = (prm.gop + prm.gep * ns).astype(np.int32)
-        bnd_h[PB] = 0
-    bnd_f = np.full(TOTn, NEVSEL, dtype=np.int32)
-    row_h = jnp.full(TOTn, NEV)
-    rc_h = jnp.full(TOTm, NEV)
-    bnd_h = jnp.asarray(bnd_h)
-    bnd_f = jnp.asarray(bnd_f)
-
-    all_flags, all_spj = [], []
-    scan = _scan_slab(L, W, prm.gop, prm.gep, prm.intron_llmt, T,
-                      pad_extra // 2, Ngeom, Mpad, opsd.ncls)
-    for s in range(n_slabs):
-        m0 = s * L + 1
-        qprof_slab = jnp.asarray(opsd.qprof[m0 - 1:m0 - 1 + L])
-        (bnd_h, bnd_f, row_h, rc_h), (fl, sp) = scan(
-            qprof_slab, ops_b, ops_s, bnd_h, bnd_f, row_h, rc_h, m0, lw,
-            0, M, N, flags.a_exgr)
-        all_flags.append(np.asarray(fl))
-        all_spj.append(np.asarray(sp))
-
-    row_np = np.asarray(row_h)[PB:PB + Ngeom + 2]
-    rc_np = np.asarray(rc_h)[PBm:PBm + Mpad + 2]
-    # final score selection (lastS_ng, fwd2s1.cc:188-215): strict > over
-    # row M for r in [max(lw, -M), N - M), then the right column for
-    # r in (N - M, min(up, N)].  The band's lowest slot holds the stale
-    # column value H(-lw, 0); slot N holds the init-row value H(0, N).
-    best_val, best_m, best_n = int(row_np[N]), M, N
-
-    def _col(mm):                      # H(mm, 0) init column value
-        return 0 if flags.b_exgl else prm.gop + prm.gep * mm
-    if flags.a_exgr:
-        n_first = max(M + lw, 0)
-        for n in range(n_first, N):
-            if n == n_first and lw >= -M:
-                v = _col(-lw)          # stale band-edge slot
-            elif n == 0:
-                v = _col(M)
-            else:
-                v = int(row_np[n])
-            if v > best_val:
-                best_val, best_m, best_n = v, M, n
-    if flags.b_exgr:
-        for m in range(max(N - up, 0), M):
-            if m == 0:
-                v = 0 if flags.a_exgl else prm.gop + prm.gep * N
-            else:
-                v = int(rc_np[m])
-            if v > best_val:
-                best_val, best_m, best_n = v, m, N
-    trace = SliceTrace(flags=all_flags, spj=all_spj, L=L, lw=lw, W=W)
-    return best_val, best_m, best_n, trace
+    bp = prepare_spliced_batch([np.asarray(a)], [np.asarray(b)], prm,
+                               sigs=[sig] if sig is not None else None,
+                               lws=[lw], W=up - lw + 1, flags=flags, L=L)
+    row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=False)
+    scores, ends, btr = collect_batch_results(bp, row_h, rc_h, traces,
+                                              False, prm=prm)
+    return int(scores[0]), int(ends[0][0]), int(ends[0][1]), btr[0]
 
 
 @dataclass
 class BatchProblem:
     """Device-resident batched operands (host prep separated from the DP
     execute so benchmarks measure pure device throughput).  ops holds the
-    per-problem (batched) operands; ops_s the batch-shared tables (intron
-    penalty, init column).  Band placements are pre-baked into the operand
-    layout as deltas = lws - lw (see build_operands shift)."""
+    per-problem (batched) operands; ops_s the batch-shared tables; the
+    penalty enters the kernel as a compile-time constant (ipen_key).
+    Band placements are pre-baked into the operand layout as deltas =
+    lws - lw (see build_operands shift)."""
     ops: dict
     ops_s: dict
+    ipen_key: tuple
     qprof_all: object          # jnp (B, Mpad, alpha)
     bnd_h0: object
     bnd_f0: object
@@ -623,7 +598,8 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     # problem never pushes donor candidates, so the table is inert there
     ipen = (prm.intron_table(Nmax + 1) if any_sig
             else np.full(Nmax + 1, NEVSEL // 2, dtype=np.int32))
-    ops_s = {"ipen": jnp.asarray(ipen), "colinit": jnp.asarray(colinit)}
+    ipen_key = _pack_ipen(ipen)
+    ops_s = {"colinit": jnp.asarray(colinit)}
 
     bnd_h = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     for i in range(B):
@@ -636,7 +612,8 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
                                          + prm.gep * ns).astype(np.int32)
             bnd_h[i, o] = 0
     bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
-    return BatchProblem(ops=ops, ops_s=ops_s, qprof_all=qprof_all,
+    return BatchProblem(ops=ops, ops_s=ops_s, ipen_key=ipen_key,
+                        qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
                         Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
                         Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
@@ -651,10 +628,10 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
     """Device stage: run all slabs; returns (row_h, rc_h, traces_raw)."""
     B, L = bp.B, bp.L
     _, TOTn, _, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
-    scan = _scan_slab(L, bp.W, prm.gop, prm.gep,
+    scan = _scan_slab(B, L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
-                      bp.ncls,
-                      emit_trace=not score_only, batched=True)
+                      bp.ncls, bp.ipen_key,
+                      emit_trace=not score_only)
     bnd_h, bnd_f = bp.bnd_h0, bp.bnd_f0
     row_h = jnp.full((B, TOTn), NEV)
     rc_h = jnp.full((B, TOTm), NEV)
@@ -678,7 +655,10 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
 
 def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
                           score_only: bool, prm: DpParams | None = None):
-    """Host stage: final score/end extraction (lastS_ng semantics)."""
+    """Host stage: final score/end extraction (lastS_ng semantics).
+
+    Applies the per-problem storage offsets the device deliberately
+    defers (see _pads conventions)."""
     PB, _, PBm, _ = _pads(bp.L, bp.T, bp.Nmax, bp.Mpad)
     prm_gop = prm.gop if prm is not None else 0
     prm_gep = prm.gep if prm is not None else 0
@@ -690,9 +670,12 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
     for i in range(bp.B):
         M, N = bp.Ms[i], bp.Ns[i]
         lw, up = bp.lws[i], bp.lws[i] + bp.W - 1
-        d = bp.deltas[i]                # storage: PB + n - delta
-        row_np_i = row_full[i, PB - d:PB - d + bp.Nmax + 2]
-        rc_np_i = rc_full[i, PBm - d:PBm - d + bp.Mpad + 2]
+        d = bp.deltas[i]
+        li = (M - 1) % bp.L             # lane of row M in its slab
+        ro = _row_pos(PB, bp.L, 0, d, li)       # row_h base offset
+        co = _rc_pos(PBm, bp.Nmax, 0, d, N)     # rc_h base offset
+        row_np_i = row_full[i, ro:ro + bp.Nmax + 2]
+        rc_np_i = rc_full[i, co:co + bp.Mpad + 2]
         bv, bm, bn = int(row_np_i[N]), M, N
 
         def _col(mm):
@@ -730,8 +713,8 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
         return scores, ends, None
     btraces = []
     for i in range(bp.B):
-        fl = [np.asarray(ys[0][i]) for ys in traces]
-        sp = [np.asarray(ys[1][i]) for ys in traces]
+        fl = [np.asarray(ys[0])[:, i] for ys in traces]
+        sp = [np.asarray(ys[1])[:, i] for ys in traces]
         btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=bp.lws[i],
                                   W=bp.W))
     return scores, ends, btraces
@@ -742,9 +725,9 @@ def forward_spliced_batch(queries: list, genomes: list, prm: DpParams,
                           lw: int = None, up: int = None,
                           flags: DpFlags | None = None, L: int = 128,
                           score_only: bool = True):
-    """Batched wavefront engine: B problems padded to common geometry and
-    vmapped over the slab scan — the throughput path for genome mapping
-    (replaces the reference's ThQueue worker pool, spaln.cc:1220-1468)."""
+    """Batched wavefront engine: B problems padded to common geometry —
+    the throughput path for genome mapping (replaces the reference's
+    ThQueue worker pool, spaln.cc:1220-1468)."""
     bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs, lw=lw,
                                up=up, flags=flags, L=L)
     row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=score_only)
