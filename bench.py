@@ -37,7 +37,9 @@ def main():
                          ipen=IntronPenalty(cfg, CvsG))
     tables = TableDir(find_table_dir())
 
-    B = int(os.environ.get("BENCH_B", 128))
+    # B=256 amortizes the fixed per-step component (1.63 GCUPS vs 1.25
+    # at B=128; plateau ~1.67 by B=512) and is a realistic mapping batch
+    B = int(os.environ.get("BENCH_B", 256))
     M = int(os.environ.get("BENCH_M", 512))
     W = int(os.environ.get("BENCH_W", 4096))
     L = int(os.environ.get("BENCH_L", 128))
