@@ -420,6 +420,7 @@ def _shard_batch(bp, mesh):
         ops_s={k: put(v, P()) for k, v in bp.ops_s.items()},
         qprof_all=put(bp.qprof_all, P(axis)),
         bnd_h0=put(bp.bnd_h0, P(axis)), bnd_f0=put(bp.bnd_f0, P(axis)),
+        bnd_f20=put(bp.bnd_f20, P(axis)),
         Ms_j=put(bp.Ms_j, P(axis)), Ns_j=put(bp.Ns_j, P(axis)),
         deltas_j=put(bp.deltas_j, P(axis)))
 

@@ -194,8 +194,11 @@ def _pads(L, T, Npad, Mpad):
     return PBn, TOTn, PBm, TOTm
 
 
+PSP_BIT = (4, 1, 8, 2, 16)        # psp bits per state (aln.h:56-59)
+
+
 def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
-               n_states=3, emit_trace=True):
+               lgop=0, lgep=0, dagp=False, emit_trace=True):
     """Build the scan step — natively batched over B (closures over
     static geometry; lw0, delta, m0, M, N traced).  TPU-tuned: no
     per-step scatters (boundary/result values are emitted as scan
@@ -203,11 +206,20 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
     every dynamic-slice start batch-invariant, no vmap anywhere (vmap
     turns the penalty take into a scalar-lowered gather), and the
     penalty lookup evaluated as a compare/select chain over the
-    (base, value) constants in ipen_key (PERF_NOTES.md)."""
+    (base, value) constants in ipen_key (PERF_NOTES.md).
+
+    dagp adds the double-affine states E2/F2 (LongGOP/GEP, -yl3;
+    dp_spliced_ref states 3/4) to the recurrence, candidate list and
+    traceback planes."""
+    n_states = 5 if dagp else 3
 
     def step(carry, t, *, B, qprof_slab, ops_b, ops_s, bnd_h, bnd_f,
-             col_m, col_m1, e_const, li, m0, lw0, delta, M, N, a_exgr):
-        (h1, h2, f1, e1, psp, cv, cj, cd, c5) = carry
+             bnd_f2, col_m, col_m1, e_const, li, m0, lw0, delta, M, N,
+             a_exgr):
+        if dagp:
+            (h1, h2, f1, e1, psp, cv, cj, cd, c5, f2_1, e2) = carry
+        else:
+            (h1, h2, f1, e1, psp, cv, cj, cd, c5) = carry
         a_exgr = jnp.asarray(a_exgr, bool)
         lanes = jnp.arange(L)                             # (L,)
         dl = delta[:, None]                               # (B, 1)
@@ -261,6 +273,12 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
                                           NEV)[:, None], up_f)
         diag_h = jnp.where(lane0, jnp.where(n0 - 1 <= N, bh[:, 0],
                                             NEV)[:, None], diag_h)
+        if dagp:
+            up_f2 = jnp.concatenate([negcol, f2_1[:, :-1]], axis=1)
+            bf2 = jax.lax.dynamic_slice(bnd_f2, (0, n0s - 1 + PB),
+                                        (B, 2))
+            up_f2 = jnp.where(lane0, jnp.where(n0 <= N + 1, bf2[:, 1],
+                                               NEV)[:, None], up_f2)
         left_h = h1
         # column-0 overrides (col_m/col_m1 precomputed per slab, shared);
         # band-edge cells (first computed diagonal r = lw + 1) read the
@@ -283,6 +301,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         cj = jnp.where(first[..., None], 0, cj)
         cd = jnp.where(first[..., None], 0, cd)
         c5 = jnp.where(first[..., None], 0, c5)
+        if dagp:
+            up_f2 = jnp.where(at_top, NEV, up_f2)
+            e2 = jnp.where(first, NEV, e2)
 
         # ================= recurrence (order = fwd2s1.cc:276-431) =========
         h_val = diag_h + score                            # Diagonal
@@ -294,14 +315,37 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         gt = f_val > mx_val
         mx_val = jnp.where(gt, f_val, mx_val)
         mx_k = jnp.where(gt, 2, mx_k)
-        # Horizontal (E1)
+        # Vertical2 (F2, long gap): strict > into the max
+        f2_open = f2_val = None
+        if dagp:
+            xo = up_h + lgop
+            f2_open = xo >= up_f2
+            f2_val = jnp.where(f2_open, xo, up_f2) + lgep
+            gt = f2_val > mx_val
+            mx_val = jnp.where(gt, f2_val, mx_val)
+            mx_k = jnp.where(gt, 4, mx_k)
+        # Horizontal (E1); prev_psp (pre-E1) feeds the E2 psp rule
+        prev_psp = psp
         xo = left_h + gop
         e_open = xo >= e1
         e_val = jnp.where(e_open, xo, e1) + gep
-        psp = jnp.where(e_open, jnp.where(psp != 0, 1, 0), psp & 1)
+        psp = jnp.where(e_open, jnp.where(prev_psp != 0, 1, 0),
+                        prev_psp & 1)
         ge = e_val >= mx_val
         mx_val = jnp.where(ge, e_val, mx_val)
         mx_k = jnp.where(ge, 1, mx_k)
+        # Horizontal2 (E2, long gap)
+        e2_open = e2_val = None
+        if dagp:
+            xo = left_h + lgop
+            e2_open = xo >= e2
+            e2_val = jnp.where(e2_open, xo, e2) + lgep
+            psp = jnp.where(e2_open,
+                            jnp.where(prev_psp != 0, psp | 2, psp),
+                            psp | (prev_psp & 2))
+            ge = e2_val >= mx_val
+            mx_val = jnp.where(ge, e2_val, mx_val)
+            mx_k = jnp.where(ge, 3, mx_k)
 
         # ---- acceptor close (fwd2s1.cc:333-354)
         internal = (~a_exgr) | (m[None, :] < M[:, None])
@@ -322,7 +366,7 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         xc = cv + pen + accb[..., None] + j16
         cand_ok = (acc_ok[..., None] & (ilen >= llmt) & (cv > NEV // 2))
         xc = jnp.where(cand_ok, xc, NEV)
-        state_vals = [h_val, e_val, f_val]
+        state_vals = [h_val, e_val, f_val, e2_val, f2_val][:n_states]
         spj = []
         for k in range(n_states):
             cur = state_vals[k]
@@ -335,11 +379,10 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             state_vals[k] = cur
             spj.append(jnc_k)
             closed = jnc_k > 0
-            psp = jnp.where(closed, psp | (4, 1, 8)[k], psp)
+            psp = jnp.where(closed, psp | PSP_BIT[k], psp)
             ge = closed & (cur >= mx_val)
             mx_val = jnp.where(ge, cur, mx_val)
             mx_k = jnp.where(ge, k, mx_k)
-        h_val, e_val, f_val = state_vals
 
         # ---- winner into H
         h_out = mx_val
@@ -347,12 +390,12 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
 
         # ---- donor push (fwd2s1.cc:380-406)
         don_ok = isdon & internal & active & (n < N[:, None])
-        GOPk = (0, gop, gop)                              # GOP[k//2]
+        GOPk = (0, gop, lgop)                             # GOP[k//2]
         for k in range(n_states):
-            fv = (h_val, e_val, f_val)[k]
+            fv = state_vals[k]
             # k = 0 only pushed when diag won
             elig = don_ok & ((mx_k == 0) if k == 0 else True)
-            elig &= (psp & (4, 1, 8)[k]) == 0
+            elig &= (psp & PSP_BIT[k]) == 0
             z = mx_val + jnp.where((mx_k == 0) | (((k - mx_k) % 2) != 0),
                                    GOPk[k // 2], 0)
             prune = (k != mx_k) & (fv <= z)
@@ -364,10 +407,16 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
 
         # ---- masked commit
         h_out = jnp.where(active, h_out, NEV)
-        f_out = jnp.where(active, f_val, NEV)
-        e1 = jnp.where(active, e_val, e1)
+        f_out = jnp.where(active, state_vals[2], NEV)
+        e1 = jnp.where(active, state_vals[1], e1)
 
-        carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5)
+        if dagp:
+            f2_out = jnp.where(active, state_vals[4], NEV)
+            e2 = jnp.where(active, state_vals[3], e2)
+            carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5,
+                     f2_out, e2)
+        else:
+            carry = (h_out, h1, f_out, e1, psp, cv, cj, cd, c5)
         # ---- emissions (written back as contiguous windows post-scan):
         # boundary at the last lane, final-row / right-column cells
         row_v = jnp.sum(jnp.where(lanes[None, :] == li[:, None],
@@ -375,12 +424,19 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         rcl = n0 - N                                      # lane with n == N
         rc_v = jnp.sum(jnp.where(lanes[None, :] == rcl[:, None],
                                  h_out, 0), axis=1)
-        ys = (h_out[:, L - 1], f_out[:, L - 1], row_v, rc_v)
+        bf2_v = (carry[9][:, L - 1] if dagp
+                 else jnp.zeros(B, jnp.int32) + NEV)
+        ys = (h_out[:, L - 1], f_out[:, L - 1], row_v, rc_v, bf2_v)
         if not emit_trace:
             return carry, ys
+        # flag layout: bits 0-2 winner state, 3 eopen, 4 fopen,
+        # 5 e2open, 6 f2open; 255 = inactive cell
         flags8 = (hdir.astype(jnp.uint8)
-                  | (e_open.astype(jnp.uint8) << 2)
-                  | (f_open.astype(jnp.uint8) << 3))
+                  | (e_open.astype(jnp.uint8) << 3)
+                  | (f_open.astype(jnp.uint8) << 4))
+        if dagp:
+            flags8 = (flags8 | (e2_open.astype(jnp.uint8) << 5)
+                      | (f2_open.astype(jnp.uint8) << 6))
         flags8 = jnp.where(active, flags8, jnp.uint8(255))
         spj_out = jnp.stack(spj, axis=-1).astype(jnp.int32)
         return carry, ys + (flags8, spj_out)
@@ -403,7 +459,8 @@ def _win_update(dst, vals, mask, start, PB):
 
 @functools.lru_cache(maxsize=128)
 def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
-               ipen_key, emit_trace=True, unroll=None):
+               ipen_key, lgop=0, lgep=0, dagp=False,
+               emit_trace=True, unroll=None):
     if unroll is None:
         # unroll=4 is ~25% faster on chip (1.25 vs 0.96 GCUPS) but the
         # select-chain body is large and compile time scales with the
@@ -415,10 +472,11 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
     Mpad) and the penalty-table constant force a new compilation."""
     PBn, _, PBm, _ = _pads(L, T, Npad, Mpad)
     step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PBn, ncls,
-                      ipen_key, emit_trace=emit_trace)
+                      ipen_key, lgop=lgop, lgep=lgep, dagp=dagp,
+                      emit_trace=emit_trace)
 
-    def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, row_h, rc_h, m0,
-             lw0, delta, M, N, a_exgr):
+    def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, bnd_f2, row_h,
+             rc_h, m0, lw0, delta, M, N, a_exgr):
         B = qprof_slab.shape[0]
         lw = lw0 + delta                  # (B,) real band placement
         col_m = jax.lax.dynamic_slice_in_dim(
@@ -432,7 +490,8 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
         li = jnp.clip(M - m0, 0, L - 1)   # (B,) lane of final row
         f = functools.partial(step, B=B, qprof_slab=qprof_slab,
                               ops_b=ops_b, ops_s=ops_s, bnd_h=bnd_h,
-                              bnd_f=bnd_f, col_m=col_m, col_m1=col_m1,
+                              bnd_f=bnd_f, bnd_f2=bnd_f2, col_m=col_m,
+                              col_m1=col_m1,
                               e_const=e_const, li=li, m0=m0, lw0=lw0,
                               delta=delta, M=M, N=N, a_exgr=a_exgr)
         carry0 = (
@@ -443,8 +502,11 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
             jnp.zeros((B, L, NCAND), jnp.int32),
             jnp.zeros((B, L, NCAND), jnp.int32),
             jnp.zeros((B, L, NCAND), jnp.int32))
+        if dagp:
+            carry0 = carry0 + (jnp.full((B, L), NEV),
+                               jnp.full((B, L), NEV))
         carry, ys = jax.lax.scan(f, carry0, jnp.arange(T), unroll=unroll)
-        bh_v, bf_v, row_v, rc_v = [y.T for y in ys[:4]]   # (B, T)
+        bh_v, bf_v, row_v, rc_v, bf2_v = [y.T for y in ys[:5]]  # (B, T)
         ts = jnp.arange(T)[None, :]
         dl = delta[:, None]
         # write-back cursors are lw0-based (batch-shared); masks use the
@@ -459,6 +521,8 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
               & (m_last >= 1) & (m_last <= M[:, None]))
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
+        if dagp:
+            bnd_f2 = _win_update(bnd_f2, bf2_v, wl, cb0, PBn)
         # final-row cells: lane li, column nr(t) = m0 + lw + 1 - li + t
         li = jnp.clip(M - m0, 0, L - 1)[:, None]
         in_slab = ((M - m0 >= 0) & (M - m0 < L))[:, None]
@@ -474,7 +538,7 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
         wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
               & (ts - 2 * rcl < W) & (mc >= 1) & (mc <= M[:, None]))
         rc_h = _win_update(rc_h, rc_v, wc, cc0, PBm)
-        return (bnd_h, bnd_f, row_h, rc_h), ys[4:]
+        return (bnd_h, bnd_f, bnd_f2, row_h, rc_h), ys[5:]
 
     return jax.jit(run1)
 
@@ -524,6 +588,7 @@ class BatchProblem:
     qprof_all: object          # jnp (B, Mpad, alpha)
     bnd_h0: object
     bnd_f0: object
+    bnd_f20: object            # F2 slab boundary (double affine)
     Ms: list
     Ns: list
     lws: list
@@ -620,6 +685,7 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     return BatchProblem(ops=ops, ops_s=ops_s, ipen_key=ipen_key,
                         qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
+                        bnd_f20=jnp.asarray(bnd_f),
                         Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
                         Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
                         deltas_j=jnp.asarray(deltas),
@@ -636,8 +702,9 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
     scan = _scan_slab(B, L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
                       bp.ncls, bp.ipen_key,
+                      lgop=prm.lgop, lgep=prm.lgep, dagp=prm.dagp,
                       emit_trace=not score_only)
-    bnd_h, bnd_f = bp.bnd_h0, bp.bnd_f0
+    bnd_h, bnd_f, bnd_f2 = bp.bnd_h0, bp.bnd_f0, bp.bnd_f20
     row_h = jnp.full((B, TOTn), NEV)
     rc_h = jnp.full((B, TOTm), NEV)
     traces = []
@@ -646,9 +713,10 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
         m0 = s * L + 1
         qprof_slab = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
                                                   axis=1)
-        (bnd_h, bnd_f, row_h, rc_h), ys = scan(
-            qprof_slab, bp.ops, bp.ops_s, bnd_h, bnd_f, row_h, rc_h, m0,
-            lw0, bp.deltas_j, bp.Ms_j, bp.Ns_j, bp.flags.a_exgr)
+        (bnd_h, bnd_f, bnd_f2, row_h, rc_h), ys = scan(
+            qprof_slab, bp.ops, bp.ops_s, bnd_h, bnd_f, bnd_f2, row_h,
+            rc_h, m0, lw0, bp.deltas_j, bp.Ms_j, bp.Ns_j,
+            bp.flags.a_exgr)
         if not score_only:
             traces.append(ys)
     if block:
@@ -758,15 +826,19 @@ class SliceTrace:
 
     def hdir(self, m, n):
         s, t, i = self.cell(m, n)
-        return int(self.flags[s][t, i]) & 3
+        return int(self.flags[s][t, i]) & 7
+
+    def gopen(self, state, m, n):
+        """Did gap state (1=E1, 2=F, 3=E2, 4=F2) open at this cell?"""
+        s, t, i = self.cell(m, n)
+        bit = (0, 8, 16, 32, 64)[state]
+        return bool(self.flags[s][t, i] & bit)
 
     def eopen(self, m, n):
-        s, t, i = self.cell(m, n)
-        return bool(self.flags[s][t, i] & 4)
+        return self.gopen(1, m, n)
 
     def fopen(self, m, n):
-        s, t, i = self.cell(m, n)
-        return bool(self.flags[s][t, i] & 8)
+        return self.gopen(2, m, n)
 
     def spj_at(self, k, m, n):
         s, t, i = self.cell(m, n)
@@ -797,25 +869,23 @@ def traceback_spliced_scan(tr: SliceTrace, end_m: int, end_n: int,
                 ops.append(('D', m, n))
                 m, n = m - 1, n - 1
                 continue
-            if hd == 3:
+            if hd > 4:
                 break
             state = hd
             continue
-        jnc = tr.spj_at(state, m, n)
+        jnc = (tr.spj_at(state, m, n)
+               if state < tr.spj[0].shape[-1] else 0)
         if jnc:
             ops.append(('I', m, jnc - 1, n))
             n = jnc - 1
             continue
-        if state == 1:
-            opened = tr.eopen(m, n)
+        opened = tr.gopen(state, m, n)
+        if state in (1, 3):               # horizontal: consume b[n-1]
             ops.append(('E', m, n))
             n -= 1
-            if opened:
-                state = 0
-            continue
-        opened = tr.fopen(m, n)
-        ops.append(('F', m, n))
-        m -= 1
+        else:                             # vertical: consume a[m-1]
+            ops.append(('F', m, n))
+            m -= 1
         if opened:
             state = 0
     ops.reverse()

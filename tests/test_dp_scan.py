@@ -120,3 +120,42 @@ def test_scan_no_splice_plain_affine(cfg, prm):
     s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm)
     s_jx, em_j, en_j, tr = forward_spliced_scan(qc, gc, prm, L=32)
     assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
+
+
+def test_scan_double_affine(cfg, table_dir):
+    """dagp (-yl3): E2/F2 long-gap states, scan vs oracle bit-exact."""
+    import dataclasses
+    from spaln_tpu.config import AlnPrm
+    cfg3 = dataclasses.replace(cfg, aln=dataclasses.replace(cfg.aln, ls=3))
+    prm3 = DpParams.build(cfg3, Simmtx.dna(), CvsG,
+                          ipen=IntronPenalty(cfg3, CvsG))
+    assert prm3.dagp and prm3.lgep > prm3.gep  # long gaps cheaper to extend
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    # a long interior deletion (60nt) makes the double-affine long-gap
+    # state the winner over both the basic gap and an intron
+    left = "".join(rng.choice(bases, 70))
+    right = "".join(rng.choice(bases, 70))
+    mid = "".join(rng.choice(bases, 60))
+    g = left + mid + right
+    q = left + right
+    qc, gc = encode_dna(q), encode_dna(g)
+    sig = build_splice_signals(gc, cfg3, table_dir)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc, gc, prm3, sig=sig)
+    s_jx, em_j, en_j, tr = forward_spliced_scan(qc, gc, prm3, sig=sig,
+                                                L=16)
+    assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
+    assert (traceback_spliced_scan(tr, em_j, en_j)
+            == traceback_spliced_ref(tb_r, em_r, en_r))
+    # with splicing on, a second case with a real intron + long gap mix
+    q2, g2 = _gene(rng, (60, 70), (90,), mut=0.02)
+    q2 = q2[:40] + q2[75:]                 # 35nt deletion inside exon span
+    qc2, gc2 = encode_dna(q2), encode_dna(g2)
+    sig2 = build_splice_signals(gc2, cfg3, table_dir)
+    s_ref, em_r, en_r, tb_r = forward_spliced_ref(qc2, gc2, prm3,
+                                                  sig=sig2)
+    s_jx, em_j, en_j, tr = forward_spliced_scan(qc2, gc2, prm3, sig=sig2,
+                                                L=16)
+    assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
+    assert (traceback_spliced_scan(tr, em_j, en_j)
+            == traceback_spliced_ref(tb_r, em_r, en_r))
