@@ -294,6 +294,71 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_seq(args) -> int:
+    """Batch sequence toolbox (the utn command set, utn.cc:1412-1461):
+    orf find/translate, poly-A trim, composition, mutate, forge random
+    sequences, restriction sites, GenBank CDS extraction."""
+    from .constants import PROTEIN
+    from .seq.codec import comrev, decode_dna, decode_protein, translate
+    from .seq.utilseq import rm_polya, find_orfs, composition
+    from .tools.seqextras import (montseq, mutate_seq, read_renzyme,
+                                  resite, extcds)
+    out = open(args.output, "w") if args.output else sys.stdout
+    op = args.op
+    if op == "forge":
+        for i, s in enumerate(montseq(args.count, args.length,
+                                      protein=args.aa, seed=args.seed)):
+            out.write(f">rand{i}\n{s}\n")
+    elif op == "extcds":
+        for rec in extcds(args.input):
+            hdr = rec.entry + (f" {rec.product}" if rec.product else "")
+            out.write(f">{hdr}\n{rec.seq}\n")
+    else:
+        if args.input is None:
+            raise SystemExit(f"seq {op} needs an input file")
+        enz = None
+        if op == "resite":
+            from .score.tables import find_table_dir
+            import os
+            rz = args.enzymes or os.path.join(
+                find_table_dir(args.table_dir), "renzyme")
+            enz = read_renzyme(rz)
+        for rec in iter_seqfile(args.input):
+            is_aa = rec.molc == PROTEIN
+            dec = decode_protein if is_aa else decode_dna
+            if op == "orf":
+                for b0, b1, frame, strand in find_orfs(
+                        rec.codes, min_len=args.min_orf):
+                    sub = (rec.codes[b0:b1] if strand > 0
+                           else comrev(rec.codes[b0:b1]))
+                    pep = decode_protein(translate(sub))
+                    out.write(f">{rec.name}_orf{b0 + 1}-{b1} "
+                              f"frame {frame} strand "
+                              f"{'+' if strand > 0 else '-'}\n{pep}\n")
+            elif op == "polya":
+                lo, hi, _ = rm_polya(rec.codes)
+                out.write(f">{rec.name}\n{dec(rec.codes[lo:hi])}\n")
+            elif op == "comp":
+                comp = composition(rec.codes, is_aa=is_aa)
+                line = " ".join(f"{k}:{v}" for k, v in sorted(comp.items()))
+                out.write(f"{rec.name}\t{len(rec.codes)}\t{line}\n")
+            elif op == "mutate":
+                s = mutate_seq(dec(rec.codes), sub=args.sub, ins=args.ins,
+                               del_=args.dele, protein=is_aa,
+                               seed=args.seed)
+                out.write(f">{rec.name}_mut\n{s}\n")
+            elif op == "resite":
+                for site in resite(dec(rec.codes), enz,
+                                   unique_only=args.unique):
+                    out.write(f"{rec.name}\t{site.enzyme}\t"
+                              f"{site.pos + 1}\t{site.strand}\n")
+            else:
+                raise SystemExit(f"unknown seq op {op}")
+    if args.output:
+        out.close()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spaln_tpu",
                                 description="TPU-native spliced aligner")
@@ -363,6 +428,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-I", dest="min_identity", type=float, default=None)
     sp.add_argument("-o", dest="output", default=None)
     sp.set_defaults(func=cmd_sortgrcd)
+
+    sp = sub.add_parser("seq", help="sequence toolbox (utn equivalents)")
+    sp.add_argument("op", choices=["orf", "polya", "comp", "mutate",
+                                   "forge", "resite", "extcds"])
+    sp.add_argument("input", nargs="?", default=None)
+    sp.add_argument("-o", dest="output", default=None)
+    sp.add_argument("-t", dest="table_dir", default=None)
+    sp.add_argument("--min-orf", type=int, default=30)
+    sp.add_argument("--sub", type=float, default=0.0)
+    sp.add_argument("--ins", type=float, default=0.0)
+    sp.add_argument("--del", dest="dele", type=float, default=0.0)
+    sp.add_argument("--count", type=int, default=1)
+    sp.add_argument("--length", type=int, default=1000)
+    sp.add_argument("--aa", action="store_true")
+    sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--enzymes", default=None,
+                    help="renzyme table path (default: table dir)")
+    sp.add_argument("--unique", action="store_true",
+                    help="unique-cutter enzymes only")
+    sp.set_defaults(func=cmd_seq)
     return p
 
 

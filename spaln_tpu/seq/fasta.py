@@ -136,18 +136,53 @@ def iter_embl(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
                 chunks.append("".join(c for c in line if c.isalpha()))
 
 
+def iter_msf(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
+    """GCG MSF multiple-alignment reader (dbs.cc:178 MSF entry): header
+    up to the '//' separator (member names from 'Name:' lines), then
+    interleaved blocks of 'name  chunk chunk ...'.  Gap characters
+    ('.', '~', '-') are stripped: SeqRecord holds encoded residues (the
+    reference likewise ungaps MSF members on read for alignment use)."""
+    names: list[str] = []
+    seqs: dict[str, list[str]] = {}
+    in_body = False
+    with _open_text(path) as fh:
+        for line in fh:
+            if not in_body:
+                ls = line.strip()
+                if ls.startswith("Name:"):
+                    nm = ls.split()[1]
+                    if nm not in seqs:
+                        names.append(nm)
+                        seqs[nm] = []
+                elif ls.startswith("//"):
+                    in_body = True
+                continue
+            parts = line.split()
+            if len(parts) >= 2 and parts[0] in seqs:
+                seqs[parts[0]].append("".join(parts[1:]))
+    for nm in names:
+        s = "".join(seqs[nm])
+        s = s.replace(".", "").replace("~", "").replace("-", "")
+        yield _make_record(nm, "", s, molc)
+
+
 def iter_seqfile(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
-    """Format-sniffing reader: FASTA / GenBank / EMBL (.gz transparent),
-    the Seq reader dispatch role (seq.cc fasta/GenBank/EMBL/MSF)."""
+    """Format-sniffing reader: FASTA / GenBank / EMBL / MSF (.gz
+    transparent), the Seq reader dispatch role (seq.cc fasta readers +
+    dbs.cc whichdb)."""
     with _open_text(path) as fh:
         first = ""
         for line in fh:
             if line.strip():
                 first = line
                 break
-    if first.startswith("LOCUS"):
+    fs = first.strip()
+    if fs.startswith("LOCUS"):
         yield from iter_genbank(path, molc)
-    elif first.startswith("ID") and not first.startswith("ID\t>"):
+    elif "MSF:" in fs or fs.startswith(("PileUp", "!!NA_MULTIPLE",
+                                        "!!AA_MULTIPLE")):
+        yield from iter_msf(path, molc)
+    elif fs.startswith("ID") and not fs.startswith("ID\t>"):
         yield from iter_embl(path, molc)
     else:
         yield from iter_fasta(path, molc)

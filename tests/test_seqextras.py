@@ -93,3 +93,38 @@ def test_pick_members():
     got = pick_members(names, count=4, seed=7)
     assert len(got) == 4 and got == sorted(set(got))
     assert pick_members(names, indices=[2, 99, 5]) == [2, 5]
+
+
+def test_msf_reader(tmp_path):
+    p = tmp_path / "aln.msf"
+    p.write_text(
+        " PileUp\n\n   MSF: 20  Type: N  Check: 1234 ..\n\n"
+        " Name: s1 Len: 20\n Name: s2 Len: 20\n\n//\n\n"
+        "s1  ACGTAC GTACGT\ns2  ACGT.C GT-CGT\n")
+    from spaln_tpu.seq.fasta import iter_seqfile
+    from spaln_tpu.seq.codec import decode_dna
+    recs = list(iter_seqfile(str(p)))
+    assert [r.name for r in recs] == ["s1", "s2"]
+    assert decode_dna(recs[0].codes) == "ACGTACGTACGT"
+    assert decode_dna(recs[1].codes) == "ACGTCGTCGT"
+
+
+def test_cli_seq_ops(tmp_path, capsys):
+    from spaln_tpu.cli import main
+    fa = tmp_path / "q.fa"
+    fa.write_text(">q1\nATGAAACCCGGGTTTTAAACGT\n")
+    assert main(["seq", "comp", str(fa)]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("q1\t22\t") and "A:7" in out
+    assert main(["seq", "orf", str(fa), "--min-orf", "9"]) == 0
+    out = capsys.readouterr().out
+    assert "_orf" in out and "frame" in out
+    assert main(["seq", "forge", "--count", "2", "--length", "30",
+                 "--seed", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.count(">rand") == 2
+    enz = tmp_path / "renz"
+    enz.write_text("Test CCCGGG 3\n")
+    assert main(["seq", "resite", str(fa), "--enzymes", str(enz)]) == 0
+    out = capsys.readouterr().out
+    assert "Test\t10\t+" in out
