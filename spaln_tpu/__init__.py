@@ -10,7 +10,7 @@ as batched anti-diagonal wavefront kernels on TPU.
 Package layout:
   seq/      sequence codec, FASTA IO, formatted genome store
   score/    substitution matrices, splice PSSMs, intron-length model, potentials
-  ops/      DP alignment kernels (JAX scan oracles + Pallas wavefront kernels)
+  ops/      DP alignment kernels (scalar oracles + batched wavefront engines)
   seed/     spaced-seed k-mer machinery, Wilber-Lipman HSP chains, block index
   align/    seeded-recursive alignment driver, gene-structure extraction
   out/      GFF3/exon/intron/SAM/... writers, sortgrcd-style locus merge

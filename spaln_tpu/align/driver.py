@@ -373,6 +373,13 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         for c0 in range(0, len(idxs), mb):
             part = idxs[c0:c0 + mb]
             js = [jobs[i] for i in part]
+            if mesh is not None:
+                # pad the batch to a device-count multiple so sharding
+                # never silently degrades to one device (padded problems
+                # re-run the last job; their results are discarded)
+                ndev = mesh.devices.size
+                while len(js) % ndev:
+                    js.append(js[-1])
             with stage("prep"):
                 bp = prepare_spliced_batch(
                     [j.q for j in js], [j.gw for j in js], ctx.prm,
@@ -389,11 +396,18 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 scores, ends, btr = collect_batch_results(
                     bp, row_h, rc_h, traces, False, prm=ctx.prm)
                 for bi, ji in enumerate(part):
-                    ops = traceback_spliced_scan(btr[bi],
-                                                 int(ends[bi][0]),
-                                                 int(ends[bi][1]))
-                    results[ji] = _finish_job(jobs[ji],
-                                              int(scores[bi]), ops)
+                    # per-job isolation: a traceback/extraction failure
+                    # surfaces as an exception result, not an abort
+                    try:
+                        ops = traceback_spliced_scan(btr[bi],
+                                                     int(ends[bi][0]),
+                                                     int(ends[bi][1]))
+                        results[ji] = _finish_job(jobs[ji],
+                                                  int(scores[bi]), ops)
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except BaseException as exc:
+                        results[ji] = exc
             metrics.bump("jobs", len(part))
     return results
 

@@ -128,13 +128,21 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             queries[qi], q_offs[qi] = q[lo:hi], lo
             if strand == "auto" and hint in (1, 2):
                 strands[qi] = "+" if hint == 1 else "-"
-    # (qi, g0, g1, retry) work items
+    # (qi, g0, g1, retry) work items; a failing query is skipped with a
+    # warning, never aborts the batch (spaln.cc:1104-1107 semantics)
+    from ..utils.errors import report_skip
     work = []
     for qi, q in enumerate(queries):
-        with stage("vote"):
-            cands = list(self.index.candidate_ranges(q, ncand))
-        if strands[qi] in ("auto", "-"):
-            cands += self.index.candidate_ranges(comrev(q), ncand)
+        try:
+            with stage("vote"):
+                cands = list(self.index.candidate_ranges(q, ncand))
+            if strands[qi] in ("auto", "-"):
+                cands += self.index.candidate_ranges(comrev(q), ncand)
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except BaseException as exc:
+            report_skip(q_names[qi], exc, "vote")
+            continue
         cands.sort(key=lambda c: -c[2])
         picked = []
         for g0, g1, score in cands:
@@ -150,27 +158,33 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             break
         jobs, meta = [], []
         for qi, g0, g1, retry in work:
-            q = queries[qi]
-            window = self.store.window(g0, g1)
-            ci, _ = self.store.locate(g0)
-            # strand selection by chain score (geneorient, wln.cc:1024)
-            cands = []
-            with stage("seed"):
-                fwd = wilip(q, window, ipen=self.ctx.ipen)
-            if strands[qi] in ("auto", "+") and fwd:
-                cands.append((fwd[0].score, "+", q, fwd[0]))
-            if strands[qi] in ("auto", "-"):
-                rc = comrev(q)
-                rev = wilip(rc, window, ipen=self.ctx.ipen)
-                if rev:
-                    cands.append((rev[0].score, "-", rc, rev[0]))
-            if not cands:
+            try:
+                q = queries[qi]
+                window = self.store.window(g0, g1)
+                ci, _ = self.store.locate(g0)
+                # strand selection by chain score (geneorient, wln.cc:1024)
+                cands = []
+                with stage("seed"):
+                    fwd = wilip(q, window, ipen=self.ctx.ipen)
+                if strands[qi] in ("auto", "+") and fwd:
+                    cands.append((fwd[0].score, "+", q, fwd[0]))
+                if strands[qi] in ("auto", "-"):
+                    rc = comrev(q)
+                    rev = wilip(rc, window, ipen=self.ctx.ipen)
+                    if rev:
+                        cands.append((rev[0].score, "-", rc, rev[0]))
+                if not cands:
+                    continue
+                cands.sort(key=lambda c: -c[0])
+                _, st, q_use, chain = cands[0]
+                job = prepare_job(q_use, window, self.ctx, chain,
+                                  q_name=q_names[qi],
+                                  g_name=self.store.names[ci], strand=st)
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except BaseException as exc:
+                report_skip(q_names[qi], exc, "seed")
                 continue
-            cands.sort(key=lambda c: -c[0])
-            _, st, q_use, chain = cands[0]
-            job = prepare_job(q_use, window, self.ctx, chain,
-                              q_name=q_names[qi],
-                              g_name=self.store.names[ci], strand=st)
             if job is None:
                 continue
             jobs.append(job)
@@ -181,6 +195,9 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                            max_batch=max_batch, mesh=mesh)
         work = []
         for gs, (qi, g0, g1, retry, ci, wlen) in zip(out, meta):
+            if isinstance(gs, BaseException):
+                report_skip(q_names[qi], gs, "align")
+                continue
             if gs is None:
                 continue
             q = queries[qi]

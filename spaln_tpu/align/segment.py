@@ -55,19 +55,24 @@ def annotate_segment(genome: np.ndarray, queries: list,
         win = np.asarray(genome[lo:hi])
         edge_l = lo > 0
         edge_r = hi < n
+        from ..utils.errors import guard_query
         for qi, q in enumerate(queries):
             if molc_is_aa[qi]:
                 if pctx is None:
                     continue
-                gss = align_protein(q, win, pctx, strand=strand,
-                                    q_name=q_names[qi], g_name=g_name,
-                                    lanes=max(lanes // 2, 32))
+                gss = guard_query(align_protein, q, win, pctx,
+                                  strand=strand, q_name=q_names[qi],
+                                  g_name=g_name,
+                                  lanes=max(lanes // 2, 32),
+                                  name=q_names[qi], stage="segment",
+                                  fallback=[])
             else:
                 if ctx is None:
                     continue
-                gss = align_cdna(q, win, ctx, strand=strand,
-                                 q_name=q_names[qi], g_name=g_name,
-                                 lanes=lanes)
+                gss = guard_query(align_cdna, q, win, ctx, strand=strand,
+                                  q_name=q_names[qi], g_name=g_name,
+                                  lanes=lanes, name=q_names[qi],
+                                  stage="segment", fallback=[])
             for gs in gss:
                 if gs.coverage(len(q)) < min_coverage:
                     continue

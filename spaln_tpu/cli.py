@@ -134,17 +134,20 @@ def cmd_align(args) -> int:
             for gs in gss:
                 sink.emit([gs], qlen.get(gs.q_name, 0))
             continue
+        from .utils.errors import guard_query
         for rec in recs:
             if rec.molc == PROTEIN:
-                gs_list = align_protein(rec.codes, grec.codes, pctx,
-                                        strand=args.strand,
-                                        q_name=rec.name,
-                                        g_name=grec.name,
-                                        lanes=args.lanes)
+                gs_list = guard_query(
+                    align_protein, rec.codes, grec.codes, pctx,
+                    strand=args.strand, q_name=rec.name,
+                    g_name=grec.name, lanes=args.lanes,
+                    name=rec.name, stage="align", fallback=[])
             else:
-                gs_list = align_cdna(rec.codes, grec.codes, ctx,
-                                     strand=args.strand, q_name=rec.name,
-                                     g_name=grec.name, lanes=args.lanes)
+                gs_list = guard_query(
+                    align_cdna, rec.codes, grec.codes, ctx,
+                    strand=args.strand, q_name=rec.name,
+                    g_name=grec.name, lanes=args.lanes,
+                    name=rec.name, stage="align", fallback=[])
             sink.emit(gs_list, len(rec.codes))
     sink.close()
     if args.output:
@@ -213,9 +216,11 @@ def cmd_map(args) -> int:
                     store, ProteinBlockIndex.load(args.genome_db),
                     ProteinAlignerContext.create(
                         tables, y_args=["-y" + a for a in args.y_args]))
-            gs_list = pmapper.map_query(rec.codes, q_name=rec.name,
-                                        lanes=args.lanes,
-                                        max_out=args.max_out)
+            from .utils.errors import guard_query
+            gs_list = guard_query(pmapper.map_query, rec.codes,
+                                  q_name=rec.name, lanes=args.lanes,
+                                  max_out=args.max_out,
+                                  name=rec.name, stage="map", fallback=[])
             sink.emit(gs_list, len(rec.codes))
         else:
             nt_batch.append(rec)
@@ -260,12 +265,13 @@ def cmd_search(args) -> int:
     db = [(r.name, r.codes) for r in iter_seqfile(args.db, molc=PROTEIN)]
     out = open(args.output, "w") if args.output else sys.stdout
     fmts = _parse_fmts(args.fmt)
+    from .utils.errors import guard_query
     for rec in iter_seqfile(args.queries, molc=PROTEIN):
-        hits = search_protein_db(rec.codes, db,
-                                 table_dir=find_table_dir(args.table_dir),
-                                 max_hits=args.max_hits,
-                                 align_top=args.align_top,
-                                 lanes=args.lanes)
+        hits = guard_query(search_protein_db, rec.codes, db,
+                           table_dir=find_table_dir(args.table_dir),
+                           max_hits=args.max_hits,
+                           align_top=args.align_top, lanes=args.lanes,
+                           name=rec.name, stage="search", fallback=[])
         for hit in hits:
             gs = hit.structure
             for fmt in fmts:

@@ -11,9 +11,12 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 DEFAULT_TABLE_DIRS = (
     os.environ.get("ALN_TAB", ""),
-    "/root/reference/table",            # bundled parameter data
+    os.path.join(_PKG_ROOT, "data_tables"),   # vendored parameter data
 )
 
 

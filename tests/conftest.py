@@ -28,3 +28,22 @@ def table_dir() -> TableDir:
 @pytest.fixture(scope="session")
 def rng() -> np.random.Generator:
     return np.random.default_rng(42)
+
+
+# ---- test tiers: `pytest -m fast` must stay under ~5 minutes.  Modules
+# that compile large scan geometries (30-200 s per geometry on the CPU
+# mesh, PERF_NOTES.md fact 5) are marked slow; everything else fast.
+SLOW_MODULES = {
+    "test_pipeline", "test_vs_reference", "test_batched_mapping",
+    "test_long_intron", "test_segment", "test_protein_driver",
+    "test_dp_tron_scan", "test_corpus_gate",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
