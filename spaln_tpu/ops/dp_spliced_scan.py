@@ -140,24 +140,22 @@ def build_operands(a: np.ndarray, b: np.ndarray, prm: DpParams,
 
 
 def _pack_ipen(tab: np.ndarray) -> tuple:
-    """Reduce the dense penalty table (built by DpParams.intron_table,
-    which quantizes lengths to ipen_bucket_bases) to the per-bucket
-    (base, value) pairs, as a hashable tuple-of-pairs so it enters the
-    compiled slab as compile-time constants (part of the _scan_slab
-    cache key).  The kernel evaluates the buckets as a compare/select
-    chain: every gather formulation of this lookup — any table size,
-    placement, clip structure, index rank — lowers to a serialized
-    scalar loop on this toolchain (~350 us/step, profiled), while ~200
-    compare/selects cost ~15 us/step (PERF_NOTES.md)."""
-    from .params import ipen_bucket_bases
+    """Reduce the dense EXACT penalty table (DpParams.intron_table) to
+    its constant-value runs as (start_length, value) pairs — a hashable
+    tuple so it enters the compiled slab as compile-time constants (part
+    of the _scan_slab cache key).  The kernel evaluates the runs as a
+    compare/select chain, reproducing the table bit-exactly: the smooth
+    penalty has only ~200 distinct int values over a 13k range, so the
+    exact chain is as cheap as any quantized one.  Every gather
+    formulation of this lookup — any table size, placement, clip
+    structure, index rank — lowers to a serialized scalar loop on this
+    toolchain (~350 us/step, profiled), while ~200 compare/selects cost
+    ~2 us/step (PERF_NOTES.md)."""
     tab = np.asarray(tab, dtype=np.int32)
-    bases = ipen_bucket_bases(len(tab))
-    vals = tab[bases]
-    # drop consecutive buckets with equal values (common in flat spans)
-    keep = np.ones(len(bases), dtype=bool)
-    keep[1:] = vals[1:] != vals[:-1]
-    return tuple((int(b), int(v))
-                 for b, v in zip(bases[keep], vals[keep]))
+    keep = np.ones(len(tab), dtype=bool)
+    keep[1:] = tab[1:] != tab[:-1]
+    bases = np.flatnonzero(keep)
+    return tuple((int(b), int(tab[b])) for b in bases)
 
 
 def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):

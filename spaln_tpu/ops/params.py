@@ -17,23 +17,6 @@ from ..score.splice import SpliceSignals
 
 NEVSEL = -(2**31 // 16 * 7)      # cmn.h:79 (int build)
 
-# Intron-penalty quantization shared by the host tables and the DP
-# kernels' compare/select chains: exact per-length below IPEN_EXACT,
-# geometric buckets (ratio IPEN_RATIO) above (see DpParams.intron_table).
-IPEN_EXACT = 128
-IPEN_RATIO = 1.06
-
-
-def ipen_bucket_bases(max_len: int) -> np.ndarray:
-    """Ascending bucket base lengths covering [0, max_len)."""
-    bases = list(range(min(IPEN_EXACT, max_len)))
-    b = IPEN_EXACT
-    while b < max_len:
-        bases.append(b)
-        b = max(b + 1, int(b * IPEN_RATIO))
-    return np.asarray(bases, dtype=np.int64)
-
-
 @dataclass
 class DpFlags:
     """End-gap openness (INEX exgl/exgr semantics, seq.h:148-172).
@@ -85,22 +68,15 @@ class DpParams:
         return self.gop + k * self.gep
 
     def intron_table(self, max_len: int) -> np.ndarray:
-        """Dense intron penalty for lengths 0..max_len-1 (int32).
-
-        The penalty is evaluated at the ipen_bucket_bases quantization
-        (exact per-length below IPEN_EXACT=128, ~6% geometric buckets
-        above): the DP kernels evaluate the same buckets as a
-        compare/select chain against compile-time constants — every
-        gather formulation of the lookup serializes scalar-side on this
-        toolchain (profiled, PERF_NOTES.md) — and the oracle reads this
-        table, so both sides share the bucketed spec exactly.  The
-        deviation from the reference's per-length table/log tail is 0
-        below 128nt and bounded by |int_ep|*ln(1.06) ~= 2 fixed-point
-        units above."""
+        """Dense intron penalty for lengths 0..max_len-1 (int32) —
+        EXACT per length (IntronPenalty.penalty, the reference's
+        codepot.cc:127-233 table + log tail).  The DP kernels evaluate
+        the identical values as a compare/select chain over the table's
+        constant-value runs (_pack_ipen): the smooth penalty has only
+        ~200 distinct int values over a 13k-length range, so the exact
+        chain costs the same as any quantized one, and oracle == kernel
+        == reference formula for every length."""
         if self.ipen is None:
             return np.full(max_len, NEVSEL // 2, dtype=np.int32)
-        bases = ipen_bucket_bases(max_len)
-        qn = bases[np.searchsorted(bases, np.arange(max_len),
-                                   side="right") - 1]
-        tab = self.ipen.penalty(qn).astype(np.int64)
+        tab = self.ipen.penalty(np.arange(max_len)).astype(np.int64)
         return np.where(tab <= -32768, NEVSEL // 2, tab).astype(np.int32)
