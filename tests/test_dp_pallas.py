@@ -1,0 +1,84 @@
+"""Pallas wavefront kernel vs the lax.scan engine: bit-identical scores.
+
+Runs in interpret mode on the CPU test mesh (compiled Mosaic on chip is
+exercised by bench.py / the driver).  Geometry kept tiny: interpret mode
+executes the step python-level per scan iteration.
+"""
+import numpy as np
+import pytest
+
+from spaln_tpu.config import Config, resolve, CvsG
+from spaln_tpu.ops.params import DpParams, DpFlags
+from spaln_tpu.ops.dp_spliced_scan import (prepare_spliced_batch,
+                                           run_spliced_batch,
+                                           collect_batch_results)
+from spaln_tpu.ops.dp_spliced_pallas import run_spliced_batch_pallas
+from spaln_tpu.score.intron import IntronPenalty
+from spaln_tpu.score.simmtx import Simmtx
+from spaln_tpu.score.splice import build_splice_signals
+from spaln_tpu.score.tables import TableDir, find_table_dir
+from spaln_tpu.seq.codec import encode_dna
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cfg = resolve(Config(), CvsG)
+    prm = DpParams.build(cfg, Simmtx.dna(), CvsG,
+                         ipen=IntronPenalty(cfg, CvsG))
+    tables = TableDir(find_table_dir())
+    return cfg, prm, tables
+
+
+def _spliced_problems(cfg, tables, B, M, ilen, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    queries, genomes, sigs = [], [], []
+    for i in range(B):
+        e1 = "".join(rng.choice(bases, M // 2))
+        e2 = "".join(rng.choice(bases, M - M // 2))
+        gi = "GTAAGT" + "".join(rng.choice(bases, ilen - 13)) + "TTTCTAG"
+        g = e1 + gi + e2 + "".join(rng.choice(bases, 7 + (i % 5)))
+        queries.append(encode_dna(e1 + e2))
+        gc = encode_dna(g)
+        genomes.append(gc)
+        sigs.append(build_splice_signals(gc, cfg, tables))
+    return queries, genomes, sigs
+
+
+@pytest.mark.parametrize("B,M,ilen,W", [(8, 40, 60, 192),
+                                        (3, 40, 60, 192)])
+def test_pallas_matches_scan_spliced(ctx, B, M, ilen, W):
+    cfg, prm, tables = ctx
+    queries, genomes, sigs = _spliced_problems(cfg, tables, B, M, ilen)
+    lw = -(W // 2)
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
+                               lw=lw, up=lw + W - 1, L=16)
+    row_s, rc_s, _ = run_spliced_batch(bp, prm, score_only=True)
+    s_scan, e_scan, _ = collect_batch_results(bp, row_s, rc_s, None,
+                                              True, prm=prm)
+    row_p, rc_p, _ = run_spliced_batch_pallas(bp, prm, score_only=True,
+                                              interpret=True)
+    s_pal, e_pal, _ = collect_batch_results(bp, row_p, rc_p, None,
+                                            True, prm=prm)
+    np.testing.assert_array_equal(s_pal, s_scan)
+    np.testing.assert_array_equal(e_pal, e_scan)
+    assert (s_scan > 0).all()
+
+
+def test_pallas_matches_scan_per_problem_bands(ctx):
+    """Per-problem band placements (deltas) through the pallas path."""
+    cfg, prm, tables = ctx
+    queries, genomes, sigs = _spliced_problems(cfg, tables, 4, 32, 48,
+                                               seed=3)
+    W = 128
+    lws = [-20, -36, -28, -44]
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
+                               lws=lws, W=W, L=16)
+    row_s, rc_s, _ = run_spliced_batch(bp, prm, score_only=True)
+    s_scan, _, _ = collect_batch_results(bp, row_s, rc_s, None, True,
+                                         prm=prm)
+    row_p, rc_p, _ = run_spliced_batch_pallas(bp, prm, score_only=True,
+                                              interpret=True)
+    s_pal, _, _ = collect_batch_results(bp, row_p, rc_p, None, True,
+                                        prm=prm)
+    np.testing.assert_array_equal(s_pal, s_scan)
