@@ -98,6 +98,13 @@ def align_cdna(query: np.ndarray, genome: np.ndarray, ctx: AlignerContext,
 # fwd2s1.cc:2003-2162, and of the cutrng shortcut fwd2s1.cc:423-430)
 BIG_GAP = 16384
 
+# device-memory budget for full traceback planes in one batched launch;
+# buckets that exceed it at the requested batch switch to the linear-
+# space Hirschberg path instead of shrinking the batch (MaxVmfSpace
+# role, vmf.h:26-28 — the decision lspS_ng makes per problem,
+# fwd2s1.cc:1841-1854, made here per bucket)
+PLANE_BYTES_BUDGET = 3 << 29
+
 
 def _max_gap(chain: Chain) -> int:
     return max((b.diag - a.diag for a, b in zip(chain.hsps,
@@ -365,11 +372,20 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         key = (W, Mpad)
         buckets.setdefault(key, []).append(i)
     for (W, Mpad), idxs in buckets.items():
-        # traceback planes cost ~(W + 2L) * L * 13B per slab per problem;
-        # cap the batch so a wide-band bucket stays within ~1.5 GB
+        # traceback planes cost ~(W + 2L) * L * 13B per slab per problem.
+        # Small geometries run the single-pass full-plane path within a
+        # ~1.5 GB budget; past it, the multi-intermediate Hirschberg
+        # (UDH) path keeps the full batch: O(T) links per slab + one
+        # slab of planes at a time, so batch size no longer collapses
+        # with band width or query length (lspS_ng space policy,
+        # fwd2s1.cc:1801-1897).
         T = W + 2 * lanes - 2
-        per = T * lanes * 13 * max(Mpad // lanes, 1)
-        mb = max(1, min(max_batch, (3 << 29) // max(per, 1)))
+        n_slabs = max(Mpad // lanes, 1)
+        per = T * lanes * 13 * n_slabs
+        mb_full = max(1, PLANE_BYTES_BUDGET // max(per, 1))
+        use_udh = n_slabs > 1 and mb_full < min(max_batch, len(idxs))
+        mb = (min(max_batch, len(idxs)) if use_udh
+              else min(max_batch, mb_full))
         for c0 in range(0, len(idxs), mb):
             part = idxs[c0:c0 + mb]
             js = [jobs[i] for i in part]
@@ -387,6 +403,24 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                     W=W, L=lanes)
                 if mesh is not None:
                     bp = _shard_batch(bp, mesh)
+            if use_udh:
+                from ..ops.dp_spliced_udh import run_spliced_batch_udh
+                with stage("device_dp"):
+                    scores, ends, ops_all = run_spliced_batch_udh(
+                        bp, ctx.prm)
+                metrics.bump("dp_cells",
+                             bp.B * bp.n_slabs * bp.L * bp.W)
+                with stage("traceback"):
+                    for bi, ji in enumerate(part):
+                        try:
+                            results[ji] = _finish_job(
+                                jobs[ji], int(scores[bi]), ops_all[bi])
+                        except (KeyboardInterrupt, SystemExit):
+                            raise
+                        except BaseException as exc:
+                            results[ji] = exc
+                metrics.bump("jobs", len(part))
+                continue
             with stage("device_dp"):
                 row_h, rc_h, traces = run_spliced_batch(
                     bp, ctx.prm, score_only=False)
@@ -447,6 +481,16 @@ def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
                       q_name=q_name, g_name=g_name, strand=strand)
     if job is None:
         return None
+    W = job.up - job.lw + 1
+    T = W + 2 * lanes - 2
+    n_slabs = -(-len(job.q) // lanes)
+    if n_slabs > 1 and T * lanes * 13 * n_slabs > (96 << 20):
+        # full planes would exceed ~96 MB: linear-space Hirschberg
+        from ..ops.dp_spliced_udh import forward_spliced_udh
+        score, em, en, ops = forward_spliced_udh(
+            job.q, job.gw, ctx.prm, sig=job.sig, lw=job.lw, up=job.up,
+            L=lanes)
+        return _finish_job(job, score, ops)
     score, em, en, tr = forward_spliced_scan(job.q, job.gw, ctx.prm,
                                              sig=job.sig, lw=job.lw,
                                              up=job.up, L=lanes)

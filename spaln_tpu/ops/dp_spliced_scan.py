@@ -158,10 +158,11 @@ def _pack_ipen(tab: np.ndarray) -> tuple:
     return tuple((int(b), int(tab[b])) for b in bases)
 
 
-def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
-    """Masked insertion of (x, jnc, kdir, d5) into the sorted candidate
-    list (B, L, NCAND), evicting the worst.  Ties keep existing entries
-    first (reference scans from the tail with strict >, fwd2s1.cc:393-398)."""
+def _insert_candidate(cv, x, do_push, *fields):
+    """Masked insertion of x (+ companion fields, given as (arr, new)
+    pairs) into the sorted candidate list (B, L, NCAND), evicting the
+    worst.  Ties keep existing entries first (reference scans from the
+    tail with strict >, fwd2s1.cc:393-398)."""
     pos = jnp.sum(cv >= x[..., None], axis=-1)           # insertion slot
     slot = jnp.arange(NCAND)[None, None, :]
     ins_here = (slot == pos[..., None]) & do_push[..., None]
@@ -173,7 +174,7 @@ def _insert_candidate(cv, cj, cd, c5, x, jnc, kdir, d5, do_push):
         return jnp.where(ins_here, new[..., None],
                          jnp.where(shift, shifted, arr))
 
-    return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c5, d5))
+    return (place(cv, x),) + tuple(place(a, nw) for a, nw in fields)
 
 
 def _pads(L, T, Npad, Mpad):
@@ -195,8 +196,20 @@ def _pads(L, T, Npad, Mpad):
 PSP_BIT = (4, 1, 8, 2, 16)        # psp bits per state (aln.h:56-59)
 
 
+def pack_link(col, state):
+    """Hirschberg crossing record: column * 8 + state (SURVEY A.7 ulk
+    role — the position/state where this cell's path crossed the last
+    intermediate row, i.e. the previous slab boundary)."""
+    return col * 8 + state
+
+
+def unpack_link(lk):
+    return lk // 8, lk % 8
+
+
 def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
-               lgop=0, lgep=0, dagp=False, emit_trace=True):
+               lgop=0, lgep=0, dagp=False, emit_trace=True,
+               emit_links=False):
     """Build the scan step — natively batched over B (closures over
     static geometry; lw0, delta, m0, M, N traced).  TPU-tuned: no
     per-step scatters (boundary/result values are emitted as scan
@@ -208,12 +221,27 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
 
     dagp adds the double-affine states E2/F2 (LongGOP/GEP, -yl3;
     dp_spliced_ref states 3/4) to the recurrence, candidate list and
-    traceback planes."""
+    traceback planes.
+
+    emit_links is the multi-intermediate unidirectional Hirschberg
+    forward (fwd2s1.cc:1801-1897, udh_intermediate.h): every value
+    additionally carries the (column, state) where its path crossed the
+    previous slab boundary (the intermediate row); boundary emissions
+    include those links, so a host backwalk recovers the path's crossing
+    at every L-th row from O(n_slabs * T) link storage instead of
+    O(T * L) traceback planes.  Mutually exclusive with emit_trace."""
     n_states = 5 if dagp else 3
 
     def step(carry, t, *, B, qprof_slab, ops_b, ops_s, bnd_h, bnd_f,
              bnd_f2, col_m, col_m1, e_const, li, m0, lw0, delta, M, N,
              a_exgr):
+        lks = None
+        if emit_links:
+            carry, lks = carry[:-1], carry[-1]
+            if dagp:
+                (lkh1, lkh2, lkf, lke, lkc, lkf2, lke2) = lks
+            else:
+                (lkh1, lkh2, lkf, lke, lkc) = lks
         if dagp:
             (h1, h2, f1, e1, psp, cv, cj, cd, c5, f2_1, e2) = carry
         else:
@@ -303,9 +331,33 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             up_f2 = jnp.where(at_top, NEV, up_f2)
             e2 = jnp.where(first, NEV, e2)
 
+        if emit_links:
+            # crossing links: lane 0 sources sit ON the intermediate row
+            # (m0-1), so their link is their own (column, state); the
+            # column-0 / band-edge init cells descend from column 0
+            zl = jnp.zeros((B, 1), jnp.int32)
+            lk_up_h = jnp.concatenate([zl, lkh1[:, :-1]], axis=1)
+            lk_up_f = jnp.concatenate([zl, lkf[:, :-1]], axis=1)
+            lk_diag = jnp.concatenate([zl, lkh2[:, :-1]], axis=1)
+            lk_up_h = jnp.where(lane0, pack_link(n0, 0)[:, None],
+                                lk_up_h)
+            lk_up_f = jnp.where(lane0, pack_link(n0, 2)[:, None],
+                                lk_up_f)
+            lk_diag = jnp.where(lane0, pack_link(n0 - 1, 0)[:, None],
+                                lk_diag)
+            col0 = pack_link(jnp.zeros((B, L), jnp.int32), 0)
+            lk_left = jnp.where((n == 1) | edge, col0, lkh1)
+            lk_diag = jnp.where(n == 1, col0, lk_diag)
+            if dagp:
+                lk_up_f2 = jnp.concatenate([zl, lkf2[:, :-1]], axis=1)
+                lk_up_f2 = jnp.where(lane0, pack_link(n0, 4)[:, None],
+                                     lk_up_f2)
+
         # ================= recurrence (order = fwd2s1.cc:276-431) =========
         h_val = diag_h + score                            # Diagonal
         mx_val, mx_k = h_val, jnp.zeros((B, L), jnp.int32)
+        if emit_links:
+            lk_mx = lk_diag
         # Vertical (F): new-gap >= extend
         xo = up_h + gop
         f_open = xo >= up_f
@@ -313,6 +365,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         gt = f_val > mx_val
         mx_val = jnp.where(gt, f_val, mx_val)
         mx_k = jnp.where(gt, 2, mx_k)
+        if emit_links:
+            lkf = jnp.where(f_open, lk_up_h, lk_up_f)
+            lk_mx = jnp.where(gt, lkf, lk_mx)
         # Vertical2 (F2, long gap): strict > into the max
         f2_open = f2_val = None
         if dagp:
@@ -322,6 +377,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             gt = f2_val > mx_val
             mx_val = jnp.where(gt, f2_val, mx_val)
             mx_k = jnp.where(gt, 4, mx_k)
+            if emit_links:
+                lkf2 = jnp.where(f2_open, lk_up_h, lk_up_f2)
+                lk_mx = jnp.where(gt, lkf2, lk_mx)
         # Horizontal (E1); prev_psp (pre-E1) feeds the E2 psp rule
         prev_psp = psp
         xo = left_h + gop
@@ -332,6 +390,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         ge = e_val >= mx_val
         mx_val = jnp.where(ge, e_val, mx_val)
         mx_k = jnp.where(ge, 1, mx_k)
+        if emit_links:
+            lke = jnp.where(e_open, lk_left, lke)
+            lk_mx = jnp.where(ge, lke, lk_mx)
         # Horizontal2 (E2, long gap)
         e2_open = e2_val = None
         if dagp:
@@ -344,6 +405,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             ge = e2_val >= mx_val
             mx_val = jnp.where(ge, e2_val, mx_val)
             mx_k = jnp.where(ge, 3, mx_k)
+            if emit_links:
+                lke2 = jnp.where(e2_open, lk_left, lke2)
+                lk_mx = jnp.where(ge, lke2, lk_mx)
 
         # ---- acceptor close (fwd2s1.cc:333-354)
         internal = (~a_exgr) | (m[None, :] < M[:, None])
@@ -365,6 +429,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         cand_ok = (acc_ok[..., None] & (ilen >= llmt) & (cv > NEV // 2))
         xc = jnp.where(cand_ok, xc, NEV)
         state_vals = [h_val, e_val, f_val, e2_val, f2_val][:n_states]
+        if emit_links:
+            lk_states = [lk_diag, lke, lkf, lke2 if dagp else None,
+                         lkf2 if dagp else None][:n_states]
         spj = []
         for k in range(n_states):
             cur = state_vals[k]
@@ -374,6 +441,9 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
                         & cand_ok[..., l])
                 cur = jnp.where(take, xc[..., l], cur)
                 jnc_k = jnp.where(take, cj[..., l] + 1, jnc_k)
+                if emit_links:
+                    lk_states[k] = jnp.where(take, lkc[..., l],
+                                             lk_states[k])
             state_vals[k] = cur
             spj.append(jnc_k)
             closed = jnc_k > 0
@@ -381,6 +451,8 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             ge = closed & (cur >= mx_val)
             mx_val = jnp.where(ge, cur, mx_val)
             mx_k = jnp.where(ge, k, mx_k)
+            if emit_links:
+                lk_mx = jnp.where(ge, lk_states[k], lk_mx)
 
         # ---- winner into H
         h_out = mx_val
@@ -399,9 +471,14 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
             prune = (k != mx_k) & (fv <= z)
             elig &= ~prune
             x = fv + sig5
-            cv, cj, cd, c5 = _insert_candidate(
-                cv, cj, cd, c5, x, n, jnp.full((B, L), k, jnp.int32),
-                d5cls, elig)
+            kdir = jnp.full((B, L), k, jnp.int32)
+            if emit_links:
+                cv, cj, cd, c5, lkc = _insert_candidate(
+                    cv, x, elig, (cj, n), (cd, kdir), (c5, d5cls),
+                    (lkc, lk_states[k]))
+            else:
+                cv, cj, cd, c5 = _insert_candidate(
+                    cv, x, elig, (cj, n), (cd, kdir), (c5, d5cls))
 
         # ---- masked commit
         h_out = jnp.where(active, h_out, NEV)
@@ -425,6 +502,25 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         bf2_v = (carry[9][:, L - 1] if dagp
                  else jnp.zeros(B, jnp.int32) + NEV)
         ys = (h_out[:, L - 1], f_out[:, L - 1], row_v, rc_v, bf2_v)
+        if emit_links:
+            lkh_c = jnp.where(active, lk_mx, 0)
+            lkf_c = lk_states[2]
+            lke_c = lk_states[1]
+            if dagp:
+                lks_new = (lkh_c, lkh1, lkf_c, lke_c, lkc,
+                           lk_states[4], lk_states[3])
+            else:
+                lks_new = (lkh_c, lkh1, lkf_c, lke_c, lkc)
+            carry = carry + (lks_new,)
+            rowlk = jnp.sum(jnp.where(lanes[None, :] == li[:, None],
+                                      lkh_c, 0), axis=1)
+            rclk = jnp.sum(jnp.where(lanes[None, :] == rcl[:, None],
+                                     lkh_c, 0), axis=1)
+            bf2lk = (lk_states[4][:, L - 1] if dagp
+                     else jnp.zeros(B, jnp.int32))
+            ys = ys + (lkh_c[:, L - 1], lkf_c[:, L - 1], rowlk, rclk,
+                       bf2lk)
+            return carry, ys
         if not emit_trace:
             return carry, ys
         # flag layout: bits 0-2 winner state, 3 eopen, 4 fopen,
@@ -458,7 +554,7 @@ def _win_update(dst, vals, mask, start, PB):
 @functools.lru_cache(maxsize=128)
 def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
                ipen_key, lgop=0, lgep=0, dagp=False,
-               emit_trace=True, unroll=None):
+               emit_trace=True, unroll=None, emit_links=False):
     if unroll is None:
         # unroll=4 is ~25% faster on chip (1.25 vs 0.96 GCUPS) but the
         # select-chain body is large and compile time scales with the
@@ -471,7 +567,7 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
     PBn, _, PBm, _ = _pads(L, T, Npad, Mpad)
     step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PBn, ncls,
                       ipen_key, lgop=lgop, lgep=lgep, dagp=dagp,
-                      emit_trace=emit_trace)
+                      emit_trace=emit_trace, emit_links=emit_links)
 
     def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, bnd_f2, row_h,
              rc_h, m0, lw0, delta, M, N, a_exgr):
@@ -503,6 +599,11 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
         if dagp:
             carry0 = carry0 + (jnp.full((B, L), NEV),
                                jnp.full((B, L), NEV))
+        if emit_links:
+            z2 = jnp.zeros((B, L), jnp.int32)
+            zc = jnp.zeros((B, L, NCAND), jnp.int32)
+            lks0 = (z2, z2, z2, z2, zc) + ((z2, z2) if dagp else ())
+            carry0 = carry0 + (lks0,)
         carry, ys = jax.lax.scan(f, carry0, jnp.arange(T), unroll=unroll)
         bh_v, bf_v, row_v, rc_v, bf2_v = [y.T for y in ys[:5]]  # (B, T)
         ts = jnp.arange(T)[None, :]
@@ -536,9 +637,20 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
         wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
               & (ts - 2 * rcl < W) & (mc >= 1) & (mc <= M[:, None]))
         rc_h = _win_update(rc_h, rc_v, wc, cc0, PBm)
+        if emit_links:
+            # link streams transposed to (B, T); host backwalk indexes
+            # them by the same cursor math as the window write-backs
+            return ((bnd_h, bnd_f, bnd_f2, row_h, rc_h),
+                    tuple(y.T for y in ys[5:]))
         return (bnd_h, bnd_f, bnd_f2, row_h, rc_h), ys[5:]
 
     return jax.jit(run1)
+
+
+def snap_pos(bp: "BatchProblem", s: int) -> int:
+    """Storage position of slab s's entry-boundary read window: lane-0
+    reads in slab s hit positions [PB + m0 + lw, PB + m0 + lw + T]."""
+    return bp.PB + (s * bp.L + 1) + bp.lw
 
 
 def _row_pos(PB, L, n, delta, li):
@@ -693,15 +805,24 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
 
 
 def run_spliced_batch(bp: BatchProblem, prm: DpParams,
-                      score_only: bool = True, block: bool = True):
-    """Device stage: run all slabs; returns (row_h, rc_h, traces_raw)."""
+                      score_only: bool = True, block: bool = True,
+                      emit_links: bool = False):
+    """Device stage: run all slabs; returns (row_h, rc_h, traces_raw).
+
+    emit_links = the Hirschberg forward: score-only values plus, per
+    slab, ((5 link streams: boundary-H, boundary-F, final-row,
+    right-column, boundary-F2), (entry-boundary snapshots of
+    bnd_h/f/f2 over the slab's read window)) — everything the UDH
+    backwalk + strip retrace (dp_spliced_udh) needs, O(T) ints per slab
+    instead of O(T*L) planes."""
     B, L = bp.B, bp.L
     _, TOTn, _, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
     scan = _scan_slab(B, L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
                       bp.ncls, bp.ipen_key,
                       lgop=prm.lgop, lgep=prm.lgep, dagp=prm.dagp,
-                      emit_trace=not score_only)
+                      emit_trace=not score_only and not emit_links,
+                      emit_links=emit_links)
     bnd_h, bnd_f, bnd_f2 = bp.bnd_h0, bp.bnd_f0, bp.bnd_f20
     row_h = jnp.full((B, TOTn), NEV)
     rc_h = jnp.full((B, TOTm), NEV)
@@ -709,13 +830,22 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
     lw0 = jnp.asarray(bp.lw)            # batch-shared band base (traced)
     for s in range(bp.n_slabs):
         m0 = s * L + 1
+        if emit_links:
+            # entry-boundary snapshot over this slab's read window
+            # [PB + m0 + lw, + T + 2) — lets the UDH retrace re-run this
+            # slab alone with full planes (dp_spliced_udh)
+            p0 = snap_pos(bp, s)
+            snap = tuple(x[:, p0:p0 + bp.T + 2]
+                         for x in (bnd_h, bnd_f, bnd_f2))
         qprof_slab = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
                                                   axis=1)
         (bnd_h, bnd_f, bnd_f2, row_h, rc_h), ys = scan(
             qprof_slab, bp.ops, bp.ops_s, bnd_h, bnd_f, bnd_f2, row_h,
             rc_h, m0, lw0, bp.deltas_j, bp.Ms_j, bp.Ns_j,
             bp.flags.a_exgr)
-        if not score_only:
+        if emit_links:
+            traces.append((ys, snap))
+        elif not score_only:
             traces.append(ys)
     if block:
         # materialize one element: block_until_ready alone does not
@@ -842,15 +972,30 @@ class SliceTrace:
         s, t, i = self.cell(m, n)
         return int(self.spj[s][t, i, k])
 
+    @property
+    def n_spj(self):
+        # strip retraces hold planes for one slab only (others None)
+        return next(x for x in self.spj if x is not None).shape[-1]
+
 
 def traceback_spliced_scan(tr: SliceTrace, end_m: int, end_n: int,
                            guard: int = 10_000_000):
     """Same op stream as traceback_spliced_ref, from wavefront planes."""
+    return traceback_spliced_strip(tr, end_m, end_n)[0]
+
+
+def traceback_spliced_strip(tr: SliceTrace, m: int, n: int,
+                            state: int = 0, m_stop: int = 0,
+                            guard: int = 10_000_000):
+    """Walk traceback planes from (m, n, state) down to row ``m_stop``
+    (exclusive) — the strip unit of the multi-intermediate Hirschberg
+    postwork (mimd_postwork, fwd2s1.cc:1714-1756; strips here are slab
+    bands, m_stop a slab boundary).  Returns (ops ascending, m, n,
+    state); the exit state at an intermediate row is always 0/2/4
+    (H/F/F2) — only vertical moves cross row boundaries."""
     ops = []
-    m, n = end_m, end_n
-    state = 0
     steps = 0
-    while steps < guard and m > 0 and n >= 1:
+    while steps < guard and m > m_stop and n >= 1:
         steps += 1
         if state == 0:
             hd = tr.hdir(m, n)
@@ -871,8 +1016,7 @@ def traceback_spliced_scan(tr: SliceTrace, end_m: int, end_n: int,
                 break
             state = hd
             continue
-        jnc = (tr.spj_at(state, m, n)
-               if state < tr.spj[0].shape[-1] else 0)
+        jnc = tr.spj_at(state, m, n) if state < tr.n_spj else 0
         if jnc:
             ops.append(('I', m, jnc - 1, n))
             n = jnc - 1
@@ -887,4 +1031,4 @@ def traceback_spliced_scan(tr: SliceTrace, end_m: int, end_n: int,
         if opened:
             state = 0
     ops.reverse()
-    return ops
+    return ops, m, n, state
