@@ -1,0 +1,200 @@
+"""Real-data end-to-end gate: spaln_tpu vs the compiled reference binary.
+
+The reference's own regression recipe (seqdb/Makefile:69-75) run on the
+reconstructed dictdisc corpus (make_corpus.py): both pipelines index the
+same genome and map the same REAL cDNA queries with -Q7 semantics; gene
+structures are diffed exon-by-exon.  Reports per-query structure
+identity, exon-level precision/recall, and both pipelines' accuracy
+against the planted truth.
+
+Usage:
+  python scripts/make_corpus.py /tmp/corpus --n-genes 2000
+  python scripts/corpus_gate.py /tmp/corpus --n-queries 500 \
+      [--ref-bin /tmp/refsrc/spaln] [--out CORPUS_GATE.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _read_fasta(path):
+    recs, name, buf = [], None, []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if name:
+                    recs.append((name, "".join(buf)))
+                name = line[1:].split()[0]
+                buf = []
+            else:
+                buf.append(line.strip())
+    if name:
+        recs.append((name, "".join(buf)))
+    return recs
+
+
+def _norm_qname(q: str) -> str:
+    # the reference truncates fasta ids at the last '|' segment
+    return q.split("|")[-1]
+
+
+def parse_ref_o4(text: str) -> dict:
+    """Reference -O4 exon rows -> {qname: (chr, strand, [intervals])}.
+    Keeps the FIRST reported locus per query (best-scored)."""
+    out: dict = {}
+    strand_of: dict = {}
+    for line in text.splitlines():
+        if line.startswith("@"):
+            # @ chr + ( a b ) qname ...
+            toks = line.split()
+            strand_of[_norm_qname(toks[6])] = (toks[1], toks[2])
+            continue
+        if line.startswith("#") or not line.strip():
+            continue
+        toks = line.split("\t")
+        if len(toks) < 10:
+            continue
+        q = _norm_qname(toks[0].strip())
+        chrn = toks[1].strip()
+        gl, gr = int(toks[8]), int(toks[9])
+        iv = (min(gl, gr), max(gl, gr))
+        st = "+" if gl <= gr else "-"
+        key = (chrn, st)
+        if q not in out:
+            out[q] = (chrn, st, [iv])
+        elif out[q][0] == chrn and out[q][1] == st:
+            out[q][2].append(iv)
+    return {q: (c, s, sorted(ivs)) for q, (c, s, ivs) in out.items()}
+
+
+def parse_ours_o4(text: str) -> dict:
+    """spaln_tpu -O4 exon rows -> same shape as parse_ref_o4."""
+    out: dict = {}
+    for line in text.splitlines():
+        if line.startswith(("#", "@")) or not line.strip():
+            continue
+        toks = line.split("\t")
+        if len(toks) < 8:
+            continue
+        q = _norm_qname(toks[0])
+        chrn, st = toks[1], toks[2]
+        iv = (int(toks[5]), int(toks[6]))
+        iv = (min(iv), max(iv))
+        if q not in out:
+            out[q] = (chrn, st, [iv])
+        elif out[q][0] == chrn and out[q][1] == st:
+            out[q][2].append(iv)
+    return {q: (c, s, sorted(ivs)) for q, (c, s, ivs) in out.items()}
+
+
+def load_truth(path) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            t = json.loads(line)
+            out[_norm_qname(t["q"])] = (t["chr"], t["strand"],
+                                        sorted(tuple(e) for e in t["exons"]))
+    return out
+
+
+def compare(a: dict, b: dict, names) -> dict:
+    """Structure/exon agreement of a vs b over the query name list."""
+    n = len(names)
+    ident = loci = 0
+    ex_a = ex_b = ex_common = 0
+    missing_a = missing_b = 0
+    for q in names:
+        sa, sb = a.get(q), b.get(q)
+        if sa is None:
+            missing_a += 1
+        if sb is None:
+            missing_b += 1
+        if sa is None or sb is None:
+            continue
+        loci += (sa[0], sa[1]) == (sb[0], sb[1])
+        ident += sa == sb
+        A = set((sa[0], sa[1], iv) for iv in sa[2])
+        B = set((sb[0], sb[1], iv) for iv in sb[2])
+        ex_a += len(A)
+        ex_b += len(B)
+        ex_common += len(A & B)
+    return dict(n=n, identical=ident, same_locus=loci,
+                pct_identical=round(100 * ident / max(n, 1), 2),
+                exon_recall=round(ex_common / max(ex_b, 1), 4),
+                exon_precision=round(ex_common / max(ex_a, 1), 4),
+                missing_a=missing_a, missing_b=missing_b)
+
+
+def run_reference(corpus: str, qfile: str, ref_bin: str) -> tuple:
+    if not os.path.exists(os.path.join(corpus, "corpus_g.bkn")):
+        subprocess.run([ref_bin, "-W", "-KD", "corpus_g.gf"], cwd=corpus,
+                       check=True, capture_output=True, timeout=1800)
+    t0 = time.time()
+    r = subprocess.run([ref_bin, "-Q7", "-O4", "-LS", "-pq",
+                        "-d", "corpus_g", qfile], cwd=corpus,
+                       capture_output=True, text=True, timeout=36000)
+    return parse_ref_o4(r.stdout), time.time() - t0
+
+
+def run_ours(corpus: str, qfile: str, lanes: int = 128,
+             batch: int = 16) -> tuple:
+    from spaln_tpu.cli import main as cli_main
+    prefix = os.path.join(corpus, "tpu_g")
+    if not os.path.exists(prefix + ".bkn.npz"):
+        cli_main(["index", os.path.join(corpus, "corpus_g.gf"),
+                  "-p", prefix])
+    outp = os.path.join(corpus, "ours_o4.txt")
+    t0 = time.time()
+    cli_main(["map", os.path.join(corpus, qfile), "-d", prefix,
+              "-O", "4", "-o", outp, "--batch", str(batch),
+              "--lanes", str(lanes)])
+    dt = time.time() - t0
+    return parse_ours_o4(open(outp).read()), dt
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus")
+    ap.add_argument("--n-queries", type=int, default=200)
+    ap.add_argument("--ref-bin", default="/tmp/refsrc/spaln")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--lanes", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--skip-ours", action="store_true")
+    a = ap.parse_args(argv)
+
+    recs = _read_fasta(os.path.join(a.corpus, "corpus.cf"))[:a.n_queries]
+    names = [_norm_qname(n) for n, _ in recs]
+    qfile = f"queries_{a.n_queries}.cf"
+    with open(os.path.join(a.corpus, qfile), "w") as f:
+        for n, s in recs:
+            f.write(f">{n}\n")
+            for i in range(0, len(s), 60):
+                f.write(s[i:i + 60] + "\n")
+    truth = load_truth(os.path.join(a.corpus, "truth.jsonl"))
+
+    ref, t_ref = run_reference(a.corpus, qfile, a.ref_bin)
+    rep = {"n_queries": a.n_queries,
+           "ref_seconds": round(t_ref, 1),
+           "ref_vs_truth": compare(ref, truth, names)}
+    if not a.skip_ours:
+        ours, t_ours = run_ours(a.corpus, qfile, a.lanes, a.batch)
+        rep["ours_seconds"] = round(t_ours, 1)
+        rep["ours_vs_ref"] = compare(ours, ref, names)
+        rep["ours_vs_truth"] = compare(ours, truth, names)
+    out = a.out or os.path.join(a.corpus, "CORPUS_GATE.json")
+    with open(out, "w") as f:
+        json.dump(rep, f, indent=1)
+    print(json.dumps(rep, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,28 +63,39 @@ def align_cdna(query: np.ndarray, genome: np.ndarray, ctx: AlignerContext,
     orientations and keeps the better chain (geneorient, wln.cc:1024).
     """
     results: list[GeneStructure] = []
+    # minus-strand genes are aligned in TRANSCRIPT orientation: the
+    # original query against the reverse-complemented genomic window, so
+    # the splice-signal model (GT..AG donors/acceptors, PSSMs) applies
+    # exactly as on the plus strand (the reference evaluates reverse
+    # genes the same way and converts coordinates at output, sqpr
+    # SiteNo); results are re-expressed in forward-genome coordinates by
+    # _to_minus_view.
     cands: list[tuple[int, str, np.ndarray, Chain | None]] = []
     fwd_chains = wilip(query, genome, level=level, ipen=ctx.ipen)
     if strand in ("auto", "+") and fwd_chains:
-        cands.append((fwd_chains[0].score, "+", query, fwd_chains[0]))
+        cands.append((fwd_chains[0].score, "+", genome, fwd_chains[0]))
+    rc_g = None
     if strand in ("auto", "-"):
-        rc = comrev(query)
-        rev_chains = wilip(rc, genome, level=level, ipen=ctx.ipen)
+        rc_g = comrev(genome)
+        rev_chains = wilip(query, rc_g, level=level, ipen=ctx.ipen)
         if rev_chains:
-            cands.append((rev_chains[0].score, "-", rc, rev_chains[0]))
+            cands.append((rev_chains[0].score, "-", rc_g, rev_chains[0]))
     if not cands and strand in ("auto", "+"):
-        cands.append((0, "+", query, None))
+        cands.append((0, "+", genome, None))
     if not cands:
-        return []
+        if strand != "-":
+            return []
+        cands.append((0, "-", rc_g if rc_g is not None
+                      else comrev(genome), None))
     cands.sort(key=lambda c: -c[0])
-    score0, st, q_use, chain = cands[0]
+    score0, st, g_use, chain = cands[0]
     gs = None
     if chain is not None and _max_gap(chain) > BIG_GAP:
-        gs = _align_long(q_use, genome, ctx, chain, sh=sh, margin=margin,
+        gs = _align_long(query, g_use, ctx, chain, sh=sh, margin=margin,
                          lanes=lanes, q_name=q_name, g_name=g_name,
                          strand=st)
     if gs is None:
-        gs = _align_window(q_use, genome, ctx, chain, sh=sh, margin=margin,
+        gs = _align_window(query, g_use, ctx, chain, sh=sh, margin=margin,
                            lanes=lanes, q_name=q_name, g_name=g_name,
                            g_off=g_off, strand=st)
     if gs is not None:
@@ -243,6 +254,8 @@ def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     if gs is None:
         return None
     gs.score = _score_ops(all_ops, q, g, sig_full, ctx.prm)
+    if strand == "-":
+        _to_minus_view(gs, len(q), len(g))
     return gs
 
 
@@ -287,6 +300,7 @@ class AlignJob:
     up: int
     strand: str
     lo: int                      # gw offset within the caller's window
+    g_total: int = 0             # caller-window length (minus-view flip)
     q_name: str = ""
     g_name: str = ""
 
@@ -332,7 +346,24 @@ def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     up = min(lw + Wb - 1, N)
     lw = max(up - Wb + 1, -M)
     return AlignJob(q=q, gw=gw, sig=sig, lw=lw, up=up, strand=strand,
-                    lo=lo, q_name=q_name, g_name=g_name)
+                    lo=lo, g_total=len(g), q_name=q_name, g_name=g_name)
+
+
+def _to_minus_view(gs: GeneStructure, M: int, N: int) -> GeneStructure:
+    """Re-express a minus-strand result computed in transcript
+    orientation (original query x length-N reverse-complemented window)
+    in the output convention: rc-query coordinates with ascending
+    forward-genome coordinates (the reference's SiteNo conversion,
+    sqpr.cc)."""
+    for e in gs.exons:
+        e.q_start, e.q_end = M - e.q_end, M - e.q_start
+        e.g_start, e.g_end = N - e.g_end, N - e.g_start
+    gs.exons.reverse()
+    for i in gs.introns:
+        i.g_start, i.g_end = N - i.g_end, N - i.g_start
+        i.q_pos = M - i.q_pos
+    gs.introns.reverse()
+    return gs
 
 
 def _finish_job(job: AlignJob, score: int, ops: list
@@ -348,6 +379,8 @@ def _finish_job(job: AlignJob, score: int, ops: list
     for i in gs.introns:
         i.g_start += job.lo
         i.g_end += job.lo
+    if job.strand == "-":
+        _to_minus_view(gs, len(job.q), job.g_total)
     return gs
 
 

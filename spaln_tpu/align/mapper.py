@@ -162,22 +162,25 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                 q = queries[qi]
                 window = self.store.window(g0, g1)
                 ci, _ = self.store.locate(g0)
-                # strand selection by chain score (geneorient, wln.cc:1024)
+                # strand selection by chain score (geneorient, wln.cc:
+                # 1024); minus genes align in transcript orientation —
+                # original query vs reverse-complemented window — so the
+                # splice model applies exactly (see align_cdna)
                 cands = []
                 with stage("seed"):
                     fwd = wilip(q, window, ipen=self.ctx.ipen)
                 if strands[qi] in ("auto", "+") and fwd:
-                    cands.append((fwd[0].score, "+", q, fwd[0]))
+                    cands.append((fwd[0].score, "+", window, fwd[0]))
                 if strands[qi] in ("auto", "-"):
-                    rc = comrev(q)
-                    rev = wilip(rc, window, ipen=self.ctx.ipen)
+                    rc_w = comrev(window)
+                    rev = wilip(q, rc_w, ipen=self.ctx.ipen)
                     if rev:
-                        cands.append((rev[0].score, "-", rc, rev[0]))
+                        cands.append((rev[0].score, "-", rc_w, rev[0]))
                 if not cands:
                     continue
                 cands.sort(key=lambda c: -c[0])
-                _, st, q_use, chain = cands[0]
-                job = prepare_job(q_use, window, self.ctx, chain,
+                _, st, g_use, chain = cands[0]
+                job = prepare_job(q, g_use, self.ctx, chain,
                                   q_name=q_names[qi],
                                   g_name=self.store.names[ci], strand=st)
             except (KeyboardInterrupt, SystemExit):

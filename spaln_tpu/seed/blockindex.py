@@ -48,6 +48,19 @@ class BlockIndex:
     wscr: np.ndarray         # (4^k,) int16 word scores
     n_blocks: int
     glen: int
+    cbounds: np.ndarray | None = None   # contig starts + glen sentinel
+
+    def _contig_clamp(self, g0: int, g1: int, peak: int
+                      ) -> tuple[int, int]:
+        """Clamp a candidate range to the contig containing the vote
+        peak — a BPAIR never crosses chromosome bounds (zl/zr,
+        blksrc.cc:2637-2638)."""
+        if self.cbounds is None or len(self.cbounds) <= 2:
+            return g0, g1
+        ci = int(np.searchsorted(self.cbounds, peak, side="right")) - 1
+        ci = min(max(ci, 0), len(self.cbounds) - 2)
+        return (max(g0, int(self.cbounds[ci])),
+                min(g1, int(self.cbounds[ci + 1])))
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -90,14 +103,17 @@ class BlockIndex:
         pw = np.maximum(total_hits / gsize, 1e-12)
         wscr = np.minimum(-np.log2(pw) * 4, 120).astype(np.int16)
         wscr[total_hits > max_word_freq * gsize] = 0     # repetitive words
+        cbounds = np.append(store.offsets, glen).astype(np.int64)
         return cls(k=k, blklen=blklen, maxgene=p["maxgene"],
                    offsets=offsets, blocks=ub, wscr=wscr,
-                   n_blocks=n_blocks, glen=glen)
+                   n_blocks=n_blocks, glen=glen, cbounds=cbounds)
 
     # ----------------------------------------------------------- persistence
     def save(self, prefix: str) -> None:
         np.savez(prefix + ".bkn.npz", offsets=self.offsets,
                  blocks=self.blocks, wscr=self.wscr,
+                 cbounds=(self.cbounds if self.cbounds is not None
+                          else np.array([0, self.glen], dtype=np.int64)),
                  meta=np.array([self.k, self.blklen, self.maxgene,
                                 self.n_blocks, self.glen], dtype=np.int64))
 
@@ -107,7 +123,8 @@ class BlockIndex:
         k, blklen, maxgene, n_blocks, glen = z["meta"].tolist()
         return cls(k=int(k), blklen=int(blklen), maxgene=int(maxgene),
                    offsets=z["offsets"], blocks=z["blocks"],
-                   wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen))
+                   wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen),
+                   cbounds=z["cbounds"] if "cbounds" in z else None)
 
     # --------------------------------------------------------------- search
     def _query_words(self, query: np.ndarray) -> np.ndarray:
@@ -115,11 +132,58 @@ class BlockIndex:
         words, ok = _kmer_words(red, self.k)
         return words[ok]
 
+    def _query_words_pos(self, query: np.ndarray):
+        red = NT_REDUCE4[np.asarray(query, dtype=np.int64)]
+        words, ok = _kmer_words(red, self.k)
+        pos = np.nonzero(ok)[0]
+        return words[pos], pos
+
     def _qspan_blocks(self, query: np.ndarray) -> int:
         return max(self._q_nt_len(query) // self.blklen, 1)
 
     def _q_nt_len(self, query: np.ndarray) -> int:
         return len(query)
+
+    # Randbs random-match score model (blksrc.h:388-390, ctor
+    # blksrc.cc:2047-2062): expected best random consecutive-hit chain
+    # after mmc failed scan cycles ~ RbsFact*avr*ln(mmc+1) + RbsBase*avr
+    # for a genome DB; a block pair must additionally clear Phase1T =
+    # RbsBias*avr (TestOutput, blksrc.cc:2680-2683).  avr is the index's
+    # mean informative word score, so the thresholds are calibrated to
+    # whatever scoring the index was built with.
+    RBS_FACT = 0.4               # RbsFactLog
+    RBS_BASE = 3.0               # RbsBase
+    RBS_BIAS = 3.0               # RbsBias
+
+    @property
+    def avr_wscr(self) -> float:
+        pos = self.wscr[self.wscr > 0]
+        return float(pos.mean()) if len(pos) else 1.0
+
+    def randbs(self, mmc: int) -> float:
+        return (self.RBS_FACT * math.log(mmc + 1)
+                + self.RBS_BASE) * self.avr_wscr
+
+    def _hit_stream(self, query: np.ndarray):
+        """All (word position, block, word score) hits of the query
+        plus the position count — the vectorized equivalent of the
+        4-direction scanning loop's raw lookups (Qwords::querywords +
+        next_mrglist, blksrc.cc:2890-2969)."""
+        w, pos = self._query_words_pos(query)
+        if not len(w):
+            return None
+        lo = self.offsets[w]
+        hi = self.offsets[w + 1]
+        cnt = (hi - lo).astype(np.int64)
+        has = cnt > 0
+        if not has.any():
+            return None
+        idx = np.concatenate([np.arange(l, h)
+                              for l, h in zip(lo[has], hi[has])])
+        blk = self.blocks[idx].astype(np.int64)
+        cyc = np.repeat(pos[has], cnt[has]).astype(np.int64)
+        ws = np.repeat(self.wscr[w[has]].astype(np.int64), cnt[has])
+        return cyc, blk, ws, int(pos[-1]) + 1 if len(pos) else 0
 
     def vote(self, query: np.ndarray) -> np.ndarray:
         """Per-block vote score for one query (findblock's bscr tallies,
@@ -141,44 +205,107 @@ class BlockIndex:
         return np.bincount(self.blocks[idx], weights=rep_score,
                            minlength=self.n_blocks).astype(np.int64)
 
-    def candidate_ranges(self, query: np.ndarray, ncand: int = 10,
-                         min_score_frac: float = 0.25
+    def candidate_ranges(self, query: np.ndarray, ncand: int = 10
                          ) -> list[tuple[int, int, float]]:
-        """Top candidate genomic ranges [(start, end, score)], each a
-        window of blocks whose summed votes pass threshold, widened to
-        MaxGene (TestOutput/BPAIR semantics collapsed to a windowed-sum
-        scan over block votes)."""
-        votes = self.vote(query)
-        if votes.max() == 0:
+        """Calibrated two-end block voting -> candidate gene ranges
+        [(g0, g1, score)].
+
+        The findblock/TestOutput machinery (blksrc.cc:2971-3087,
+        2605-2703) vectorized: hits are run-gated (a hit counts when the
+        same block, or a neighbor, was also hit at an adjacent query
+        word — the consecutive-hit rule of the 4-tally scan), tallied
+        separately for the query's left and right halves (the two-end
+        inward scan's meet-in-the-middle limit), thresholded with the
+        Randbs random-match model per side, paired left-block/right-
+        block into BPAIRs within MaxGene on one contig, extended across
+        vote-positive neighbor blocks, and accepted when the pair's
+        summed votes clear randbs(mmcL + mmcR) + Phase1T.  Falls back to
+        the best unpaired candidate when nothing is significant
+        (TestOutput force semantics)."""
+        hs = self._hit_stream(query)
+        if hs is None:
             return []
-        span_blocks = max(self.maxgene // self.blklen, 1)
+        cyc, blk, ws, ncyc = hs
+        NB = self.n_blocks
+        # run gating: adjacent query position, same or +-1 block
+        key = np.sort(cyc * NB + blk)
+        run = np.zeros(len(blk), dtype=bool)
+        for dc in (-1, 1):
+            for db in (-1, 0, 1):
+                probe = (cyc + dc) * NB + blk + db
+                j = np.searchsorted(key, probe)
+                j = np.clip(j, 0, len(key) - 1)
+                run |= key[j] == probe
+        half = ncyc // 2
+        left = cyc < half
+        bl = np.bincount(blk[run & left], weights=ws[run & left],
+                         minlength=NB)
+        br = np.bincount(blk[run & ~left], weights=ws[run & ~left],
+                         minlength=NB)
+        # mmc: failed scan cycles per side, on the reference's
+        # Nshift(=k)-step grid (nmmc role)
+        step = max(self.k, 1)
+        hitc = np.zeros(ncyc + 1, dtype=bool)
+        hitc[cyc[run]] = True
+        grid = np.arange(0, ncyc, step)
+        gh = hitc[grid]
+        mmc_l = int((~gh[grid < half]).sum())
+        mmc_r = int((~gh[grid >= half]).sum())
+        thr_l, thr_r = self.randbs(mmc_l), self.randbs(mmc_r)
+        sig_l = np.nonzero(bl >= thr_l)[0]
+        sig_r = np.nonzero(br >= thr_r)[0]
+        ncap = max(ncand, 10) + 2      # Ncand = MaxOut + NCAND2PHS role
+        if len(sig_l) > ncap:
+            sig_l = np.sort(sig_l[np.argsort(bl[sig_l])[::-1][:ncap]])
+        if len(sig_r) > ncap:
+            sig_r = np.sort(sig_r[np.argsort(br[sig_r])[::-1][:ncap]])
+        pair_thr = self.randbs(mmc_l + mmc_r) + self.RBS_BIAS * \
+            self.avr_wscr
+        bsum = bl + br
+        max_blocks = max(self.maxgene // self.blklen, 1) + 1
         qspan = self._qspan_blocks(query)
-        win = min(span_blocks, max(2 * qspan, 2))
-        kern = np.ones(win)
-        smooth = np.convolve(votes, kern, mode="same")
-        thr = smooth.max() * min_score_frac
-        out = []
-        used = np.zeros(len(smooth), dtype=bool)
-        order = np.argsort(smooth)[::-1]
-        # candidate extent: a gene may span MaxGene around the vote peak
-        # and must include the whole query even when only part of it voted
-        # (TestOutput/ExtBlock widening, blksrc.cc:2409-2461) — the vote
-        # peak marks *some* exon, not necessarily the gene start.
-        ext = min(span_blocks,
-                  max(2 * win, 2 * qspan + 2,
+        ext = min(max_blocks,
+                  max(2 * qspan + 2,
                       2 * self._q_nt_len(query) // self.blklen + 2))
-        for b in order:
-            if len(out) >= ncand or smooth[b] < thr:
+        # pair left-significant with the nearest right-significant block
+        # downstream on the same contig (extract_to_work/BPAIR); each
+        # side's singletons are kept as degenerate pairs
+        cand: list[tuple[int, int]] = []
+        for p in sig_l:
+            qs = sig_r[(sig_r >= p)
+                       & (sig_r <= p + max_blocks)]
+            cand.append((int(p), int(qs[0]) if len(qs) else int(p)))
+        for q_ in sig_r:
+            if not any(a <= q_ <= b for a, b in cand):
+                cand.append((int(q_), int(q_)))
+        scored: list[tuple[float, int, int]] = []
+        for lb, rb in cand:
+            # extend across vote-positive neighbors (blksrc.cc:2645-2661)
+            z = max(lb - ext, 0)
+            while lb > z and bsum[lb - 1] > 0:
+                lb -= 1
+            z = min(rb + ext, NB - 1)
+            while rb < z and bsum[rb + 1] > 0:
+                rb += 1
+            scored.append((float(bsum[lb:rb + 1].sum()), lb, rb))
+        scored.sort(key=lambda c: -c[0])
+        passing = [c for c in scored if c[0] >= pair_thr]
+        if not passing and scored:
+            passing = scored[:1]           # force path (TestOutput(1))
+        out: list[tuple[int, int, float]] = []
+        for sc, lb, rb in passing:
+            if len(out) >= ncand:
                 break
-            if used[b]:
-                continue
-            used[max(int(b) - win, 0):min(int(b) + win + 1,
-                                          self.n_blocks)] = True
-            b0 = max(int(b) - ext, 0)
-            b1 = min(int(b) + ext + 1, self.n_blocks)
+            b0 = max(lb - ext, 0)
+            b1 = min(rb + ext + 1, NB)
             g0 = max(b0 * self.blklen - self.blklen, 0)
             g1 = min(b1 * self.blklen + self.blklen, self.glen)
-            out.append((g0, g1, float(smooth[b])))
+            peak = min(((lb + rb) // 2) * self.blklen
+                       + self.blklen // 2, self.glen - 1)
+            g0, g1 = self._contig_clamp(g0, g1, peak)
+            if any(not (g1 <= o0 or g0 >= o1) for o0, o1, _ in out):
+                continue                   # overlap dedup
+            out.append((g0, g1, sc))
         return out
 
 
@@ -244,13 +371,16 @@ class ProteinBlockIndex(BlockIndex):
         pw = np.maximum(total_hits / gsize, 1e-12)
         wscr = np.minimum(-np.log2(pw) * 4, 120).astype(np.int16)
         wscr[total_hits > max_word_freq * gsize] = 0
+        cbounds = np.append(store.offsets, glen).astype(np.int64)
         return cls(k=k, blklen=blklen, maxgene=p["maxgene"],
                    offsets=offsets, blocks=ub, wscr=wscr,
-                   n_blocks=n_blocks, glen=glen)
+                   n_blocks=n_blocks, glen=glen, cbounds=cbounds)
 
     def save(self, prefix: str) -> None:
         np.savez(prefix + ".bkp.npz", offsets=self.offsets,
                  blocks=self.blocks, wscr=self.wscr,
+                 cbounds=(self.cbounds if self.cbounds is not None
+                          else np.array([0, self.glen], dtype=np.int64)),
                  meta=np.array([self.k, self.blklen, self.maxgene,
                                 self.n_blocks, self.glen], dtype=np.int64))
 
@@ -260,21 +390,27 @@ class ProteinBlockIndex(BlockIndex):
         k, blklen, maxgene, n_blocks, glen = z["meta"].tolist()
         return cls(k=int(k), blklen=int(blklen), maxgene=int(maxgene),
                    offsets=z["offsets"], blocks=z["blocks"],
-                   wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen))
+                   wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen),
+                   cbounds=z["cbounds"] if "cbounds" in z else None)
 
     def _query_words(self, query: np.ndarray) -> np.ndarray:
+        return self._query_words_pos(query)[0]
+
+    def _query_words_pos(self, query: np.ndarray):
         red = AA_REDUCE20[np.asarray(query, dtype=np.int64)]
         na, k = self.NALPHA, self.k
         valid = (red >= 0) & (red < na)
         L = len(red)
         if L < k:
-            return np.zeros(0, np.int64)
+            z = np.zeros(0, np.int64)
+            return z, z
         w = np.zeros(L - k + 1, dtype=np.int64)
         ok = np.ones(L - k + 1, dtype=bool)
         for i in range(k):
             w = w * na + np.clip(red[i:L - k + 1 + i], 0, na - 1)
             ok &= valid[i:L - k + 1 + i]
-        return w[ok]
+        pos = np.nonzero(ok)[0]
+        return w[pos], pos
 
     def _q_nt_len(self, query: np.ndarray) -> int:
         return 3 * len(query)

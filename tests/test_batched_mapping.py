@@ -43,9 +43,11 @@ def genome_and_queries(rng):
     pos = 3000
     for i in range(4):
         q, g, bounds = _gene(rng, 2 + (i % 2))
-        contig = contig[:pos] + g + contig[pos + len(g):]
         if i % 3 == 2:
-            q = decode_dna(comrev(encode_dna(q)))
+            # true minus-strand gene: plant the reverse complement,
+            # keep the sense cDNA as the query
+            g = decode_dna(comrev(encode_dna(g)))
+        contig = contig[:pos] + g + contig[pos + len(g):]
         queries.append(encode_dna(q))
         positions.append(pos)
         pos += len(g) + 2500

@@ -76,15 +76,29 @@ def test_align_cdna_exact_boundaries(ctx, rng):
 
 
 def test_align_reverse_strand(ctx, rng):
+    """A true minus-strand gene: the gene (GT..AG introns in transcript
+    orientation) is planted reverse-complemented, the sense cDNA maps to
+    the '-' strand and the engine must evaluate splice signals in
+    transcript orientation (the reference aligns reversed genes against
+    the complemented segment; forward-strand dinucleotides read CT..AC
+    and would force non-canonical junctions)."""
     q, g, bounds = _gene(rng, 2)
-    genome = _mk(rng, 150) + g + _mk(rng, 150)
-    rc_q = decode_dna(comrev(encode_dna(q)))
-    res = align_cdna(encode_dna(rc_q), encode_dna(genome), ctx,
+    rc_gene = decode_dna(comrev(encode_dna(g)))
+    genome = _mk(rng, 150) + rc_gene + _mk(rng, 150)
+    res = align_cdna(encode_dna(q), encode_dna(genome), ctx,
                      q_name="q", g_name="g", lanes=32)
     assert len(res) == 1
-    assert res[0].strand == "-"
-    assert len(res[0].introns) == 1
-    assert res[0].introns[0].g_start == 150 + bounds[0][0]
+    gs = res[0]
+    assert gs.strand == "-"
+    assert len(gs.introns) == 1
+    assert gs.introns[0].canonical
+    assert gs.identity == 1.0
+    # intron bounds in forward coords: gene occupies
+    # [150, 150 + len(g)); transcript intron (b0, b1) maps to
+    # (150 + len(g) - b1, 150 + len(g) - b0)
+    b0, b1 = bounds[0]
+    assert gs.introns[0].g_start == 150 + len(g) - b1
+    assert gs.introns[0].g_end == 150 + len(g) - b0
 
 
 def test_output_formats(ctx, rng):
