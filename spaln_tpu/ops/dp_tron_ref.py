@@ -26,27 +26,33 @@ from .params import DpParams, DpFlags, NEVSEL
 from ..score.codepot import TronSignals
 
 NCAND = 4
-# dir codes (aln.h:30-34)
-DEAD, RSRV, DIAG, NEWD, VERT, SLA1, SLA2 = 0, 1, 2, 3, 4, 5, 6
-HORI, HOR1, HOR2 = 8, 9, 10
+# dir codes (aln.h:30-36)
+DEAD, RSRV, DIAG, NEWD, VERT, SLA1, SLA2, VERL = 0, 1, 2, 3, 4, 5, 6, 7
+HORI, HOR1, HOR2, HORL = 8, 9, 10, 11
 SPIN = 16
 _IS_DIAG = {DIAG, NEWD}
-_IS_VERT = {VERT, SLA1, SLA2}
-_IS_HORI = {HORI, HOR1, HOR2}
+_IS_VERT = {VERT, SLA1, SLA2, VERL}
+_IS_HORI = {HORI, HOR1, HOR2, HORL}
+# node order = hf[] in fwd2h1.cc:298 [H, E1, F, E2, F2] (aln.h dir2nod)
 DIR2NOD = {DEAD: -1, RSRV: -1, DIAG: 0, NEWD: 0, VERT: 2, SLA1: 2,
-           SLA2: 2, HORI: 1, HOR1: 1, HOR2: 1}
-NOD2DIR = {0: DIAG, 1: HORI, 2: VERT}
+           SLA2: 2, VERL: 4, HORI: 1, HOR1: 1, HOR2: 1, HORL: 3}
+NOD2DIR = {0: DIAG, 1: HORI, 2: VERT, 3: HORL, 4: VERL}
 
 
 @dataclass
 class TronDpParams:
-    """Protein-path gap costs (PwdB ctor, aln2.cc:113-127)."""
+    """Protein-path gap costs (PwdB ctor, aln2.cc:99-127)."""
     qprof_mtx: np.ndarray          # tron matrix (26, 26) int32
     gop: int                       # BasicGOP
     gep: int                       # BasicGEP
     extra_gop: int                 # -x * Vab (frameshift)
     intron_minl: int = 20
     scale: int = 10
+    # double affine (Noll == 3, -yl3): long-gap costs per codon step;
+    # LongGEP = -u1*Vab, LongGOP = BasicGOP - (LongGEP - BasicGEP)*k1
+    dagp: bool = False
+    lgop: int = 0                  # LongGOP
+    lgep: int = 0                  # LongGEP
 
     @property
     def gap_e1(self) -> int:
@@ -68,12 +74,20 @@ class TronDpParams:
     def gap_w3(self) -> int:
         return self.gop + self.gep
 
+    @property
+    def gap_w3l(self) -> int:
+        return self.lgop + self.lgep
+
     @classmethod
     def build(cls, cfg, tron_mtx: np.ndarray, u: float = 2., v: float = 9.):
         vab = cfg.aln.scale
-        return cls(qprof_mtx=tron_mtx, gop=-int(v * vab), gep=-int(u * vab),
+        gop, gep = -int(v * vab), -int(u * vab)
+        lgep = -int(cfg.aln.u1 * vab)
+        lgop = gop - (lgep - gep) * int(cfg.aln.k1)
+        return cls(qprof_mtx=tron_mtx, gop=gop, gep=gep,
                    extra_gop=-int(cfg.aln2.x * vab),
-                   intron_minl=cfg.intron.minl, scale=cfg.aln.scale)
+                   intron_minl=cfg.intron.minl, scale=cfg.aln.scale,
+                   dagp=cfg.aln.ls >= 3, lgop=lgop, lgep=lgep)
 
 
 @dataclass
@@ -81,9 +95,11 @@ class TronTrace:
     hdir: np.ndarray             # uint8 per (m, rband): final H dir code
     edir: np.ndarray             # uint8: E-state source (HORI/HOR1/HOR2 +
     fdir: np.ndarray             # uint8: F-state source  open flag bit 0x80)
-    spj: np.ndarray              # int32 (3, M+1, W): acceptor-close records
-    spj_phs: np.ndarray          # int8 (3, M+1, W): phase of the close
+    spj: np.ndarray              # int32 (5, M+1, W): acceptor-close records
+    spj_phs: np.ndarray          # int8 (5, M+1, W): phase of the close
     lw: int
+    e2dir: np.ndarray | None = None   # uint8 (dagp): HORL + open bit
+    f2dir: np.ndarray | None = None   # uint8 (dagp): VERL + open bit
 
     def ri(self, m: int, n: int) -> int:
         return n - 3 * m - self.lw + 2
@@ -106,18 +122,24 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
     W = up - lw + 6
     off = -lw + 2
 
+    dagp = prm.dagp
+    n_nod = 5 if dagp else 3
     H = np.full(W, NEVSEL, dtype=np.int64)
     Hd = np.zeros(W, dtype=np.int32)
     Hp = np.zeros(W, dtype=np.int64)        # jnc bookkeeping not per-cell
     F = np.full(W, NEVSEL, dtype=np.int64)
     Fd = np.zeros(W, dtype=np.int32)
+    F2 = np.full(W, NEVSEL, dtype=np.int64)
+    F2d = np.zeros(W, dtype=np.int32)
 
     tb = TronTrace(hdir=np.full((M + 1, W), 255, np.uint8),
                    edir=np.zeros((M + 1, W), np.uint8),
                    fdir=np.zeros((M + 1, W), np.uint8),
-                   spj=np.zeros((3, M + 1, W), np.int32),
-                   spj_phs=np.zeros((3, M + 1, W), np.int8),
-                   lw=lw)
+                   spj=np.zeros((n_nod, M + 1, W), np.int32),
+                   spj_phs=np.zeros((n_nod, M + 1, W), np.int8),
+                   lw=lw,
+                   e2dir=np.zeros((M + 1, W), np.uint8) if dagp else None,
+                   f2dir=np.zeros((M + 1, W), np.uint8) if dagp else None)
 
     sigS = np.asarray(sig.sigS, dtype=np.int64)
     sigT = np.asarray(sig.sigT, dtype=np.int64)
@@ -187,6 +209,8 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
         n9 = min(3 * m + up, N)
         e_val = [np.int64(NEVSEL)] * 3          # rotating 3-frame E queue
         e_dir = [0] * 3
+        e2_val = [np.int64(NEVSEL)] * 3         # long-insertion queue (dagp)
+        e2_dir = [0] * 3
         cand = {-1: [], 0: [], 1: []}           # per-phase donor lists
         q = 0
         for n in range(n0, n9 + 1):
@@ -232,6 +256,20 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
             tb.fdir[m, r] = Fd[r] | fdir_rec
             if F[r] > mx_val:
                 mx_val, mx_k, mx_dir = F[r], 2, Fd[r]
+            # ---------------- long deletion F2 (dagp, fwd2h1.cc:413-425)
+            if dagp:
+                x = H[r + 3] + prm.gap_w3l
+                y = F2[r + 3] + prm.lgep
+                if x >= y:
+                    F2[r] = x
+                    F2d[r] = VERL
+                    tb.f2dir[m, r] = VERL | 0x80
+                else:
+                    F2[r] = y
+                    F2d[r] = F2d[r + 3]         # *f2 = f2[3]: keeps SPIN
+                    tb.f2dir[m, r] = VERL
+                if F2[r] > mx_val:
+                    mx_val, mx_k, mx_dir = F2[r], 4, F2d[r]
             # ---------------- horizontal states (rotating 3-frame queue;
             # SPIN propagates from the source state, fwd2h1.cc:430-468)
             edir_rec = 0
@@ -245,6 +283,21 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                     edir_rec = 0x80
                 e_val[q] += int(sigE[n - 2]) if n >= 2 else 0
                 e_dir[q] = spin | HORI
+                # long insertion E2 (dagp, fwd2h1.cc:439-448)
+                if dagp:
+                    x2 = H[r - 3] + prm.gap_w3l
+                    e2_val[q] += prm.lgep
+                    spin2 = e2_dir[q] & SPIN
+                    e2rec = 0
+                    if x2 > e2_val[q]:
+                        e2_val[q] = x2
+                        spin2 = Hd[r - 3] & SPIN
+                        e2rec = 0x80
+                    e2_val[q] += int(sigE[n - 2]) if n >= 2 else 0
+                    e2_dir[q] = spin2 | HORL
+                    tb.e2dir[m, r] = e2_dir[q] | e2rec
+                    if e2_val[q] > mx_val:
+                        mx_val, mx_k, mx_dir = e2_val[q], 3, e2_dir[q]
             if n > n0 + 1:
                 x = H[r - 2] + prm.gap_w2
                 if x > e_val[q]:
@@ -288,37 +341,51 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                                       - int(sigE[n + 1])) \
                                     if n + 1 < N else 0
                         cur = (H[r] if cdir == 0 else
-                               e_val[qq] if cdir == 1 else F[r])
+                               e_val[qq] if cdir == 1 else
+                               F[r] if cdir == 2 else
+                               e2_val[qq] if cdir == 3 else F2[r])
                         if x > cur:
                             if cdir == 0:
                                 H[r] = x
                             elif cdir == 1:
                                 e_val[qq] = np.int64(x)
-                            else:
+                            elif cdir == 2:
                                 F[r] = x
+                            elif cdir == 3:
+                                e2_val[qq] = np.int64(x)
+                            else:
+                                F2[r] = x
                             closed[cdir] = (cjnc, phs)
                     for cdir, (cjnc, cphs) in closed.items():
                         if cdir == 0:
                             Hd[r] = DIAG | SPIN
                         elif cdir == 1:
                             e_dir[qq] = HORI | SPIN
-                        else:
+                        elif cdir == 2:
                             Fd[r] = VERT | SPIN
+                        elif cdir == 3:
+                            e2_dir[qq] = HORL | SPIN
+                        else:
+                            F2d[r] = VERL | SPIN
                         tb.spj[cdir, m, r] = cjnc + 1
                         tb.spj_phs[cdir, m, r] = cphs
                         v = (H[r] if cdir == 0 else
-                             e_val[qq] if cdir == 1 else F[r])
+                             e_val[qq] if cdir == 1 else
+                             F[r] if cdir == 2 else
+                             e2_val[qq] if cdir == 3 else F2[r])
                         if v > mx_val:
                             mx_val, mx_k = v, cdir
                             mx_dir = (Hd[r] if cdir == 0 else
-                                      e_dir[qq] if cdir == 1 else Fd[r])
+                                      e_dir[qq] if cdir == 1 else
+                                      Fd[r] if cdir == 2 else
+                                      e2_dir[qq] if cdir == 3 else F2d[r])
 
             # ---------------- winner into H
             if mx_k != 0:
                 H[r] = mx_val
                 Hd[r] = mx_dir
-            tb.hdir[m, r] = (Hd[r] & 0x3F) | (0 if mx_k == 0 else
-                                              (mx_k << 6))
+            # dirs fit 5 bits (<= HORL | SPIN = 27); winner node in 5-7
+            tb.hdir[m, r] = (Hd[r] & 0x1F) | (mx_k << 5)
 
             # ---------------- donor pushes
             if internal and 0 <= n < N and phs5[n] != -2:
@@ -332,21 +399,25 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                     sigJ = int(sig5[nb])
                     hd = DIR2NOD.get(mx_dir & 15, -1)
                     k_start = 0 if (hd == 0 or phs == 1) else 1
-                    for k in range(k_start, 3):
+                    for k in range(k_start, (5 if dagp else 3)):
                         crossspj = (phs == 1 and k == 0)
                         if crossspj:
                             fv, fdir = hq_val, hq_dir
                         else:
                             fv = (H[r] if k == 0 else
-                                  e_val[qq] if k == 1 else F[r])
+                                  e_val[qq] if k == 1 else
+                                  F[r] if k == 2 else
+                                  e2_val[qq] if k == 3 else F2[r])
                             fdir = (Hd[r] if k == 0 else
-                                    e_dir[qq] if k == 1 else Fd[r])
+                                    e_dir[qq] if k == 1 else
+                                    Fd[r] if k == 2 else
+                                    e2_dir[qq] if k == 3 else F2d[r])
                         if fdir == DEAD or (fdir & SPIN):
                             continue
                         if not crossspj and k != hd and hd >= 0:
                             z = mx_val
                             if hd == 0 or (k - hd) % 2:
-                                z += (0, prm.gop)[k // 2]
+                                z += (0, prm.gop, prm.lgop)[k // 2]
                             if fv <= z:
                                 continue
                         x = int(fv) + sigJ
@@ -406,7 +477,7 @@ def traceback_tron_ref(tb: TronTrace, end_m: int, end_n: int,
             hd = tb.hdir[m, r]
             if hd == 255:
                 break
-            winner = (hd >> 6) & 3
+            winner = (hd >> 5) & 7
             if winner != 0:
                 state = winner
                 continue
@@ -430,32 +501,32 @@ def traceback_tron_ref(tb: TronTrace, end_m: int, end_n: int,
             ops.append(('D', m, n))
             m, n = m - 1, n - 3
             continue
-        if state == 1:
-            jnc = int(tb.spj[1, m, r])
+        if state in (1, 3):
+            jnc = int(tb.spj[state, m, r])
             if jnc:
-                phs = int(tb.spj_phs[1, m, r])
+                phs = int(tb.spj_phs[state, m, r])
                 ops.append(('I', m, jnc - 1, n - phs, phs))
                 n = jnc - 1 + phs
                 continue
-            ed = tb.edir[m, r]
+            ed = (tb.edir if state == 1 else tb.e2dir)[m, r]
             base = ed & 15
             opened = bool(ed & 0x80)
-            w = {HORI: 3, HOR2: 2, HOR1: 1}.get(base, 3)
+            w = {HORI: 3, HOR2: 2, HOR1: 1, HORL: 3}.get(base, 3)
             ops.append(('E', m, n, w))
             n -= w
             if opened:
                 state = 0
             continue
-        jnc = int(tb.spj[2, m, r])
+        jnc = int(tb.spj[state, m, r])
         if jnc:
-            phs = int(tb.spj_phs[2, m, r])
+            phs = int(tb.spj_phs[state, m, r])
             ops.append(('I', m, jnc - 1, n - phs, phs))
             n = jnc - 1 + phs
             continue
-        fd = tb.fdir[m, r]
+        fd = (tb.fdir if state == 2 else tb.f2dir)[m, r]
         base = fd & 15
         opened = bool(fd & 0x80)
-        step_n = {VERT: 0, SLA2: 2, SLA1: 1}.get(base, 0)
+        step_n = {VERT: 0, SLA2: 2, SLA1: 1, VERL: 0}.get(base, 0)
         ops.append(('F', m, n, step_n))
         m -= 1
         n -= step_n

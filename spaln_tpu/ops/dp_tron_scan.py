@@ -28,14 +28,15 @@ import numpy as np
 
 from .params import DpFlags, NEVSEL
 from .dp_tron_ref import (TronDpParams, DEAD, DIAG, NEWD, VERT, SLA1, SLA2,
-                          HORI, HOR1, HOR2, SPIN, _IS_VERT, DIR2NOD)
+                          VERL, HORI, HOR1, HOR2, HORL, SPIN, _IS_VERT,
+                          DIR2NOD)
 from ..score.codepot import TronSignals
 
 NCAND = 4
 I32 = jnp.int32
 NEV = np.int32(NEVSEL)
 _VERT_MASK = np.zeros(64, dtype=np.int32)
-for _d in (VERT, SLA1, SLA2):
+for _d in (VERT, SLA1, SLA2, VERL):
     _VERT_MASK[_d] = 1
     _VERT_MASK[_d | SPIN] = 1
 _NOD_OF = np.full(64, -1, dtype=np.int32)
@@ -107,16 +108,19 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
 
 @functools.lru_cache(maxsize=64)
 def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
-               T, pad2, Lp3, emit_trace):
+               T, pad2, Lp3, emit_trace, dagp=False, lgop=0, lgep=0,
+               gw3l=0):
     """lw, m0, M, N are traced; only the padded geometry recompiles."""
     vm = jnp.asarray(_VERT_MASK)
     nod_of = jnp.asarray(_NOD_OF)
+    n_nod = 5 if dagp else 3
 
     def step(carry, t, *, qp0, qp1, ops, m0, lw, M, N, a_exgr):
-        (hh, hd, ff, ee, ed, cv, cj, cd, c3d,
-         bnd_h, bnd_hd, bnd_f, row_h, rc_h) = carry
+        (hh, hd, ff, ee, ed, ff2, fd2, ee2, ed2, cv, cj, cd, c3d,
+         bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h) = carry
         # hh: (6, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
         # ff: (3, L) F history; ee: (3, L) E queue vals; ed dirs
+        # ff2/fd2: (3, L) F2 val+dir history, ee2/ed2: E2 queue (dagp)
         a_exgr = jnp.asarray(a_exgr, bool)
         lanes = jnp.arange(L)
         m = m0 + lanes
@@ -148,6 +152,8 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         hq_v = shift(hh[5])               # (m-1, n-3)  diagonal source
         hq_d = shifti(hd[5])
         up_f3 = shift(ff[2])              # (m-1, n)    F
+        up_f23 = shift(ff2[2])            # (m-1, n)    F2 (dagp)
+        up_fd23 = shifti(fd2[2])
         left1, left2, left3 = hh[0], hh[1], hh[2]
         ld1, ld3 = hd[0], hd[2]
 
@@ -168,6 +174,11 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         hq_v = hq_v.at[0].set(jnp.where(okb, bh4[0], NEV))
         hq_d = hq_d.at[0].set(jnp.where(okb, bd4[0], DEAD))
         up_f3 = up_f3.at[0].set(jnp.where(okb, bf4[3], NEV))
+        if dagp:
+            bf24 = jax.lax.dynamic_slice_in_dim(bnd_f2, bl, 4)
+            bfd24 = jax.lax.dynamic_slice_in_dim(bnd_f2d, bl, 4)
+            up_f23 = up_f23.at[0].set(jnp.where(okb, bf24[3], NEV))
+            up_fd23 = up_fd23.at[0].set(jnp.where(okb, bfd24[3], DEAD))
 
         # band-right edge: vertical sources invalid (r+1..r+3 > up)
         at_top = r_off >= W - 1
@@ -175,12 +186,15 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         at_top3 = r_off >= W - 3
         up_h3 = jnp.where(at_top3, NEV, up_h3)
         up_f3 = jnp.where(at_top3, NEV, up_f3)
+        up_f23 = jnp.where(at_top3, NEV, up_f23)
         up_h4 = jnp.where(at_top2, NEV, up_h4)
         up_h5 = jnp.where(at_top, NEV, up_h5)
 
         # lane (re)activation resets
         eq = jnp.where(first[None, :], NEV, ee)
         edq = jnp.where(first[None, :], 0, ed)
+        eq2 = jnp.where(first[None, :], NEV, ee2)
+        edq2 = jnp.where(first[None, :], 0, ed2)
         cv = jnp.where(first[:, None, None], NEV, cv)
         cj = jnp.where(first[:, None, None], 0, cj)
         cd = jnp.where(first[:, None, None], 0, cd)
@@ -262,6 +276,22 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         mx_k = jnp.where(gt, 2, mx_k)
         mx_dir = jnp.where(gt, f_dir, mx_dir)
 
+        # ---- long deletion F2 (dagp, fwd2h1.cc:413-425); extension
+        # copies the prior dir (*f2 = f2[3]) so SPIN propagates
+        f2_val = jnp.full(L, NEV)
+        f2_dir = jnp.zeros(L, I32)
+        f2_open = jnp.zeros(L, bool)
+        if dagp:
+            x = up_h3 + gw3l
+            y = up_f23 + lgep
+            f2_open = x >= y
+            f2_val = jnp.where(f2_open, x, y)
+            f2_dir = jnp.where(f2_open, VERL, up_fd23)
+            gt = f2_val > mx_val
+            mx_val = jnp.where(gt, f2_val, mx_val)
+            mx_k = jnp.where(gt, 4, mx_k)
+            mx_dir = jnp.where(gt, f2_dir, mx_dir)
+
         # ---- horizontal (rotating queue slot q)
         ev = eq[q]
         edir = edq[q]
@@ -275,6 +305,24 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                        + jnp.where(n >= 2, sigE_n2, 0), ev)
         edir = jnp.where(ok3, spin3 | HORI, edir)
         e_open = e_open | opened3
+        # long insertion E2 (dagp, fwd2h1.cc:439-448), mx-checked here
+        # (before the 2/1-nt E1 updates), matching the scalar order
+        ev2 = eq2[q]
+        edir2 = edq2[q]
+        e2_open = jnp.zeros(L, bool)
+        if dagp:
+            x2 = jnp.where(ok3, left3 + gw3l, NEV)
+            ev23 = ev2 + lgep
+            opened23 = ok3 & (x2 > ev23)
+            spin23 = jnp.where(opened23, ld3 & SPIN, edir2 & SPIN)
+            ev2 = jnp.where(ok3, jnp.where(opened23, x2, ev23)
+                            + jnp.where(n >= 2, sigE_n2, 0), ev2)
+            edir2 = jnp.where(ok3, spin23 | HORL, edir2)
+            e2_open = opened23
+            ge2_ = ev2 > mx_val
+            mx_val = jnp.where(ge2_, ev2, mx_val)
+            mx_k = jnp.where(ge2_, 3, mx_k)
+            mx_dir = jnp.where(ge2_, edir2, mx_dir)
         ok2 = r_off > 1
         x = jnp.where(ok2, left2 + gw2, NEV)
         t2e = x > ev
@@ -292,12 +340,12 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         mx_dir = jnp.where(ge_, edir, mx_dir)
 
         internal = (~a_exgr) | (m < M)
-        state_v = [h_val, ev, f_val]
-        state_d = [h_dir, edir, f_dir]
+        state_v = [h_val, ev, f_val, ev2, f2_val][:n_nod]
+        state_d = [h_dir, edir, f_dir, edir2, f2_dir][:n_nod]
 
         # ---- acceptor closes over phases {-1, 0, +1}
-        spj_jnc = [jnp.zeros(L, I32) for _ in range(3)]
-        spj_phs = [jnp.zeros(L, I32) for _ in range(3)]
+        spj_jnc = [jnp.zeros(L, I32) for _ in range(n_nod)]
+        spj_phs = [jnp.zeros(L, I32) for _ in range(n_nod)]
         acc_any = internal & active & (n < N) & (phs3_n != -2)
         for phs, accb_p, joint_p in ((-1, accb_np1, joint_np1),
                                      (0, accb_n, joint_n),
@@ -336,7 +384,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             if phs == 1:
                 okc = okc & (cd[:, pi, :] != 2)
             xc = jnp.where(okc, xc, NEV)
-            for k in range(3):
+            for k in range(n_nod):
                 cur = state_v[k]
                 jnc_k = spj_jnc[k]
                 php_k = spj_phs[k]
@@ -349,14 +397,18 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                 state_v[k] = cur
                 spj_jnc[k] = jnc_k
                 spj_phs[k] = php_k
-                sd_new = (DIAG, HORI, VERT)[k] | SPIN
+                sd_new = (DIAG, HORI, VERT, HORL, VERL)[k] | SPIN
                 state_d[k] = jnp.where(jnc_k > 0, sd_new, state_d[k])
                 gt2 = (jnc_k > 0) & (cur > mx_val)
                 mx_val = jnp.where(gt2, cur, mx_val)
                 mx_k = jnp.where(gt2, k, mx_k)
                 mx_dir = jnp.where(gt2, state_d[k], mx_dir)
-        h_val, ev, f_val = state_v
-        h_dir, edir, f_dir = state_d
+        if dagp:
+            h_val, ev, f_val, ev2, f2_val = state_v
+            h_dir, edir, f_dir, edir2, f2_dir = state_d
+        else:
+            h_val, ev, f_val = state_v
+            h_dir, edir, f_dir = state_d
 
         # ---- winner into H
         h_out = mx_val
@@ -372,13 +424,13 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             pi = phs + 1
             d3_p = (d3_np1, d3_n, d3_n1)[pi]
             d5_p = (d5_np1, d5_n, d5_n1)[pi]
-            for k in range(3):
+            for k in range(n_nod):
                 crossspj = (phs == 1 and k == 0)
                 if crossspj:
                     fv, fdir = hq_v, hq_d
                 else:
-                    fv = (h_out, ev, f_val)[k]
-                    fdir = (hd_out, edir, f_dir)[k]
+                    fv = (h_out, ev, f_val, ev2, f2_val)[k]
+                    fdir = (hd_out, edir, f_dir, edir2, f2_dir)[k]
                 elig = pm
                 if k == 0 and not crossspj:
                     elig = elig & (hd_nod == 0)
@@ -386,7 +438,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                 if not crossspj:
                     z = mx_val + jnp.where(
                         (hd_nod == 0) | (((k - hd_nod) % 2) != 0),
-                        (0, 0, gop)[k], 0)
+                        (0, 0, gop, gop, lgop)[k], 0)
                     prune = (k != hd_nod) & (hd_nod >= 0) & (fv <= z)
                     elig = elig & ~prune
                 x = fv + sig5_p
@@ -408,6 +460,10 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         f_out = jnp.where(active, f_val, NEV)
         eq = eq.at[q].set(jnp.where(active, ev, eq[q]))
         edq = edq.at[q].set(jnp.where(active, edir, edq[q]))
+        f2_out = jnp.where(active, f2_val, NEV)
+        f2d_c = jnp.where(active, f2_dir, DEAD).astype(I32)
+        eq2 = eq2.at[q].set(jnp.where(active, ev2, eq2[q]))
+        edq2 = edq2.at[q].set(jnp.where(active, edir2, edq2[q]))
 
         # ---- boundary / result writes
         li = L - 1
@@ -419,6 +475,12 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             bnd_hd, jnp.where(wl, hd_c[li], bnd_hd[nl])[None], nl, 0)
         bnd_f = jax.lax.dynamic_update_slice_in_dim(
             bnd_f, jnp.where(wl, f_out[li], bnd_f[nl])[None], nl, 0)
+        if dagp:
+            bnd_f2 = jax.lax.dynamic_update_slice_in_dim(
+                bnd_f2, jnp.where(wl, f2_out[li], bnd_f2[nl])[None], nl, 0)
+            bnd_f2d = jax.lax.dynamic_update_slice_in_dim(
+                bnd_f2d, jnp.where(wl, f2d_c[li],
+                                   bnd_f2d[nl])[None], nl, 0)
         mi = jnp.clip(M - m0, 0, L - 1)
         nr = jnp.clip(n[mi], 0, N + 1)
         wr = (M - m0 >= 0) & (M - m0 < L) & active[mi]
@@ -435,20 +497,28 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         hh_n = jnp.concatenate([h_out[None], hh[:5]])
         hd_n = jnp.concatenate([hd_c[None], hd[:5]])
         ff_n = jnp.concatenate([f_out[None], ff[:2]])
-        carry = (hh_n, hd_n, ff_n, eq, edq, cv, cj, cd, c3d,
-                 bnd_h, bnd_hd, bnd_f, row_h, rc_h)
+        ff2_n = jnp.concatenate([f2_out[None], ff2[:2]])
+        fd2_n = jnp.concatenate([f2d_c[None], fd2[:2]])
+        carry = (hh_n, hd_n, ff_n, eq, edq, ff2_n, fd2_n, eq2, edq2,
+                 cv, cj, cd, c3d,
+                 bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h)
         if not emit_trace:
             return carry, ()
-        fl_h = (jnp.clip(hd_out, 0, 63).astype(jnp.uint8)
-                | (mx_k.astype(jnp.uint8) << 6))
+        # dirs fit 5 bits (<= HORL|SPIN = 27); winner node in bits 5-7
+        fl_h = (jnp.clip(hd_out, 0, 31).astype(jnp.uint8)
+                | (mx_k.astype(jnp.uint8) << 5))
         fl_h = jnp.where(active, fl_h, jnp.uint8(255))
-        fl_e = (edir & 63).astype(jnp.uint8) | jnp.where(
+        fl_e = (edir & 31).astype(jnp.uint8) | jnp.where(
             e_open, jnp.uint8(0x80), jnp.uint8(0))
-        fl_f = (f_dir & 63).astype(jnp.uint8) | jnp.where(
+        fl_f = (f_dir & 31).astype(jnp.uint8) | jnp.where(
             f_open, jnp.uint8(0x80), jnp.uint8(0))
+        fl_e2 = (edir2 & 31).astype(jnp.uint8) | jnp.where(
+            e2_open, jnp.uint8(0x80), jnp.uint8(0))
+        fl_f2 = (f2_dir & 31).astype(jnp.uint8) | jnp.where(
+            f2_open, jnp.uint8(0x80), jnp.uint8(0))
         spj_out = jnp.stack(spj_jnc, axis=1)
         php_out = jnp.stack(spj_phs, axis=1).astype(jnp.int8)
-        return carry, (fl_h, fl_e, fl_f, spj_out, php_out)
+        return carry, (fl_h, fl_e, fl_f, spj_out, php_out, fl_e2, fl_f2)
 
     @jax.jit
     def run(carry0, qp0, qp1, ops, m0, lw, M, N, a_exgr):
@@ -505,6 +575,8 @@ class TronTraceScan:
     L: int
     lw: int
     W: int
+    fl_e2: list | None = None       # dagp long-gap planes
+    fl_f2: list | None = None
 
     def cell(self, m, n):
         s = (m - 1) // self.L
@@ -542,13 +614,16 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
     run = _tron_scan(L, W, prm.gop, prm.gep, prm.gap_e1,
                      prm.gap_e2, prm.gap_w1, prm.gap_w2, prm.gap_w3,
                      prm.intron_minl, T, pad, Lp3,
-                     not score_only)
+                     not score_only, dagp=prm.dagp, lgop=prm.lgop,
+                     lgep=prm.lgep, gw3l=prm.gap_w3l)
     bh0, bd0 = tron_init_row(sig, prm, N, flags.a_exgl)
     bh0 = np.pad(bh0, (0, Ngeom - N), constant_values=NEV)
     bd0 = np.pad(bd0, (0, Ngeom - N), constant_values=DEAD)
     bnd_h = jnp.asarray(bh0)
     bnd_hd = jnp.asarray(bd0)
     bnd_f = jnp.full(Ngeom + 2, NEV)
+    bnd_f2 = jnp.full(Ngeom + 2, NEV)
+    bnd_f2d = jnp.zeros(Ngeom + 2, I32)
     row_h = jnp.full(Ngeom + 2, NEV)
     rc_h = jnp.full(max(Mpad + 2, Ngeom + 2), NEV)
     traces = []
@@ -560,13 +635,16 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
             jnp.full((6, L), NEV), jnp.zeros((6, L), I32),
             jnp.full((3, L), NEV),
             jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
+            jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
+            jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
             jnp.full((L, 3, NCAND), NEV),
             jnp.zeros((L, 3, NCAND), I32),
             jnp.zeros((L, 3, NCAND), I32),
             jnp.zeros((L, 3, NCAND), I32),
-            bnd_h, bnd_hd, bnd_f, row_h, rc_h)
+            bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h)
         carry, ys = run(carry0, qp0, qp1, ops, m0, lw, M, N, flags.a_exgr)
-        bnd_h, bnd_hd, bnd_f, row_h, rc_h = carry[9:14]
+        (bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h,
+         rc_h) = carry[13:20]
         if not score_only:
             traces.append(tuple(np.asarray(y) for y in ys))
     row_np = np.asarray(row_h).astype(np.int64)
@@ -595,7 +673,9 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                            fl_f=[t[2] for t in traces],
                            spj=[t[3] for t in traces],
                            php=[t[4] for t in traces],
-                           L=L, lw=lw, W=W)
+                           L=L, lw=lw, W=W,
+                           fl_e2=[t[5] for t in traces],
+                           fl_f2=[t[6] for t in traces])
         tr.row_h = row_np      # debug visibility
         tr.rc_h = rc_np
     return int(best_val), best_m, best_n, tr
@@ -617,7 +697,7 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             hd = int(tr.fl_h[s][t, i])
             if hd == 255:
                 break
-            winner = (hd >> 6) & 3
+            winner = (hd >> 5) & 7
             if winner != 0:
                 state = winner
                 continue
@@ -639,32 +719,32 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             ops.append(('D', m, n))
             m, n = m - 1, n - 3
             continue
-        if state == 1:
-            jnc = int(tr.spj[s][t, i, 1])
+        if state in (1, 3):
+            jnc = int(tr.spj[s][t, i, state])
             if jnc:
-                phs = int(tr.php[s][t, i, 1])
+                phs = int(tr.php[s][t, i, state])
                 ops.append(('I', m, jnc - 1, n - phs, phs))
                 n = jnc - 1 + phs
                 continue
-            ed = int(tr.fl_e[s][t, i])
+            ed = int((tr.fl_e if state == 1 else tr.fl_e2)[s][t, i])
             base = ed & 15
             opened = bool(ed & 0x80)
-            w = {HORI: 3, HOR2: 2, HOR1: 1}.get(base, 3)
+            w = {HORI: 3, HOR2: 2, HOR1: 1, HORL: 3}.get(base, 3)
             ops.append(('E', m, n, w))
             n -= w
             if opened:
                 state = 0
             continue
-        jnc = int(tr.spj[s][t, i, 2])
+        jnc = int(tr.spj[s][t, i, state])
         if jnc:
-            phs = int(tr.php[s][t, i, 2])
+            phs = int(tr.php[s][t, i, state])
             ops.append(('I', m, jnc - 1, n - phs, phs))
             n = jnc - 1 + phs
             continue
-        fd = int(tr.fl_f[s][t, i])
+        fd = int((tr.fl_f if state == 2 else tr.fl_f2)[s][t, i])
         base = fd & 15
         opened = bool(fd & 0x80)
-        step_n = {VERT: 0, SLA2: 2, SLA1: 1}.get(base, 0)
+        step_n = {VERT: 0, SLA2: 2, SLA1: 1, VERL: 0}.get(base, 0)
         ops.append(('F', m, n, step_n))
         m -= 1
         n -= step_n

@@ -151,3 +151,93 @@ def test_tron_frameshift_deletion(cfg, tron_prm, ipen_tab, table_dir, rng):
     kinds = [o[0] for o in ops]
     assert 'F' in kinds or 'E' in kinds      # a frameshift op was used
     assert sum(1 for o in ops if o[0] == 'D') >= 55
+
+
+# ---------------------------------------------------------------- dagp
+# Double-affine (Noll=3, -yl3) long-gap states E2/F2 in the tron engine
+# (fwd2h1.cc:413-425, 439-448; costs from PwdB ctor aln2.cc:99-127:
+# LongGEP = -u1*Vab, LongGOP = BasicGOP - (LongGEP-BasicGEP)*k1).
+
+@pytest.fixture(scope="module")
+def tron_prm_dagp(cfg, table_dir):
+    from dataclasses import replace
+    sm = Simmtx.protein("/root/reference/table", slot=0).tron()
+    base = TronDpParams.build(cfg, sm.mtx)
+    lgep = -int(0.6 * cfg.aln.scale)
+    lgop = base.gop - (lgep - base.gep) * 7
+    return replace(base, dagp=True, lgop=lgop, lgep=lgep)
+
+
+def test_tron_dagp_long_deletion(cfg, tron_prm, tron_prm_dagp, ipen_tab,
+                                 table_dir, rng):
+    """A 20-codon genomic deletion: F2 (VERL) must carry it, improving
+    the score by exactly (lgop+d*lgep) - (gop+d*gep)."""
+    d = 20
+    aa = rng.choice(AA_CODES, 70).astype(np.int8)
+    g = _backtranslate(aa)
+    g_mut = g[:90] + g[90 + 3 * d:]           # drop 20 codons
+    gc = encode_dna(g_mut)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    s1, em1, en1, tb1 = forward_tron_ref(aa, gc, sig, tron_prm, ipen_tab,
+                                         spj=False)
+    s2, em2, en2, tb2 = forward_tron_ref(aa, gc, sig, tron_prm_dagp,
+                                         ipen_tab, spj=False)
+    p = tron_prm_dagp
+    gain = (p.lgop + d * p.lgep) - (p.gop + d * p.gep)
+    assert gain > 0
+    assert s2 == s1 + gain
+    ops = traceback_tron_ref(tb2, em2, en2)
+    fops = [o for o in ops if o[0] == 'F']
+    assert len(fops) == d and all(o[3] == 0 for o in fops)
+
+
+def test_tron_dagp_long_insertion(cfg, tron_prm, tron_prm_dagp, ipen_tab,
+                                  table_dir, rng):
+    """A 20-codon genomic insertion with no splice signals (A/C-only
+    interior: no GT donor, no AG acceptor) -> E2 (HORL) carries it."""
+    d = 20
+    aa = rng.choice(AA_CODES, 70).astype(np.int8)
+    g = _backtranslate(aa)
+    ins = "".join(rng.choice(list("AC"), 3 * d))
+    g_mut = g[:120] + ins + g[120:]
+    gc = encode_dna(g_mut)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    s1, *_ = forward_tron_ref(aa, gc, sig, tron_prm, ipen_tab, spj=False)
+    s2, em2, en2, tb2 = forward_tron_ref(aa, gc, sig, tron_prm_dagp,
+                                         ipen_tab, spj=False)
+    p = tron_prm_dagp
+    gain = (p.lgop + d * p.lgep) - (p.gop + d * p.gep)
+    assert s2 == s1 + gain
+    ops = traceback_tron_ref(tb2, em2, en2)
+    eops = [o for o in ops if o[0] == 'E']
+    assert len(eops) == d and all(o[3] == 3 for o in eops)
+
+
+def test_tron_dagp_short_gap_unchanged(cfg, tron_prm, tron_prm_dagp,
+                                       ipen_tab, table_dir, rng):
+    """Short (3-codon) deletion: single-affine wins below the k1 flex
+    point, so dagp must not change the score."""
+    aa = rng.choice(AA_CODES, 60).astype(np.int8)
+    g = _backtranslate(aa)
+    g_mut = g[:90] + g[99:]                   # drop 3 codons
+    gc = encode_dna(g_mut)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    s1, *_ = forward_tron_ref(aa, gc, sig, tron_prm, ipen_tab, spj=False)
+    s2, *_ = forward_tron_ref(aa, gc, sig, tron_prm_dagp, ipen_tab,
+                              spj=False)
+    assert s2 == s1
+
+
+def test_tron_dagp_intron_still_wins(cfg, tron_prm_dagp, ipen_tab,
+                                     table_dir, rng):
+    """With dagp on, a real intron must still be spliced (F2/E2 must not
+    absorb it) and the structure must match the single-affine result."""
+    prot, genome, (n5, n3) = _coding_gene(rng)
+    gc = encode_dna(genome)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    score, em, en, tb = forward_tron_ref(prot, gc, sig, tron_prm_dagp,
+                                         ipen_tab)
+    ops = traceback_tron_ref(tb, em, en)
+    introns = [o for o in ops if o[0] == 'I']
+    assert len(introns) == 1
+    assert introns[0][2] == n5 and introns[0][3] == n3

@@ -102,3 +102,63 @@ def test_tron_scan_divergent(cfg, prm, ipen_tab, table_dir, rng):
     g = "".join(e1) + intron + _bt(aa2)
     prot = np.concatenate([aa1, aa2]).astype(np.int8)
     _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8)
+
+
+# ------------------------------------------------------------- dagp
+@pytest.fixture(scope="module")
+def prm_dagp(cfg):
+    from dataclasses import replace
+    sm = Simmtx.protein("/root/reference/table", slot=0).tron()
+    base = TronDpParams.build(cfg, sm.mtx)
+    lgep = -int(0.6 * cfg.aln.scale)
+    lgop = base.gop - (lgep - base.gep) * 7
+    return replace(base, dagp=True, lgop=lgop, lgep=lgep)
+
+
+def test_tron_scan_dagp_long_deletion(cfg, prm_dagp, ipen_tab, table_dir,
+                                      rng):
+    """20-codon deletion through F2 (VERL): scan == oracle, dagp."""
+    aa = rng.choice(AA_CODES, 70).astype(np.int8)
+    g = _bt(aa)
+    g = g[:90] + g[150:]                     # drop 20 codons
+    ops = _cmp(aa, g, cfg, prm_dagp, ipen_tab, table_dir, L=16)
+    fops = [o for o in ops if o[0] == 'F']
+    assert len(fops) == 20
+
+
+def test_tron_scan_dagp_long_insertion(cfg, prm_dagp, ipen_tab, table_dir,
+                                       rng):
+    """20-codon A/C-only genomic insertion through E2 (HORL)."""
+    aa = rng.choice(AA_CODES, 70).astype(np.int8)
+    g = _bt(aa)
+    ins = "".join(rng.choice(list("AC"), 60))
+    g = g[:120] + ins + g[120:]
+    ops = _cmp(aa, g, cfg, prm_dagp, ipen_tab, table_dir, L=16)
+    eops = [o for o in ops if o[0] == 'E']
+    assert len(eops) == 20 and all(o[3] == 3 for o in eops)
+
+
+def test_tron_scan_dagp_intron(cfg, prm_dagp, ipen_tab, table_dir, rng):
+    """dagp with a real intron + multi-slab boundary crossing."""
+    aa1 = rng.choice(AA_CODES, 35)
+    aa2 = rng.choice(AA_CODES, 42)
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 200)) + "TTTCTAG"
+    g = ("".join(rng.choice(list("ACGT"), 30)) + _bt(aa1) + intron
+         + _bt(aa2) + "".join(rng.choice(list("ACGT"), 25)))
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    ops = _cmp(prot, g, cfg, prm_dagp, ipen_tab, table_dir, L=8)
+    assert len([o for o in ops if o[0] == 'I']) == 1
+
+
+def test_tron_scan_dagp_mixed(cfg, prm_dagp, ipen_tab, table_dir, rng):
+    """Long deletion + intron + frameshift in one gene, dagp on."""
+    aa1 = rng.choice(AA_CODES, 40)
+    aa2 = rng.choice(AA_CODES, 40)
+    e1 = _bt(aa1)
+    e1 = e1[:30] + e1[66:]                   # 12-codon deletion
+    intron = "GTGAGT" + "".join(rng.choice(list("ACGT"), 150)) + "TTTACAG"
+    e2 = _bt(aa2)
+    e2 = e2[:45] + e2[46:]                   # 1-nt frameshift
+    g = e1 + intron + e2
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    _cmp(prot, g, cfg, prm_dagp, ipen_tab, table_dir, L=16)
