@@ -14,6 +14,16 @@ import jax
 # interpreter start; override after import so tests run on the CPU mesh
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the box has ONE CPU core and the big
+# scan geometries take 30-200 s each to compile, so re-runs must reuse
+# executables across processes.  Keyed by HLO hash — any change to the
+# traced computation recompiles automatically.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
