@@ -145,7 +145,18 @@ def run_reference(corpus: str, qfile: str, ref_bin: str) -> tuple:
 
 
 def run_ours(corpus: str, qfile: str, lanes: int = 128,
-             batch: int = 16) -> tuple:
+             batch: int = 16, platform: str = "cpu") -> tuple:
+    if platform:
+        # the sandbox sitecustomize re-pins jax_platforms to the axon
+        # TPU backend; force the requested platform before any device
+        # touch (axon init can hang when the tunnel is unhealthy)
+        import jax
+        jax.config.update("jax_platforms", platform)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
     from spaln_tpu.cli import main as cli_main
     prefix = os.path.join(corpus, "tpu_g")
     if not os.path.exists(prefix + ".bkn.npz"):
@@ -168,6 +179,8 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--lanes", type=int, default=128)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for our pipeline (cpu | axon)")
     ap.add_argument("--skip-ours", action="store_true")
     a = ap.parse_args(argv)
 
@@ -186,7 +199,8 @@ def main(argv=None):
            "ref_seconds": round(t_ref, 1),
            "ref_vs_truth": compare(ref, truth, names)}
     if not a.skip_ours:
-        ours, t_ours = run_ours(a.corpus, qfile, a.lanes, a.batch)
+        ours, t_ours = run_ours(a.corpus, qfile, a.lanes, a.batch,
+                                platform=a.platform)
         rep["ours_seconds"] = round(t_ours, 1)
         rep["ours_vs_ref"] = compare(ours, ref, names)
         rep["ours_vs_truth"] = compare(ours, truth, names)
