@@ -57,6 +57,11 @@ class AlnPrm2:
     termk1: int = 45
     desert: int = 150
     w: float = 0.
+    # branch-point signal (BPPRM, aln.h:93; defaults simmtx.cc:54 —
+    # factor 0 = off, enable with -yB; acceptors within maxb3d of a
+    # strong Branch-PSSM hit get the bp bonus added to sig3)
+    bp_factor: float = 0.
+    bp_maxb3d: int = 100
 
 
 @dataclass(frozen=True)
@@ -216,6 +221,10 @@ def apply_y_args(cfg: Config, tokens: list[str]) -> Config:
             a2 = replace(a2, z=x)
         elif opt == 'A':
             a2 = replace(a2, bti=x)
+        elif opt == 'B':
+            a2 = replace(a2, bp_factor=x)
+        elif opt == 'D':
+            a2 = replace(a2, bp_maxb3d=int(x))
         elif opt == 'E':
             it = replace(it, elmt=int(x))
         elif opt == 'J':

@@ -165,8 +165,31 @@ def build_tron_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
         if ft:
             pt = load_pssm(ft)
             sigT = _c_short(fT * scan_pssm(pt, codes))
+    # branch-point bonus (Exinon::intron53_p, codepot.cc:588-597): a
+    # Branch-PSSM hit above tonicB carries fB*signal forward, added to
+    # sig3 of positions strictly after it while the distance from the
+    # hit stays <= bp_maxb3d; a newer hit replaces an older one
+    sig3 = base.sig3
+    bpf = getattr(a2, "bp_factor", 0.)
+    if bpf and bpf > 0:
+        fbp = tables.path("Branch")
+        if fbp:
+            pb = load_pssm(fbp)
+            brs = scan_pssm(pb, codes).astype(np.float64)
+            fB = bpf * fact
+            strong = brs > pb.tonic
+            pos = np.arange(L)
+            marked = np.where(strong, pos, -1)
+            last = np.maximum.accumulate(marked)
+            prev = np.full(L, -1, dtype=np.int64)
+            prev[1:] = last[:-1]                 # latest hit strictly before
+            ok = (prev >= 0) & ((pos - 1 - prev)
+                                <= getattr(a2, "bp_maxb3d", 100))
+            bonus = np.where(ok, fB * brs[np.clip(prev, 0, L - 1)], 0.)
+            sig3 = (sig3.astype(np.int64)
+                    + _c_short(bonus).astype(np.int64)).astype(sig3.dtype)
     t1, t2 = spj_tron_tables()
-    return TronSignals(sig5=base.sig5, sig3=base.sig3, cano5=base.cano5,
+    return TronSignals(sig5=base.sig5, sig3=sig3, cano5=base.cano5,
                        cano3=base.cano3, phs5=base.phs5, phs3=base.phs3,
                        dinc5=base.dinc5, dinc3=base.dinc3, tabs=base.tabs,
                        acc_joint=base.acc_joint,

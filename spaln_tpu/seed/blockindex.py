@@ -269,7 +269,10 @@ class BlockIndex:
                       2 * self._q_nt_len(query) // self.blklen + 2))
         # pair left-significant with the nearest right-significant block
         # downstream on the same contig (extract_to_work/BPAIR); each
-        # side's singletons are kept as degenerate pairs
+        # side's singletons are kept as degenerate pairs.  A pair is
+        # scored lscr + rscr of its two END blocks (TestOutput bpr->scr,
+        # blksrc.cc:2680) — NOT the sum over the spanned window, which
+        # would reward wide spurious pairs over the true narrow locus
         cand: list[tuple[int, int]] = []
         for p in sig_l:
             qs = sig_r[(sig_r >= p)
@@ -279,15 +282,19 @@ class BlockIndex:
             if not any(a <= q_ <= b for a, b in cand):
                 cand.append((int(q_), int(q_)))
         scored: list[tuple[float, int, int]] = []
-        for lb, rb in cand:
-            # extend across vote-positive neighbors (blksrc.cc:2645-2661)
+        for lb0, rb0 in cand:
+            sc = float(bl[lb0] + br[rb0]) if lb0 != rb0 \
+                else float(bsum[lb0])
+            # extend bounds (not the score) across vote-positive
+            # neighbors (ExtBlock widening, blksrc.cc:2645-2661)
+            lb, rb = lb0, rb0
             z = max(lb - ext, 0)
             while lb > z and bsum[lb - 1] > 0:
                 lb -= 1
             z = min(rb + ext, NB - 1)
             while rb < z and bsum[rb + 1] > 0:
                 rb += 1
-            scored.append((float(bsum[lb:rb + 1].sum()), lb, rb))
+            scored.append((sc, lb, rb))
         scored.sort(key=lambda c: -c[0])
         passing = [c for c in scored if c[0] >= pair_thr]
         if not passing and scored:

@@ -188,3 +188,40 @@ def test_intron_penalty_kernel_chain_exact():
     ref = ip.penalty(lens).astype(np.int64)
     ref = np.where(ref <= -32768, -(2**31 // 16 * 7) // 2, ref)
     np.testing.assert_array_equal(pen, ref)
+
+
+def test_branch_point_bonus(table_dir):
+    """-yB branch-point signal (Exinon::intron53_p, codepot.cc:588-597):
+    a Branch-PSSM hit above tonicB adds fB*signal to sig3 of following
+    positions while the hit is <= bp_maxb3d behind; verified against a
+    literal scalar re-run of the reference's carry loop."""
+    from dataclasses import replace as _rep
+    from spaln_tpu.config import Config, resolve, PvsG
+    from spaln_tpu.score.codepot import build_tron_signals
+    from spaln_tpu.score.pssm import load_pssm, scan_pssm
+    from spaln_tpu.score.splice import _c_short
+    from spaln_tpu.seq.codec import encode_dna
+
+    rng = np.random.default_rng(3)
+    g = "".join(rng.choice(list("ACGT"), 600))
+    codes = encode_dna(g)
+    cfg0 = resolve(Config(), PvsG)
+    maxd = 40
+    cfg = _rep(cfg0, aln2=_rep(cfg0.aln2, bp_factor=1.0, bp_maxb3d=maxd))
+    sig0 = build_tron_signals(codes, cfg0, table_dir)
+    sig1 = build_tron_signals(codes, cfg, table_dir)
+    pb = load_pssm(table_dir.path("Branch"))
+    brs = scan_pssm(pb, codes).astype(np.float64)
+    assert (brs > pb.tonic).any(), "no branch hits in the test window"
+    # scalar oracle: the reference's running-carry loop
+    fB = 1.0 * cfg.aln.scale
+    sigB, posB = 0.0, None
+    expect = np.zeros(len(codes), dtype=np.int64)
+    for p in range(len(codes)):
+        expect[p] = _c_short(np.float64(sigB))
+        if brs[p] > pb.tonic:
+            sigB, posB = fB * brs[p], p
+        if posB is not None and p - posB > maxd:
+            sigB, posB = 0.0, None
+    got = sig1.sig3.astype(np.int64) - sig0.sig3.astype(np.int64)
+    np.testing.assert_array_equal(got, expect)
