@@ -34,10 +34,15 @@ def search_protein_db(query: np.ndarray, db: list, ctx_tables=None,
                       matrix: str | None = None, table_dir: str = "",
                       max_hits: int = 10, align_top: int = 1,
                       lanes: int = 64, batch: int = 64,
-                      cfg: Config | None = None) -> list[ProteinHit]:
+                      cfg: Config | None = None,
+                      prefilter: bool | None = None,
+                      db_index=None) -> list[ProteinHit]:
     """Rank DB entries by semi-global alignment score; align the best.
 
-    db: list of (name, codes) tuples.
+    db: list of (name, codes) tuples.  For large DBs a k-mer prefilter
+    (SrchBlk::finds role, blksrc.cc:3271+) selects candidate entries so
+    the DP runs on a calibrated subset; pass prefilter=False to force
+    full DP on every entry, or a prebuilt ProteinDbIndex via db_index.
     """
     cfg = resolve(cfg or Config(), PvsP)
     if matrix:
@@ -47,18 +52,27 @@ def search_protein_db(query: np.ndarray, db: list, ctx_tables=None,
         sm = Simmtx.protein(table_dir, slot=0)
     prm = DpParams.build(cfg, sm, PvsP)
     flags = DpFlags()                      # semi-global
-    scores = np.empty(len(db), dtype=np.int64)
-    ends = []
-    for b0 in range(0, len(db), batch):
-        chunk = db[b0:b0 + batch]
-        qs = [query] * len(chunk)
-        gs = [codes for _, codes in chunk]
+    if prefilter is None:
+        prefilter = len(db) > 256
+    cand_ids = np.arange(len(db))
+    if prefilter and len(db):
+        from ..seed.dbindex import ProteinDbIndex
+        if db_index is None:
+            db_index = ProteinDbIndex.build(db)
+        cand_ids = db_index.candidates(query,
+                                       max_cand=max(4 * max_hits, 64),
+                                       min_hits=max_hits)
+    scores = np.full(len(db), -(1 << 60), dtype=np.int64)
+    for b0 in range(0, len(cand_ids), batch):
+        ids = cand_ids[b0:b0 + batch]
+        qs = [query] * len(ids)
+        gs = [db[i][1] for i in ids]
         s, e, _ = forward_spliced_batch(qs, gs, prm, sigs=None,
                                         flags=flags, L=lanes,
                                         score_only=True)
-        scores[b0:b0 + len(chunk)] = s
-        ends.extend(e.tolist())
+        scores[ids] = s
     order = np.argsort(scores)[::-1][:max_hits]
+    order = order[scores[order] > -(1 << 60)]
     hits: list[ProteinHit] = []
     for rank, i in enumerate(order):
         name, codes = db[i]
