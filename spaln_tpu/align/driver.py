@@ -303,12 +303,14 @@ class AlignJob:
     g_total: int = 0             # caller-window length (minus-view flip)
     q_name: str = ""
     g_name: str = ""
+    cip: dict | None = None      # -yJ query junction bonus {m: value}
 
 
 def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
                 chain: Chain | None, sh: int = 100, margin: int = 2000,
                 q_name: str = "", g_name: str = "",
-                strand: str = "+") -> AlignJob | None:
+                strand: str = "+", cip: dict | None = None
+                ) -> AlignJob | None:
     """Window restriction + band geometry for one problem (stripe role,
     aln2.cc:156-199)."""
     M = len(q)
@@ -346,7 +348,8 @@ def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     up = min(lw + Wb - 1, N)
     lw = max(up - Wb + 1, -M)
     return AlignJob(q=q, gw=gw, sig=sig, lw=lw, up=up, strand=strand,
-                    lo=lo, g_total=len(g), q_name=q_name, g_name=g_name)
+                    lo=lo, g_total=len(g), q_name=q_name, g_name=g_name,
+                    cip=cip)
 
 
 def _to_minus_view(gs: GeneStructure, M: int, N: int) -> GeneStructure:
@@ -430,10 +433,12 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 while len(js) % ndev:
                     js.append(js[-1])
             with stage("prep"):
+                cips = ([j.cip for j in js]
+                        if any(j.cip for j in js) else None)
                 bp = prepare_spliced_batch(
                     [j.q for j in js], [j.gw for j in js], ctx.prm,
                     sigs=[j.sig for j in js], lws=[j.lw for j in js],
-                    W=W, L=lanes)
+                    W=W, L=lanes, cips=cips)
                 if mesh is not None:
                     bp = _shard_batch(bp, mesh)
             if use_udh:

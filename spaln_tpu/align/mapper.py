@@ -106,7 +106,9 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                          strand: str = "auto", ncand: int = 10,
                          max_out: int = 1, min_coverage: float = 0.3,
                          lanes: int = 128, max_batch: int = 32,
-                         mesh=None) -> list[list[GeneStructure]]:
+                         mesh=None,
+                         cips: list | None = None
+                         ) -> list[list[GeneStructure]]:
     """Map many queries in bucketed device batches — the data-parallel
     replacement of the reference's master-worker ThQueue
     (spaln.cc:1220-1468).  Per round: locate candidates + seed on host,
@@ -182,7 +184,8 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                 _, st, g_use, chain = cands[0]
                 job = prepare_job(q, g_use, self.ctx, chain,
                                   q_name=q_names[qi],
-                                  g_name=self.store.names[ci], strand=st)
+                                  g_name=self.store.names[ci], strand=st,
+                                  cip=cips[qi] if cips else None)
             except (KeyboardInterrupt, SystemExit):
                 raise
             except BaseException as exc:

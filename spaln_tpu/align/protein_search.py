@@ -15,7 +15,11 @@ import numpy as np
 from ..config import Config, resolve, PvsP
 from ..ops.params import DpParams, DpFlags
 from ..ops.dp_spliced_scan import (forward_spliced_batch,
-                                   traceback_spliced_scan)
+                                   traceback_spliced_scan,
+                                   prepare_spliced_batch,
+                                   run_spliced_batch,
+                                   collect_local_ends, pick_colonies,
+                                   SliceTrace)
 from ..score.simmtx import Simmtx
 from .gene import GeneStructure, build_gene_structure
 
@@ -93,4 +97,65 @@ def search_protein_db(query: np.ndarray, db: list, ctx_tables=None,
                 hit.q_span = gsr.q_span
                 hit.s_span = gsr.g_span
         hits.append(hit)
+    return hits
+
+
+def search_protein_local(query: np.ndarray, db: list,
+                         matrix: str | None = None, table_dir: str = "",
+                         max_out: int = 4, vthr: int | None = None,
+                         lanes: int = 64, batch: int = 64,
+                         cfg: Config | None = None) -> list[ProteinHit]:
+    """SWG multi-local search (fwdswgB_ng + Colonies, fwd2b1.cc:734):
+    every local-alignment island scoring >= vthr is reported, up to
+    max_out per DB entry.  TPU shape: one zero-floor local forward per
+    batch with per-step max emissions; colony ends are extracted on
+    host (Colonies::detectoverlap role) and each traced back in the
+    recorded planes."""
+    cfg = resolve(cfg or Config(), PvsP)
+    if matrix:
+        from ..score.simmtx import text_matrix
+        sm = Simmtx(text_matrix(matrix), u=4., v=10.)
+    else:
+        sm = Simmtx.protein(table_dir, slot=0)
+    prm = DpParams.build(cfg, sm, PvsP)
+    if vthr is None:
+        vthr = int(cfg.aln.thr * cfg.aln.scale)   # pwd->Vthr
+    flags = DpFlags(local=True)
+    hits: list[ProteinHit] = []
+    for b0 in range(0, len(db), batch):
+        chunk = db[b0:b0 + batch]
+        qs = [query] * len(chunk)
+        gs = [codes for _, codes in chunk]
+        bp = prepare_spliced_batch(qs, gs, prm, sigs=None, flags=flags,
+                                   L=lanes)
+        row_h, rc_h, traces = run_spliced_batch(bp, prm,
+                                                score_only=False)
+        ends = collect_local_ends(bp, traces, vthr)
+        for i, cands in enumerate(ends):
+            name = chunk[i][0]
+            tr = SliceTrace(flags=[np.asarray(ys[0])[:, i]
+                                   for ys in traces],
+                            spj=[np.asarray(ys[1])[:, i]
+                                 for ys in traces],
+                            L=bp.L, lw=bp.lws[i], W=bp.W)
+
+            def _trace(m, n, _tr=tr, _i=i):
+                ops = traceback_spliced_scan(_tr, m, n)
+                if not ops:
+                    return None
+                return (ops[0][1], ops[0][2], ops)
+
+            for val, m, n, (m0, n0, ops) in pick_colonies(
+                    cands, _trace, max_out=max_out):
+                gsr = build_gene_structure(ops, query, chunk[i][1], val,
+                                           q_name="query", g_name=name,
+                                           aa_pair=True)
+                if gsr is None:
+                    continue
+                hits.append(ProteinHit(name=name, score=val,
+                                       q_span=gsr.q_span,
+                                       s_span=gsr.g_span,
+                                       identity=gsr.identity,
+                                       structure=gsr))
+    hits.sort(key=lambda h: -h.score)
     return hits

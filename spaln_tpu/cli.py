@@ -199,10 +199,17 @@ def cmd_map(args) -> int:
                 store, BlockIndex.load(args.genome_db),
                 AlignerContext.create(
                     tables, y_args=["-y" + a for a in args.y_args]))
+        # -yJ: queries carrying SigII junction records (;B/;b) get the
+        # conserved-intron-position bonus SpbFact*num at those rows
+        spb = mapper.ctx.cfg.aln2.spb * mapper.ctx.cfg.aln.scale
+        cips = [({p: int(spb * c) for p, c in r.meta["sig_pos"]}
+                 if spb > 0 and "sig_pos" in r.meta else None)
+                for r in nt_batch]
         res = mapper.map_queries([r.codes for r in nt_batch],
                                  q_names=[r.name for r in nt_batch],
                                  strand=args.strand, lanes=args.lanes,
-                                 max_out=args.max_out, max_batch=bs)
+                                 max_out=args.max_out, max_batch=bs,
+                                 cips=cips if any(cips) else None)
         for rec, gs_list in zip(nt_batch, res):
             sink.emit(gs_list, len(rec.codes))
         nt_batch.clear()

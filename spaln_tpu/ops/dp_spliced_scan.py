@@ -209,7 +209,7 @@ def unpack_link(lk):
 
 def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
                lgop=0, lgep=0, dagp=False, emit_trace=True,
-               emit_links=False):
+               emit_links=False, local=False, cip=False):
     """Build the scan step — natively batched over B (closures over
     static geometry; lw0, delta, m0, M, N traced).  TPU-tuned: no
     per-step scatters (boundary/result values are emitted as scan
@@ -234,7 +234,7 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
 
     def step(carry, t, *, B, qprof_slab, ops_b, ops_s, bnd_h, bnd_f,
              bnd_f2, col_m, col_m1, e_const, li, m0, lw0, delta, M, N,
-             a_exgr):
+             a_exgr, cip_slab=None):
         lks = None
         if emit_links:
             carry, lks = carry[:-1], carry[-1]
@@ -426,6 +426,10 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         for c in range(ncls):
             j16 = j16 + jnp.where(c5 == c, joint4[..., c][..., None], 0)
         xc = cv + pen + accb[..., None] + j16
+        if cip:
+            # conserved intron-position bonus (-yJ): Cip_score(m) added
+            # at every acceptor close (fwd2s1.cc:254, 338)
+            xc = xc + cip_slab[..., None]
         cand_ok = (acc_ok[..., None] & (ilen >= llmt) & (cv > NEV // 2))
         xc = jnp.where(cand_ok, xc, NEV)
         state_vals = [h_val, e_val, f_val, e2_val, f2_val][:n_states]
@@ -457,6 +461,13 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         # ---- winner into H
         h_out = mx_val
         hdir = mx_k
+        loc_reset = None
+        if local:
+            # SWG zero floor (LocalL reset, fwd2b1.cc:163 forwardB_ng /
+            # fwd2s1.cc:356-378): non-positive cells restart a local
+            # alignment; traceback stops at the reset flag
+            loc_reset = active & (h_out <= 0)
+            h_out = jnp.where(loc_reset, 0, h_out)
 
         # ---- donor push (fwd2s1.cc:380-406)
         don_ok = isdon & internal & active & (n < N[:, None])
@@ -502,6 +513,12 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
         bf2_v = (carry[9][:, L - 1] if dagp
                  else jnp.zeros(B, jnp.int32) + NEV)
         ys = (h_out[:, L - 1], f_out[:, L - 1], row_v, rc_v, bf2_v)
+        if local:
+            # best local cell this step (per problem): value + lane; the
+            # host colony pass reconstructs (m, n) from (t, lane)
+            loc_v = jnp.max(h_out, axis=1)
+            loc_i = jnp.argmax(h_out, axis=1).astype(jnp.int32)
+            loc_ys = (loc_v, loc_i)
         if emit_links:
             lkh_c = jnp.where(active, lk_mx, 0)
             lkf_c = lk_states[2]
@@ -522,18 +539,25 @@ def _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PB, ncls, ipen_key,
                        bf2lk)
             return carry, ys
         if not emit_trace:
+            if local:
+                ys = ys + loc_ys
             return carry, ys
         # flag layout: bits 0-2 winner state, 3 eopen, 4 fopen,
-        # 5 e2open, 6 f2open; 255 = inactive cell
+        # 5 e2open, 6 f2open (7 = local reset); 255 = inactive cell
         flags8 = (hdir.astype(jnp.uint8)
                   | (e_open.astype(jnp.uint8) << 3)
                   | (f_open.astype(jnp.uint8) << 4))
         if dagp:
             flags8 = (flags8 | (e2_open.astype(jnp.uint8) << 5)
                       | (f2_open.astype(jnp.uint8) << 6))
+        if local:
+            flags8 = flags8 | (loc_reset.astype(jnp.uint8) << 7)
         flags8 = jnp.where(active, flags8, jnp.uint8(255))
         spj_out = jnp.stack(spj, axis=-1).astype(jnp.int32)
-        return carry, ys + (flags8, spj_out)
+        out = ys + (flags8, spj_out)
+        if local:
+            out = out + loc_ys
+        return carry, out
 
     return step
 
@@ -554,7 +578,8 @@ def _win_update(dst, vals, mask, start, PB):
 @functools.lru_cache(maxsize=128)
 def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
                ipen_key, lgop=0, lgep=0, dagp=False,
-               emit_trace=True, unroll=None, emit_links=False):
+               emit_trace=True, unroll=None, emit_links=False,
+               local=False, cip=False):
     if unroll is None:
         # unroll=4 is ~25% faster on chip (1.25 vs 0.96 GCUPS) but the
         # select-chain body is large and compile time scales with the
@@ -567,10 +592,11 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
     PBn, _, PBm, _ = _pads(L, T, Npad, Mpad)
     step = _make_step(L, W, gop, gep, llmt, pad2, Npad, Mpad, PBn, ncls,
                       ipen_key, lgop=lgop, lgep=lgep, dagp=dagp,
-                      emit_trace=emit_trace, emit_links=emit_links)
+                      emit_trace=emit_trace, emit_links=emit_links,
+                      local=local, cip=cip)
 
     def run1(qprof_slab, ops_b, ops_s, bnd_h, bnd_f, bnd_f2, row_h,
-             rc_h, m0, lw0, delta, M, N, a_exgr):
+             rc_h, m0, lw0, delta, M, N, a_exgr, *extra):
         B = qprof_slab.shape[0]
         lw = lw0 + delta                  # (B,) real band placement
         col_m = jax.lax.dynamic_slice_in_dim(
@@ -587,7 +613,8 @@ def _scan_slab(B, L, W, gop, gep, llmt, T, pad2, Npad, Mpad, ncls,
                               bnd_f=bnd_f, bnd_f2=bnd_f2, col_m=col_m,
                               col_m1=col_m1,
                               e_const=e_const, li=li, m0=m0, lw0=lw0,
-                              delta=delta, M=M, N=N, a_exgr=a_exgr)
+                              delta=delta, M=M, N=N, a_exgr=a_exgr,
+                              cip_slab=extra[0] if cip else None)
         carry0 = (
             jnp.full((B, L), NEV), jnp.full((B, L), NEV),
             jnp.full((B, L), NEV), jnp.full((B, L), NEV),
@@ -719,6 +746,7 @@ class BatchProblem:
     ncls: int
     n_slabs: int
     flags: DpFlags
+    cip_all: object = None     # jnp (B, Mpad) -yJ bonus per query row
 
 
 def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
@@ -727,7 +755,8 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
                           flags: DpFlags | None = None,
                           L: int = 128,
                           lws: list | None = None,
-                          W: int | None = None) -> BatchProblem:
+                          W: int | None = None,
+                          cips: list | None = None) -> BatchProblem:
     """Host stage: pad B problems to a common geometry and ship operands.
 
     Either one (lw, up) band for the whole batch, or per-problem band
@@ -792,6 +821,19 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
                                          + prm.gep * ns).astype(np.int32)
             bnd_h[i, o] = 0
     bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
+    cip_all = None
+    if cips is not None and any(c is not None and len(c) for c in cips):
+        # -yJ: per-query-row conserved-intron-position bonus; cips[i]
+        # maps query position m (1-based) -> bonus (Cip_score, gsinfo.h)
+        ca = np.zeros((B, Mpad + L), dtype=np.int32)
+        for i, c in enumerate(cips):
+            if not c:
+                continue
+            for mpos, bonus in (c.items() if hasattr(c, "items")
+                                else enumerate(c)):
+                if 1 <= mpos <= Mpad:
+                    ca[i, mpos - 1] = bonus
+        cip_all = jnp.asarray(ca)
     return BatchProblem(ops=ops, ops_s=ops_s, ipen_key=ipen_key,
                         qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
@@ -801,7 +843,8 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
                         deltas_j=jnp.asarray(deltas),
                         B=B, L=L, W=W, lw=lw, up=up,
                         Mpad=Mpad, Nmax=Nmax, T=T, pad2=pad_extra // 2,
-                        PB=PB, ncls=ncls, n_slabs=n_slabs, flags=flags)
+                        PB=PB, ncls=ncls, n_slabs=n_slabs, flags=flags,
+                        cip_all=cip_all)
 
 
 def run_spliced_batch(bp: BatchProblem, prm: DpParams,
@@ -817,12 +860,14 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
     instead of O(T*L) planes."""
     B, L = bp.B, bp.L
     _, TOTn, _, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
+    local = bool(bp.flags.local)
+    cip = bp.cip_all is not None
     scan = _scan_slab(B, L, bp.W, prm.gop, prm.gep,
                       prm.intron_llmt, bp.T, bp.pad2, bp.Nmax, bp.Mpad,
                       bp.ncls, bp.ipen_key,
                       lgop=prm.lgop, lgep=prm.lgep, dagp=prm.dagp,
                       emit_trace=not score_only and not emit_links,
-                      emit_links=emit_links)
+                      emit_links=emit_links, local=local, cip=cip)
     bnd_h, bnd_f, bnd_f2 = bp.bnd_h0, bp.bnd_f0, bp.bnd_f20
     row_h = jnp.full((B, TOTn), NEV)
     rc_h = jnp.full((B, TOTm), NEV)
@@ -839,13 +884,17 @@ def run_spliced_batch(bp: BatchProblem, prm: DpParams,
                          for x in (bnd_h, bnd_f, bnd_f2))
         qprof_slab = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
                                                   axis=1)
+        extra = ()
+        if cip:
+            extra = (jax.lax.dynamic_slice_in_dim(bp.cip_all, m0 - 1, L,
+                                                  axis=1),)
         (bnd_h, bnd_f, bnd_f2, row_h, rc_h), ys = scan(
             qprof_slab, bp.ops, bp.ops_s, bnd_h, bnd_f, bnd_f2, row_h,
             rc_h, m0, lw0, bp.deltas_j, bp.Ms_j, bp.Ns_j,
-            bp.flags.a_exgr)
+            bp.flags.a_exgr, *extra)
         if emit_links:
             traces.append((ys, snap))
-        elif not score_only:
+        elif not score_only or local:
             traces.append(ys)
     if block:
         # materialize one element: block_until_ready alone does not
@@ -919,6 +968,54 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
         btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=bp.lws[i],
                                   W=bp.W))
     return scores, ends, btraces
+
+
+def collect_local_ends(bp: BatchProblem, traces, vthr: int,
+                       max_out: int = 16) -> list:
+    """SWG colony extraction (fwdswgB_ng / Colonies, fwd2b1.cc:734,
+    aln.h:167-228, redesigned): the local forward emits each step's best
+    (value, lane) per problem; colonies are the locally-maximal ends
+    above vthr, greedily accepted best-first with band-overlap pruning
+    (Colonies::detectoverlap role).  Returns per problem a list of
+    (val, m, n) candidate local-alignment ends, best first.
+
+    traces: trace-mode ys tuples whose tail carries (loc_v, loc_i)."""
+    out = []
+    for i in range(bp.B):
+        cands = []
+        for s, ys in enumerate(traces):
+            m0 = s * bp.L + 1
+            lv = np.asarray(ys[-2])[:, i]           # (T,)
+            li_ = np.asarray(ys[-1])[:, i]
+            ts = np.nonzero(lv >= vthr)[0]
+            for t in ts:
+                lane = int(li_[t])
+                m = m0 + lane
+                n = (m0 + bp.lw + 1 + int(t)) + bp.deltas[i] - lane
+                if 1 <= m <= bp.Ms[i] and 1 <= n <= bp.Ns[i]:
+                    cands.append((int(lv[t]), m, n))
+        cands.sort(key=lambda c: -c[0])
+        out.append(cands)
+    return out
+
+
+def pick_colonies(cands: list, trace_fn, max_out: int = 16) -> list:
+    """Greedy colony selection (Colonies::detectoverlap role): take the
+    best remaining end, trace it with trace_fn(m, n) -> (m0, n0) span
+    start (or None), and suppress every remaining candidate end inside
+    the traced footprint.  Returns [(val, m, n, traced), ...]."""
+    picked = []
+    remaining = list(cands)
+    while remaining and len(picked) < max_out:
+        v, m, n = remaining.pop(0)
+        traced = trace_fn(m, n)
+        if traced is None:
+            continue
+        m0, n0 = traced[0], traced[1]
+        picked.append((v, m, n, traced))
+        remaining = [(vv, mm, nn) for vv, mm, nn in remaining
+                     if not (m0 - 1 <= mm <= m and n0 - 1 <= nn <= n)]
+    return picked
 
 
 def forward_spliced_batch(queries: list, genomes: list, prm: DpParams,
@@ -1002,6 +1099,8 @@ def traceback_spliced_strip(tr: SliceTrace, m: int, n: int,
             fl = tr.flags[tr.cell(m, n)[0]][tr.cell(m, n)[1],
                                             tr.cell(m, n)[2]]
             if fl == 255:
+                break
+            if fl & 0x80:                 # SWG local-restart origin
                 break
             if hd == 0:
                 jnc = tr.spj_at(0, m, n)

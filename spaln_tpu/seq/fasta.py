@@ -52,8 +52,15 @@ def infer_molc(seq: str) -> int:
 
 
 def iter_fasta(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
-    """Stream records from a FASTA(.gz) file."""
+    """Stream records from a FASTA(.gz) file.
+
+    The reference's extended records are honored: ";B pfqnum lstnum"
+    followed by ";b pos num ..." continuation lines carries the query's
+    known exon-exon junction positions (SigII, gsinfo.h:77-103); they
+    land in record.meta["sig_pos"] as [(pos, num), ...] and feed the
+    -yJ conserved-intron-position bonus (Cip_score)."""
     name, descr, chunks = None, "", []
+    sig_pos: list = []
     with _open_text(path) as fh:
         for line in fh:
             line = line.rstrip()
@@ -61,23 +68,36 @@ def iter_fasta(path: str, molc: int = UNKNOWN) -> Iterator[SeqRecord]:
                 continue
             if line.startswith(">"):
                 if name is not None:
-                    yield _make_record(name, descr, "".join(chunks), molc)
+                    yield _make_record(name, descr, "".join(chunks), molc,
+                                       sig_pos)
                 head = line[1:].split(None, 1)
                 name = head[0] if head else ""
                 descr = head[1] if len(head) > 1 else ""
                 chunks = []
+                sig_pos = []
+            elif line.startswith(";b"):
+                toks = line[2:].split()
+                for p, c in zip(toks[::2], toks[1::2]):
+                    try:
+                        sig_pos.append((int(p), int(c)))
+                    except ValueError:
+                        break
             elif line.startswith((";", "#")):
                 continue
             else:
                 chunks.append(line)
         if name is not None:
-            yield _make_record(name, descr, "".join(chunks), molc)
+            yield _make_record(name, descr, "".join(chunks), molc, sig_pos)
 
 
-def _make_record(name: str, descr: str, seq: str, molc: int) -> SeqRecord:
+def _make_record(name: str, descr: str, seq: str, molc: int,
+                 sig_pos: list | None = None) -> SeqRecord:
     m = molc if molc != UNKNOWN else infer_molc(seq)
     codes = encode_protein(seq) if m == PROTEIN else encode_dna(seq)
-    return SeqRecord(name=name, codes=codes, molc=m, descr=descr)
+    rec = SeqRecord(name=name, codes=codes, molc=m, descr=descr)
+    if sig_pos:
+        rec.meta["sig_pos"] = sig_pos
+    return rec
 
 
 def read_fasta(path: str, molc: int = UNKNOWN) -> list[SeqRecord]:

@@ -83,3 +83,16 @@ def test_genbank_embl_readers(tmp_path):
     assert recs[0].name == "REC2" and len(recs[0].codes) == 12
     assert parse_seq_arg("chr.fa 101 200") == ("chr.fa", 100, 200)
     assert parse_seq_arg("chr.fa") == ("chr.fa", None, None)
+
+
+def test_fasta_sigii_records(tmp_path):
+    """Extended-fasta SigII records (;B/;b, gsinfo.h:77-103) land in
+    record.meta['sig_pos'] for the -yJ bonus."""
+    from spaln_tpu.seq.fasta import read_fasta
+    p = tmp_path / "q.fa"
+    p.write_text(">q1 test\n;B 3 0\n;b 120 2 340 1\n;b 500 4\n"
+                 "ACGTACGTACGT\n>q2\nACGTACGT\n")
+    recs = read_fasta(str(p))
+    assert recs[0].meta["sig_pos"] == [(120, 2), (340, 1), (500, 4)]
+    assert "sig_pos" not in recs[1].meta
+    assert len(recs[0].codes) == 12

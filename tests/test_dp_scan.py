@@ -159,3 +159,47 @@ def test_scan_double_affine(cfg, table_dir):
     assert s_jx == s_ref and (em_j, en_j) == (em_r, en_r)
     assert (traceback_spliced_scan(tr, em_j, en_j)
             == traceback_spliced_ref(tb_r, em_r, en_r))
+
+
+def test_cip_bonus_applied(cfg, prm, table_dir, rng):
+    """-yJ conserved-intron-position bonus (Cip_score, gsinfo.h:128;
+    applied at acceptor closes, fwd2s1.cc:254/338): a flat per-row
+    bonus K raises a one-intron gene's score by exactly K and leaves
+    an intronless alignment untouched."""
+    from spaln_tpu.ops.dp_spliced_scan import (prepare_spliced_batch,
+                                               run_spliced_batch,
+                                               collect_batch_results)
+    bases = np.array(list("ACGT"))
+    e1 = "".join(rng.choice(bases, 60))
+    e2 = "".join(rng.choice(bases, 70))
+    genome = e1 + "GTAAGT" + "".join(rng.choice(bases, 200)) \
+        + "TTACAG" + e2
+    q = encode_dna(e1 + e2)
+    g = encode_dna(genome)
+    sig = build_splice_signals(g, cfg, table_dir)
+    K = 50
+
+    def run(cips):
+        bp = prepare_spliced_batch([q], [g], prm, sigs=[sig],
+                                   L=32, cips=cips)
+        row_h, rc_h, tr = run_spliced_batch(bp, prm, score_only=True)
+        s, e, _ = collect_batch_results(bp, row_h, rc_h, None, True,
+                                        prm=prm)
+        return int(s[0])
+
+    s0 = run(None)
+    s1 = run([{m: K for m in range(1, len(q) + 1)}])
+    assert s1 == s0 + K
+    # intronless control: no acceptor close on the best path
+    g2 = encode_dna(e1 + e2)
+    sig2 = build_splice_signals(g2, cfg, table_dir)
+
+    def run2(cips):
+        bp = prepare_spliced_batch([q], [g2], prm, sigs=[sig2],
+                                   L=32, cips=cips)
+        row_h, rc_h, tr = run_spliced_batch(bp, prm, score_only=True)
+        s, e, _ = collect_batch_results(bp, row_h, rc_h, None, True,
+                                        prm=prm)
+        return int(s[0])
+
+    assert run2([{m: K for m in range(1, len(q) + 1)}]) == run2(None)
