@@ -26,6 +26,8 @@ class Exon:
     unp: int = 0          # unpaired residues
     sig5: int = 0         # donor signal at the exon's 3' end (next intron)
     sig3: int = 0         # acceptor signal at the exon's 5' start
+    bmmc: int = 0         # mismatches within jneibr of intron boundaries
+    bunp: int = 0         # unpaired within jneibr of intron boundaries
 
     @property
     def identity(self) -> float:
@@ -247,6 +249,32 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
     for i, intr in enumerate(introns):
         if i + 1 < len(exons):
             exons[i + 1].sig3 = intr.sig3
+    # junction-neighborhood quality windows (Eijnc, gsinfo.h:262-283;
+    # window = alprm2.jneibr = 10 query residues around each junction):
+    # per exon, mismatches/unpaired within the window on each
+    # intron-adjacent side feed the sortgrcd -m/-u filters (Bmmc/Bunp)
+    JNB = 10
+    if introns:
+        wins = []                 # (lo, hi] query windows -> exon index
+        for i, intr in enumerate(introns):
+            qp = exons[i].q_end
+            wins.append((qp - JNB, qp, i))          # upstream side
+            wins.append((qp, qp + JNB, i + 1))      # downstream side
+        for op in ops:
+            kind = op[0]
+            if kind == 'I':
+                continue
+            m = op[1]
+            bad = (kind in ('E', 'F')
+                   or (kind == 'D' and a[m - 1] != b[op[2] - 1]))
+            if not bad:
+                continue
+            for lo, hi, ei in wins:
+                if lo < m <= hi and ei < len(exons):
+                    if kind == 'D':
+                        exons[ei].bmmc += 1
+                    else:
+                        exons[ei].bunp += 1
     view = AlnView(q=np.asarray(a), g=np.asarray(b),
                    exons=[(e.q_start, e.q_end, e.g_start, e.g_end)
                           for e in exons],

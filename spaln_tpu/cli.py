@@ -250,12 +250,25 @@ def cmd_sortgrcd(args) -> int:
         filt.min_coverage = args.min_coverage
     if args.min_identity is not None:
         filt.min_identity = args.min_identity
+    if args.min_score is not None:
+        filt.min_score = args.min_score
+    if args.bmmc is not None:
+        filt.bmmc = args.bmmc
+    if args.bunp is not None:
+        filt.bunp = args.bunp
+    if args.ncan is not None:
+        filt.ncan = args.ncan
     fmts = _parse_fmts(args.fmt)
     if 15 in fmts:
         for row in unique_introns(records):
             out.write("\t".join(map(str, row)) + "\n")
     else:
         loci = cluster_loci(records, q_lens=q_lens, filt=filt)
+        if args.sort_order != "a":
+            from .out.sortgrcd import sort_records as _sr
+            members = [g for lo in loci for g in lo.members]
+            loci = cluster_loci(_sr(members, order=args.sort_order),
+                                q_lens=q_lens, filt=FilterParams())
         for line in locus_report(loci):
             out.write(line + "\n")
     if args.output:
@@ -439,6 +452,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="filter preset 0..3 (sortgrcd.cc:56-64)")
     sp.add_argument("-C", dest="min_coverage", type=float, default=None)
     sp.add_argument("-I", dest="min_identity", type=float, default=None)
+    sp.add_argument("-H", dest="min_score", type=float, default=None,
+                    help="min gene score (Gscore)")
+    sp.add_argument("-m", dest="bmmc", type=int, default=None,
+                    help="max boundary mismatches per terminal exon")
+    sp.add_argument("-u", dest="bunp", type=int, default=None,
+                    help="max boundary unpaired per terminal exon")
+    sp.add_argument("-n", dest="ncan", type=int, default=None,
+                    help="terminal-junction canonicity level 0..3")
+    sp.add_argument("-S", dest="sort_order", default="a",
+                    choices=["a", "b", "c", "r"],
+                    help="chromosome order: alphabetic/abundance/"
+                         "appearance/reverse-minus")
     sp.add_argument("-o", dest="output", default=None)
     sp.set_defaults(func=cmd_sortgrcd)
 

@@ -18,24 +18,38 @@ from dataclasses import dataclass, field
 from ..align.gene import GeneStructure
 
 
+_BIG = 1 << 30
+
+
 @dataclass
 class FilterParams:
-    """Quality filter presets (sortgrcd.cc:56-64 Filters[4])."""
-    min_coverage: float = 0.0      # -C
-    min_identity: float = 0.0      # -I (Pmatch)
-    min_score: float = 0.0         # -H (Gscore, unscaled)
-    max_bad_junctions: int = 1 << 30   # -n (non-canonical count)
+    """Quality filters (FiltParam, sortgrcd.h:133-143; presets
+    Filters[4], sortgrcd.cc:56-64 = {bmmc, bunp, ncan, Bmmc, Bunp, ng,
+    Gscore, Pmatch, Pcover})."""
+    bmmc: int = _BIG               # -m: per-terminal-exon boundary mmc
+    bunp: int = _BIG               # -u: per-terminal-exon boundary unp
+    ncan: int = 3                  # -n: terminal-junction canonicity
+    Bmmc: int = _BIG               # per-gene boundary mismatch total
+    Bunp: int = _BIG               # per-gene boundary unpaired total
+    ng: int = _BIG                 # per-gene non-canonical introns
+    min_score: float = -1e30       # Gscore (score/scale)
+    min_identity: float = 0.0      # Pmatch (fraction)
+    min_coverage: float = 0.0      # Pcover (fraction)
+    # retained extras
+    max_bad_junctions: int = _BIG  # alias of ng (legacy callers)
 
     @classmethod
     def preset(cls, level: int) -> "FilterParams":
         if level <= 0:
             return cls()
         if level == 1:
-            return cls(min_coverage=0.5, min_identity=0.75)
+            return cls(bmmc=5, bunp=3, ncan=2, Bmmc=10, Bunp=6, ng=3,
+                       min_score=35., min_identity=.75, min_coverage=.75)
         if level == 2:
-            return cls(min_coverage=0.75, min_identity=0.85,
-                       max_bad_junctions=2)
-        return cls(min_coverage=0.9, min_identity=0.9, max_bad_junctions=0)
+            return cls(bmmc=3, bunp=2, ncan=1, Bmmc=6, Bunp=4, ng=2,
+                       min_score=35., min_identity=.93, min_coverage=.93)
+        return cls(bmmc=1, bunp=1, ncan=0, Bmmc=2, Bunp=2, ng=1,
+                   min_score=35., min_identity=.97, min_coverage=.97)
 
 
 @dataclass
@@ -48,6 +62,7 @@ class Locus:
 
 
 def passes(gs: GeneStructure, q_len: int, fp: FilterParams) -> bool:
+    """Per-gene filter (sortgrcd.cc:233-235)."""
     if gs.identity < fp.min_identity:
         return False
     if q_len and gs.coverage(q_len) < fp.min_coverage:
@@ -55,13 +70,77 @@ def passes(gs: GeneStructure, q_len: int, fp: FilterParams) -> bool:
     if gs.score / gs.scale < fp.min_score:
         return False
     bad = sum(1 for i in gs.introns if not i.canonical)
-    return bad <= fp.max_bad_junctions
+    if bad > min(fp.ng, fp.max_bad_junctions):
+        return False
+    if sum(e.bmmc for e in gs.exons) > fp.Bmmc:
+        return False
+    return sum(e.bunp for e in gs.exons) <= fp.Bunp
 
 
-def sort_records(records: list[GeneStructure]) -> list[GeneStructure]:
-    """(chrom, strand, g_start, g_end, n_exons) ordering (compf)."""
-    return sorted(records, key=lambda g: (
-        g.g_name, g.strand, g.g_span[0], g.g_span[1], len(g.exons)))
+def trim_terminal_exons(gs: GeneStructure, fp: FilterParams) -> None:
+    """Drop low-confidence terminal exons (sortgrcd.cc:248-268): the
+    first exon (when >1) goes if its junction is non-canonical under
+    ncan<3 or its boundary windows exceed -m/-u; likewise the last
+    exon (when >2 exons)."""
+    def bad_first():
+        if len(gs.exons) < 2:
+            return False
+        e = gs.exons[0]
+        if fp.ncan < 3 and gs.introns and not gs.introns[0].canonical:
+            return True
+        return e.bmmc > fp.bmmc or e.bunp > fp.bunp
+
+    def bad_last():
+        if len(gs.exons) < 3:
+            return False
+        e = gs.exons[-1]
+        if fp.ncan < 3 and gs.introns and not gs.introns[-1].canonical:
+            return True
+        return e.bmmc > fp.bmmc or e.bunp > fp.bunp
+
+    while bad_first():
+        gs.exons.pop(0)
+        gs.introns.pop(0)
+    while bad_last():
+        gs.exons.pop()
+        gs.introns.pop()
+
+
+def _chrom_order(records: list[GeneStructure], order: str,
+                 appearance: list | None = None) -> dict:
+    """Chromosome rank for -S a|b|c (sortgrcd.cc:42, 66-67)."""
+    chroms = []
+    for g in records:
+        if g.g_name not in chroms:
+            chroms.append(g.g_name)
+    if order == "b":                      # abundance (record count desc)
+        from collections import Counter
+        cnt = Counter(g.g_name for g in records)
+        chroms.sort(key=lambda c: (-cnt[c], c))
+    elif order == "c" and appearance:     # genome appearance
+        rank = {c: i for i, c in enumerate(appearance)}
+        chroms.sort(key=lambda c: rank.get(c, len(rank)))
+    else:                                 # "a"/"r": alphabetic
+        chroms.sort()
+    return {c: i for i, c in enumerate(chroms)}
+
+
+def sort_records(records: list[GeneStructure], order: str = "a",
+                 appearance: list | None = None
+                 ) -> list[GeneStructure]:
+    """(chrom, strand, g_start, g_end, n_exons) ordering (compf), with
+    -S a|b|c|r chromosome orders; 'r' lists minus-strand genes in
+    descending genomic position (reverse-minus)."""
+    rank = _chrom_order(records, order, appearance)
+
+    def key(g):
+        g0, g1 = g.g_span
+        if order == "r" and g.strand == "-":
+            return (rank[g.g_name], 1, -g1, -g0, len(g.exons))
+        return (rank[g.g_name], 0 if g.strand == "+" else 1, g0, g1,
+                len(g.exons))
+
+    return sorted(records, key=key)
 
 
 def cluster_loci(records: list[GeneStructure],
@@ -69,8 +148,12 @@ def cluster_loci(records: list[GeneStructure],
                  filt: FilterParams | None = None) -> list[Locus]:
     """Merge (possibly multi-shard) records into gene loci."""
     filt = filt or FilterParams()
-    kept = [g for g in records
-            if passes(g, (q_lens or {}).get(g.q_name, 0), filt)]
+    kept = []
+    for g in records:
+        if not passes(g, (q_lens or {}).get(g.q_name, 0), filt):
+            continue
+        trim_terminal_exons(g, filt)
+        kept.append(g)
     out: list[Locus] = []
     cur: Locus | None = None
     for g in sort_records(kept):
@@ -139,14 +222,15 @@ def write_grd(path: str, records: list[GeneStructure],
                           (q_lens or {}).get(g.q_name, 0)))
         for e in g.exons:
             exon_rows.append((e.q_start, e.q_end, e.g_start, e.g_end,
-                              e.mch, e.mmc, e.gap, e.unp, e.sig5, e.sig3))
+                              e.mch, e.mmc, e.gap, e.unp, e.sig5, e.sig3,
+                              e.bmmc, e.bunp))
         for i in g.introns:
             intr_rows.append((i.g_start, i.g_end, i.q_pos, i.sig5, i.sig3,
                               1 if i.canonical else 0))
     np.savez_compressed(
         path,
         genes=np.array(gene_rows, dtype=np.int64).reshape(-1, 10),
-        exons=np.array(exon_rows, dtype=np.int64).reshape(-1, 10),
+        exons=np.array(exon_rows, dtype=np.int64).reshape(-1, 12),
         introns=np.array(intr_rows, dtype=np.int64).reshape(-1, 6),
         names=np.array(names), chroms=np.array(chroms))
 
@@ -163,7 +247,8 @@ def read_grd(path: str) -> tuple[list[GeneStructure], dict]:
     for gi, row in enumerate(genes):
         (qi, ci, sense, score, g0, g1, nexn, eoff, ioff, qlen) = row
         nintr = nexn - 1
-        exs = [Exon(*map(int, exons[eoff + k])) for k in range(nexn)]
+        # back-compat: 10-column shards predate the bmmc/bunp columns
+        exs = [Exon(*map(int, exons[eoff + k][:12])) for k in range(nexn)]
         ins = []
         for k in range(nintr):
             s0, s1, qp, s5, s3, can = map(int, introns[ioff + k])

@@ -61,3 +61,58 @@ def test_sort_order():
           _gs("z", "c1", "+", 10, 60)]
     srt = sort_records(rs)
     assert [g.q_name for g in srt] == ["z", "y", "x"]
+
+
+def _mk_gs(chrom, strand, g0, g1, nexn=2, score=1000, bmmc=0, bunp=0,
+           canonical=True, q="q"):
+    from spaln_tpu.align.gene import Exon, Intron, GeneStructure
+    w = (g1 - g0) // nexn
+    exons = [Exon(q_start=i * 10, q_end=(i + 1) * 10,
+                  g_start=g0 + i * w, g_end=g0 + i * w + 10,
+                  mch=10, bmmc=bmmc, bunp=bunp) for i in range(nexn)]
+    intr = [Intron(g_start=exons[i].g_end, g_end=exons[i + 1].g_start,
+                   q_pos=exons[i].q_end, canonical=canonical)
+            for i in range(nexn - 1)]
+    return GeneStructure(score=score, exons=exons, introns=intr,
+                         q_name=q, g_name=chrom, strand=strand)
+
+
+def test_sort_orders():
+    """-S a|b|c|r chromosome orders (sortgrcd.cc:42, 66-67)."""
+    from spaln_tpu.out.sortgrcd import sort_records
+    recs = [_mk_gs("chr2", "+", 0, 100, q="a"),
+            _mk_gs("chr1", "+", 0, 100, q="b"),
+            _mk_gs("chr2", "+", 200, 300, q="c"),
+            _mk_gs("chr1", "-", 400, 500, q="d"),
+            _mk_gs("chr1", "-", 100, 200, q="e")]
+    alpha = sort_records(recs, "a")
+    assert [g.g_name for g in alpha] == ["chr1"] * 3 + ["chr2"] * 2
+    byab = sort_records(recs, "b")
+    assert byab[0].g_name == "chr1"          # 3 records > 2
+    byapp = sort_records(recs, "c", appearance=["chr2", "chr1"])
+    assert byapp[0].g_name == "chr2"
+    rev = sort_records(recs, "r")
+    minus = [g for g in rev if g.strand == "-"]
+    assert minus[0].g_span[0] == 400         # reverse-minus: descending
+
+
+def test_boundary_quality_filters():
+    """-m/-u terminal-exon trimming + per-gene Bmmc/Bunp and -F presets
+    (sortgrcd.cc:56-64, 233-268)."""
+    from spaln_tpu.out.sortgrcd import (FilterParams, passes,
+                                        trim_terminal_exons)
+    good = _mk_gs("c", "+", 0, 300, nexn=3)
+    good.exons[0].bmmc = 9                    # sloppy first exon
+    fp = FilterParams.preset(2)               # bmmc limit 3
+    trim_terminal_exons(good, fp)
+    assert len(good.exons) == 2               # first exon dropped
+    assert len(good.introns) == 1
+    # per-gene totals: Bmmc preset-2 limit is 6
+    bad = _mk_gs("c", "+", 0, 300, nexn=3, bmmc=4)   # total 12 > 6
+    assert not passes(bad, 0, fp)
+    ok = _mk_gs("c", "+", 0, 300, nexn=3)
+    assert passes(ok, 0, fp)
+    # non-canonical terminal junction trimmed under ncan<3
+    nc = _mk_gs("c", "+", 0, 300, nexn=3, canonical=False)
+    trim_terminal_exons(nc, fp)
+    assert len(nc.exons) == 1
