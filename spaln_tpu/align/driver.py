@@ -71,13 +71,15 @@ def align_cdna(query: np.ndarray, genome: np.ndarray, ctx: AlignerContext,
     # SiteNo); results are re-expressed in forward-genome coordinates by
     # _to_minus_view.
     cands: list[tuple[int, str, np.ndarray, Chain | None]] = []
-    fwd_chains = wilip(query, genome, level=level, ipen=ctx.ipen)
+    fwd_chains = wilip(query, genome, level=level, ipen=ctx.ipen,
+                       prm=ctx.prm, spaced=ctx.cfg.alg.crs > 0)
     if strand in ("auto", "+") and fwd_chains:
         cands.append((fwd_chains[0].score, "+", genome, fwd_chains[0]))
     rc_g = None
     if strand in ("auto", "-"):
         rc_g = comrev(genome)
-        rev_chains = wilip(query, rc_g, level=level, ipen=ctx.ipen)
+        rev_chains = wilip(query, rc_g, level=level, ipen=ctx.ipen,
+                            prm=ctx.prm, spaced=ctx.cfg.alg.crs > 0)
         if rev_chains:
             cands.append((rev_chains[0].score, "-", rc_g, rev_chains[0]))
     if not cands and strand in ("auto", "+"):

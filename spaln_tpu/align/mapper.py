@@ -170,12 +170,16 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                 # splice model applies exactly (see align_cdna)
                 cands = []
                 with stage("seed"):
-                    fwd = wilip(q, window, ipen=self.ctx.ipen)
+                    fwd = wilip(q, window, ipen=self.ctx.ipen,
+                                 prm=self.ctx.prm,
+                                 spaced=self.ctx.cfg.alg.crs > 0)
                 if strands[qi] in ("auto", "+") and fwd:
                     cands.append((fwd[0].score, "+", window, fwd[0]))
                 if strands[qi] in ("auto", "-"):
                     rc_w = comrev(window)
-                    rev = wilip(q, rc_w, ipen=self.ctx.ipen)
+                    rev = wilip(q, rc_w, ipen=self.ctx.ipen,
+                                prm=self.ctx.prm,
+                                spaced=self.ctx.cfg.alg.crs > 0)
                     if rev:
                         cands.append((rev[0].score, "-", rc_w, rev[0]))
                 if not cands:

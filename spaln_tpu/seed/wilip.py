@@ -24,6 +24,12 @@ from ..constants import NT_REDUCE4
 # score threshold x scale)
 NT_LEVELS = ({"k": 8, "thr": 50}, {"k": 6, "thr": 40}, {"k": 4, "thr": 30})
 
+# spaced-seed patterns by weight (WlnDefBitPat, wln.cc:40-42; applied in
+# cross-species mode, setwlprm wln.cc:55-62).  '1' = sampled position.
+WLN_DEF_BITPAT = ("", "1", "101", "1101", "11011", "1101101", "110011011",
+                  "1101101011", "110010110111", "11101100101011",
+                  "110110010110111", "1111011001011011")
+
 
 @dataclass
 class Hsp:
@@ -75,33 +81,52 @@ class Chain:
         return lw, up
 
 
-def _kmer_words(red: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Packed k-mer codes and validity mask (positions with no ambiguity)."""
+def _kmer_words(red: np.ndarray, k: int,
+                pattern: str | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Packed k-mer codes and validity mask (positions with no ambiguity).
+
+    With a spaced-seed pattern (Bitpat, bitpat.h:69-106), only the '1'
+    offsets of the width-len(pattern) window are sampled; the word still
+    packs `weight` bases, so the lookup tables keep their size while the
+    seed tolerates mismatches at the '0' positions."""
     L = len(red)
-    if L < k:
+    offs = (range(k) if pattern is None else
+            [i for i, c in enumerate(pattern) if c == '1'])
+    width = k if pattern is None else len(pattern)
+    if L < width:
         return np.zeros(0, np.int64), np.zeros(0, bool)
     valid = red < 4
-    w = np.zeros(L - k + 1, dtype=np.int64)
-    ok = np.ones(L - k + 1, dtype=bool)
-    for i in range(k):
-        w = w * 4 + red[i:L - k + 1 + i]
-        ok &= valid[i:L - k + 1 + i]
+    nw = L - width + 1
+    w = np.zeros(nw, dtype=np.int64)
+    ok = np.ones(nw, dtype=bool)
+    for i in offs:
+        w = w * 4 + red[i:nw + i]
+        ok &= valid[i:nw + i]
     return w, ok
 
 
 def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
               match: int = 20, mismatch: int = -60,
               max_gap_in_run: int | None = None,
-              min_score: int | None = None) -> list[Hsp]:
-    """K-mer seed pairs -> diagonal runs -> scored HSPs."""
+              min_score: int | None = None,
+              mtx: np.ndarray | None = None,
+              spaced: bool = False) -> list[Hsp]:
+    """K-mer seed pairs -> diagonal runs -> scored HSPs.
+
+    mtx: substitution matrix for run evaluation (Wlp::eval, wln.cc:358);
+    falls back to flat match/mismatch when absent.  spaced: use the
+    level's WlnDefBitPat spaced seed (cross-species sensitivity)."""
     prm = NT_LEVELS[min(level, 2)]
     k = prm["k"]
+    pattern = WLN_DEF_BITPAT[k] if spaced and k < len(WLN_DEF_BITPAT) \
+        else None
     thr = (min_score if min_score is not None else prm["thr"] * 10)
     merge_gap = max_gap_in_run if max_gap_in_run is not None else 3 * k
     rq = NT_REDUCE4[np.asarray(q, dtype=np.int64)]
     rg = NT_REDUCE4[np.asarray(g, dtype=np.int64)]
-    qw, qok = _kmer_words(rq, k)
-    gw, gok = _kmer_words(rg, k)
+    qw, qok = _kmer_words(rq, k, pattern)
+    gw, gok = _kmer_words(rg, k, pattern)
     if not len(qw) or not len(gw):
         return []
     qpos = np.nonzero(qok)[0]
@@ -131,16 +156,20 @@ def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
     hsps: list[Hsp] = []
     q_arr = np.asarray(q, dtype=np.int64)
     g_arr = np.asarray(g, dtype=np.int64)
+    span = k if pattern is None else len(pattern)
     for s, e in zip(starts, ends):
         jx, jy = int(qq[s]), int(gg[s])
-        jlen = int(gg[e - 1]) + k - jy
-        # evaluate with the matrix over the run (Wlp::eval semantics)
+        jlen = int(gg[e - 1]) + span - jy
+        # evaluate with the matrix over the run (Wlp::eval, wln.cc:358)
         qs = rq[jx:jx + jlen]
         gs = rg[jy:jy + jlen]
         L = min(len(qs), len(gs))
         eq = (qs[:L] == gs[:L]) & (qs[:L] < 4)
         nid = int(eq.sum())
-        scr = int(nid * match + (L - nid) * mismatch)
+        if mtx is not None:
+            scr = int(mtx[q_arr[jx:jx + L], g_arr[jy:jy + L]].sum())
+        else:
+            scr = int(nid * match + (L - nid) * mismatch)
         if scr >= thr:
             hsps.append(Hsp(jx=jx, jy=jy, jlen=L, nid=nid, jscr=scr))
     return hsps
@@ -222,11 +251,25 @@ def chain_hsps(hsps: list[Hsp], ipen=None, gop: int = -80, gep: int = -30,
 
 
 def wilip(q: np.ndarray, g: np.ndarray, level: int = 1, ipen=None,
-          **kw) -> list[Chain]:
+          prm=None, spaced: bool = False, **kw) -> list[Chain]:
     """HSP search + chaining at one level; retries coarser levels if the
-    finer one finds nothing (the -Q level recursion entry)."""
+    finer one finds nothing (the -Q level recursion entry).
+
+    prm: DpParams — supplies the substitution matrix for HSP evaluation
+    and the gap costs for chain links (replacing the flat defaults).
+    spaced: spaced seeds at every level, falling back to the contiguous
+    seed at the coarsest level (cross-species mode)."""
+    if prm is not None:
+        kw.setdefault("gop", prm.gop)
+        kw.setdefault("gep", prm.gep)
+    mtx = prm.qprof_mtx if prm is not None else None
     for lv in range(level, 3):
-        hsps = find_hsps(q, g, lv)
+        hsps = find_hsps(q, g, lv, mtx=mtx, spaced=spaced)
+        chains = chain_hsps(hsps, ipen=ipen, **kw)
+        if chains:
+            return chains
+    if spaced:
+        hsps = find_hsps(q, g, 2, mtx=mtx, spaced=False)
         chains = chain_hsps(hsps, ipen=ipen, **kw)
         if chains:
             return chains
