@@ -280,7 +280,8 @@ def cmd_search(args) -> int:
     """Protein vs protein-DB search (the spaln -a mode, AvsA)."""
     from .align.protein_search import search_protein_db
     from .out.formats import (alignment_lines, hit_stat_line, psl_line,
-                              sam_line, sugar_line)
+                              sam_line, sugar_line, skl_lines, xyl_line,
+                              xyl2_lines, boundary_line)
     from .constants import PROTEIN
     db = [(r.name, r.codes) for r in iter_seqfile(args.db, molc=PROTEIN)]
     out = open(args.output, "w") if args.output else sys.stdout
@@ -313,6 +314,15 @@ def cmd_search(args) -> int:
                     out.write(gs.vulgar() + "\n")
                 elif fmt == 10:
                     out.write(sam_line(gs, q_len=len(rec.codes)) + "\n")
+                # repalninf report family (sqpr.cc:130-330)
+                elif fmt == 4:
+                    out.write(xyl_line(gs) + "\n")
+                elif fmt == 5:
+                    out.write(boundary_line(gs) + "\n")
+                elif fmt == 6:
+                    out.write("\n".join(xyl2_lines(gs)) + "\n")
+                elif fmt == 7:
+                    out.write("\n".join(skl_lines(gs)) + "\n")
                 else:
                     raise SystemExit(f"unsupported AvsA format -O{fmt}")
     if args.output:

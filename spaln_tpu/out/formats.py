@@ -254,3 +254,95 @@ def hit_stat_line(hit) -> str:
     return "\t".join(map(str, [
         hit.name, int(hit.score / 10), hit.q_span[0] + 1, hit.q_span[1],
         hit.s_span[0] + 1, hit.s_span[1], f"{hit.identity * 100:.1f}"]))
+
+
+# ------------------------------------------------- repalninf stat forms
+# The reference's alignment-info report family (Gsinfo::repalninf0-6,
+# sqpr.cc:130-330), used by -O modes on non-gene alignments.  Segments
+# come from the traceback op stream (the SKL-vertex equivalent).
+
+def _xyl_segments(gs: GeneStructure) -> list[tuple[int, int, int]]:
+    """Maximal diagonal runs as (q_start_1based, g_start_1based, len)."""
+    segs = []
+    ops = gs.view.ops if gs.view is not None else []
+    run = None
+    for op in ops:
+        if op[0] == 'D':
+            m, n = op[1], op[2]
+            if run is not None and m == run[0] + run[2] \
+                    and n == run[1] + run[2]:
+                run = (run[0], run[1], run[2] + 1)
+            else:
+                if run is not None:
+                    segs.append(run)
+                run = (m, n, 1)
+        else:
+            if run is not None:
+                segs.append(run)
+            run = None
+    if run is not None:
+        segs.append(run)
+    return segs
+
+
+def stat_line(gs: GeneStructure, q_name: str = "", scale: int = 10
+              ) -> str:
+    """repalninf0: one statistics line (score, spans, strands, names)."""
+    mch = sum(e.mch for e in gs.exons)
+    mmc = sum(e.mmc for e in gs.exons)
+    gap = sum(e.gap for e in gs.exons)
+    unp = sum(e.unp for e in gs.exons)
+    q0, q1 = gs.q_span
+    g0, g1 = gs.g_span
+    return (f"{mch}\t{mmc}\t{gap}\t{unp}\t{gs.score / scale:6.1f}\t"
+            f"{q0 + 1} {q1} +\t{g0 + 1} {g1} {gs.strand}\t"
+            f"{q_name or gs.q_name}\t{gs.g_name}")
+
+
+def skl_lines(gs: GeneStructure, scale: int = 10) -> list[str]:
+    """repalninf1: 2-line classic SKL format (vertex list)."""
+    segs = _xyl_segments(gs)
+    verts: list[tuple[int, int]] = []
+    for q0, g0, ln in segs:
+        for pt in ((q0, g0), (q0 + ln - 1, g0 + ln - 1)):
+            if not verts or verts[-1] != pt:
+                verts.append(pt)
+    head = (f"{gs.q_name} {gs.g_name}  {len(verts)}  "
+            f"{gs.score / scale:.2f}")
+    return [head, " ".join(f"{m} {n}" for m, n in verts)]
+
+
+def xyl_line(gs: GeneStructure, scale: int = 10) -> str:
+    """repalninf4: 1-line compact XYL (x, y, len)*n."""
+    q0, q1 = gs.q_span
+    g0, g1 = gs.g_span
+    body = " ".join(f" {m} {n} {ln}".strip()
+                    for m, n, ln in _xyl_segments(gs))
+    return (f"XYL: {gs.q_name} {q0 + 1} {q1} + {gs.g_name} {g0 + 1} "
+            f"{g1} {gs.strand} {gs.score / scale:.1f} : {body}")
+
+
+def xyl2_lines(gs: GeneStructure, scale: int = 10) -> list[str]:
+    """repalninf6: 2-line XYL with identity/stat header."""
+    mch = sum(e.mch for e in gs.exons)
+    mmc = sum(e.mmc for e in gs.exons)
+    gap = sum(e.gap for e in gs.exons)
+    unp = sum(e.unp for e in gs.exons)
+    q0, q1 = gs.q_span
+    g0, g1 = gs.g_span
+    denom = max(mch + mmc + gap, 1)
+    segs = _xyl_segments(gs)
+    head = (f"XYL2: {gs.q_name} {q0 + 1} {q1} + {gs.g_name} {g0 + 1} "
+            f"{g1} {gs.strand} {gs.score / scale:7.1f} "
+            f"{100. * mch / denom:6.2f} {mch} {mmc} {gap} {unp} "
+            f"{len(segs)}")
+    return [head,
+            " ".join(f"{m} {n} {ln}" for m, n, ln in segs)]
+
+
+def boundary_line(gs: GeneStructure) -> str:
+    """repalninf5: 1-line exon-boundary list (genome coordinates)."""
+    pts = []
+    for e in gs.exons:
+        pts.extend((e.g_start + 1, e.g_end))
+    return f"{gs.g_name} " + " ".join(map(str, pts))

@@ -113,3 +113,26 @@ def test_mapper_trims_polya(rng, table_dir):
         assert gs.identity == 1.0
         # q coords refer to the original (untrimmed) query
         assert gs.q_span[1] <= 270
+
+
+def test_repalninf_forms(rng):
+    """repalninf output family (sqpr.cc:130-330): XYL segments, SKL
+    vertices, boundary list from the op stream."""
+    import numpy as np
+    from spaln_tpu.align.gene import build_gene_structure
+    from spaln_tpu.out.formats import (skl_lines, xyl_line, xyl2_lines,
+                                       boundary_line, _xyl_segments)
+    q = np.arange(1, 9, dtype=np.int8)
+    g = np.arange(1, 9, dtype=np.int8)
+    ops = [('D', 1, 1), ('D', 2, 2), ('E', 2, 3), ('D', 3, 4),
+           ('D', 4, 5)]
+    gs = build_gene_structure(ops, q, g, 420, q_name="q", g_name="s",
+                              aa_pair=True)
+    assert _xyl_segments(gs) == [(1, 1, 2), (3, 4, 2)]
+    x = xyl_line(gs)
+    assert x.startswith("XYL: q 1 4 + s 1 5 +") and "1 1 2" in x
+    x2 = xyl2_lines(gs)
+    assert len(x2) == 2 and "XYL2:" in x2[0]
+    sk = skl_lines(gs)
+    assert sk[1] == "1 1 2 2 3 4 4 5"
+    assert boundary_line(gs).startswith("s ")
