@@ -256,6 +256,8 @@ def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     if gs is None:
         return None
     gs.score = _score_ops(all_ops, q, g, sig_full, ctx.prm)
+    from .refine import refine_ends
+    refine_ends(gs, q, g, sig_full, ctx.prm)
     if strand == "-":
         _to_minus_view(gs, len(q), len(g))
     return gs
@@ -319,8 +321,14 @@ def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
     if chain is not None:
         g0, g1 = chain.g_span
         q0, q1 = chain.q_span
-        lo = max(0, g0 - q0 - margin)
-        hi = min(len(g), g1 + (M - q1) + margin)
+        # uncovered query ends may be short first/last exons across an
+        # unseen intron: keep enough upstream/downstream genome in the
+        # window for the end-refinement scan (first_exon/last_exon,
+        # fwd2s1.cc:2274-2404)
+        end_margin = 20_000
+        lo = max(0, g0 - q0 - (margin if q0 <= 8 else end_margin))
+        hi = min(len(g), g1 + (M - q1)
+                 + (margin if M - q1 <= 8 else end_margin))
     else:
         lo, hi = 0, len(g)
     gw = np.asarray(g[lo:hi])
@@ -371,13 +379,18 @@ def _to_minus_view(gs: GeneStructure, M: int, N: int) -> GeneStructure:
     return gs
 
 
-def _finish_job(job: AlignJob, score: int, ops: list
-                ) -> GeneStructure | None:
+def _finish_job(job: AlignJob, score: int, ops: list,
+                prm=None) -> GeneStructure | None:
     gs = build_gene_structure(ops, job.q, job.gw, score, sig=job.sig,
                               q_name=job.q_name, g_name=job.g_name,
                               strand=job.strand)
     if gs is None:
         return None
+    if prm is not None and job.sig is not None:
+        # first/last-exon end refinement (fwd2s1.cc:2274-2404) in
+        # window/transcript coordinates, before offset + strand flips
+        from .refine import refine_ends
+        refine_ends(gs, job.q, job.gw, job.sig, prm)
     for e in gs.exons:
         e.g_start += job.lo
         e.g_end += job.lo
@@ -454,7 +467,8 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                     for bi, ji in enumerate(part):
                         try:
                             results[ji] = _finish_job(
-                                jobs[ji], int(scores[bi]), ops_all[bi])
+                                jobs[ji], int(scores[bi]), ops_all[bi],
+                                prm=ctx.prm)
                         except (KeyboardInterrupt, SystemExit):
                             raise
                         except BaseException as exc:
@@ -477,7 +491,8 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                                                      int(ends[bi][0]),
                                                      int(ends[bi][1]))
                         results[ji] = _finish_job(jobs[ji],
-                                                  int(scores[bi]), ops)
+                                                  int(scores[bi]), ops,
+                                                  prm=ctx.prm)
                     except (KeyboardInterrupt, SystemExit):
                         raise
                     except BaseException as exc:
@@ -530,9 +545,9 @@ def _align_window(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
         score, em, en, ops = forward_spliced_udh(
             job.q, job.gw, ctx.prm, sig=job.sig, lw=job.lw, up=job.up,
             L=lanes)
-        return _finish_job(job, score, ops)
+        return _finish_job(job, score, ops, prm=ctx.prm)
     score, em, en, tr = forward_spliced_scan(job.q, job.gw, ctx.prm,
                                              sig=job.sig, lw=job.lw,
                                              up=job.up, L=lanes)
     ops = traceback_spliced_scan(tr, em, en)
-    return _finish_job(job, score, ops)
+    return _finish_job(job, score, ops, prm=ctx.prm)
