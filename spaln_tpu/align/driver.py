@@ -178,6 +178,49 @@ def _splice_join(q, g, sig, prm, d1: int, d2: int, m_lo: int, m_hi: int):
     return m, int(tot[k]), int(n5[k]), int(n3[k])
 
 
+def _micro_exon_join(q, g, sig, prm, d1: int, d2: int,
+                     m_lo: int, m_hi: int):
+    """Join via a micro exon: snap to the nearest eligible donor after
+    the left anchor and acceptor before the right anchor (nearest5ss/
+    3ss, fwd2s1.cc:2094-2162), then place the interior query piece with
+    micro_exon_scan.  Returns (ma, mb, l, r, p, total) where total is
+    score-comparable with _splice_join's gain over [m_lo, m_hi]."""
+    from .refine import micro_exon_scan
+    N = len(g)
+    don = np.nonzero(sig.is_donor[
+        np.clip(m_lo + d1, 0, N):np.clip(m_hi + d1 + 1, 0, N)])[0]
+    acc = np.nonzero(sig.is_accpt[
+        np.clip(m_lo + d2, 0, N):np.clip(m_hi + d2 + 1, 0, N)])[0]
+    if not len(don) or not len(acc):
+        return None
+    qi = np.asarray(q, dtype=np.int64)
+    gi = np.asarray(g, dtype=np.int64)
+    best = None
+    # a chance GT/AG near the anchors can shadow the true sites, so
+    # every eligible site pair in the (short) anchor windows is scored
+    for dof in don:
+        for aof in acc:
+            l = int(dof) + max(m_lo + d1, 0)
+            r = int(aof) + max(m_lo + d2, 0)
+            ma, mb = l - d1, r - d2
+            if not (m_lo <= ma <= m_hi and m_lo <= mb <= m_hi) \
+                    or ma > mb:
+                continue
+            res = micro_exon_scan(q, g, sig, prm, ma, mb, l, r, w=1.0)
+            if res is None:
+                continue
+            pre = int(prm.qprof_mtx[
+                qi[m_lo:ma],
+                gi[np.clip(np.arange(m_lo, ma) + d1, 0, N - 1)]].sum())
+            suf = int(prm.qprof_mtx[
+                qi[mb:m_hi],
+                gi[np.clip(np.arange(mb, m_hi) + d2, 0, N - 1)]].sum())
+            tot = pre + res[0] + suf
+            if best is None or tot > best[5]:
+                best = (ma, mb, l, r, res[1], tot)
+    return best
+
+
 def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
                 chain: Chain, sh: int, margin: int, lanes: int,
                 q_name: str, g_name: str,
@@ -208,14 +251,42 @@ def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
             m_hi = min(seg.hsps[0].jx + JN, M - 1)
             jn = _splice_join(q, g, sig_full, ctx.prm, d1, d2,
                               m_lo, m_hi)
-            if jn is None:
-                return None        # no junction: caller may fall back
-            mb, _, n5, n3 = jn
-            for m in range(m_lo + 1, mb + 1):
-                all_ops.append(('D', m, m + d1))
-            all_ops.append(('I', mb, n5, n3))
-            for m in range(mb + 1, qa + 1):
-                all_ops.append(('D', m, m + d2))
+            # micro-exon alternative between the nearest eligible sites
+            # (micro_exon, fwd2s1.cc:2163-2234); interpolateS picks the
+            # better-scoring option
+            me = _micro_exon_join(q, g, sig_full, ctx.prm, d1, d2,
+                                  m_lo, m_hi)
+            if me is not None and me[4] >= 0 and (
+                    jn is None or me[5] > jn[1]):
+                ma, mb, l, r, p, _tot = me
+                for m in range(m_lo + 1, ma + 1):
+                    all_ops.append(('D', m, m + d1))
+                all_ops.append(('I', ma, l, p))
+                for i2, m in enumerate(range(ma + 1, mb + 1)):
+                    all_ops.append(('D', m, p + i2 + 1))
+                all_ops.append(('I', mb, p + (mb - ma), r))
+                for m in range(mb + 1, qa + 1):
+                    all_ops.append(('D', m, m + d2))
+            elif jn is not None:
+                mb, _, n5, n3 = jn
+                for m in range(m_lo + 1, mb + 1):
+                    all_ops.append(('D', m, m + d1))
+                all_ops.append(('I', mb, n5, n3))
+                for m in range(mb + 1, qa + 1):
+                    all_ops.append(('D', m, m + d2))
+            elif me is not None and me[4] < 0:
+                # skipped-exon single junction; any interior query
+                # residues (ma < mb) stay unpaired
+                ma, mb, l, r, p, _tot = me
+                for m in range(m_lo + 1, ma + 1):
+                    all_ops.append(('D', m, m + d1))
+                all_ops.append(('I', ma, l, r))
+                for m in range(ma + 1, mb + 1):
+                    all_ops.append(('F', m, r))
+                for m in range(mb + 1, qa + 1):
+                    all_ops.append(('D', m, m + d2))
+            else:
+                return None        # caller may fall back to wide band
         # banded DP over this segment's query slice
         q_sub = np.asarray(q[qa:qb])
         lo = max(0, seg.hsps[0].jy - (seg.hsps[0].jx - qa) - margin)

@@ -73,6 +73,9 @@ def micro_exon_scan(q, g, sig, prm, ma: int, mb: int, l: int, r: int,
            + ipen_tab[ps - l] + ipen_tab[r - ps - alen])
     k = int(np.argmax(tot))
     base = micro_exon_scan(q, g, sig, prm, ma, ma, l, r, w)
+    if base is not None:
+        # skipping a non-empty piece leaves it unpaired: ordinary gap
+        base = (base[0] + prm.gop + prm.gep * alen, base[1])
     best = (int(tot[k]), int(ps[k]))
     if base is not None and base[0] >= best[0]:
         return base

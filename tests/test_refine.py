@@ -131,3 +131,27 @@ def test_refine_end_to_end(cfg, prm, table_dir, rng):
     assert gs.exons[0].g_end == 95
     assert len(gs.introns) == 2
     assert gs.introns[0].canonical
+
+
+def test_micro_exon_through_align_long(cfg, prm, table_dir, rng):
+    """A 15-nt micro exon inside a >BIG_GAP intron pair is recovered by
+    the long-gap join (micro_exon fallback in _align_long)."""
+    from spaln_tpu.align.driver import AlignerContext, align_cdna
+    ctx = AlignerContext.create(table_dir)
+    e1 = _mk(rng, 160)
+    piece = _mk(rng, 15)
+    e3 = _mk(rng, 170)
+    i1 = "GTAAGT" + _mk(rng, 9000) + "TTACAG"
+    i2 = "GTGAGT" + _mk(rng, 9500) + "TTTCAG"
+    g = _mk(rng, 60) + e1 + i1 + piece + i2 + e3 + _mk(rng, 60)
+    q = encode_dna(e1 + piece + e3)
+    res = align_cdna(q, encode_dna(g), ctx, q_name="q", g_name="g",
+                     lanes=32)
+    assert res
+    gs = res[0]
+    mid = [e for e in gs.exons if 10 <= e.g_len <= 20]
+    assert mid, [(e.g_start, e.g_end) for e in gs.exons]
+    p0 = 60 + 160 + len(i1)
+    assert mid[0].g_start == p0 and mid[0].g_end == p0 + 15
+    assert len(gs.introns) == 2
+    assert all(i.canonical for i in gs.introns)
