@@ -48,7 +48,9 @@ class AlignerContext:
             cfg = apply_y_args(cfg, y_args)
         cfg = resolve(cfg, dvsp)
         ipen = IntronPenalty(cfg, dvsp)
-        prm = DpParams.build(cfg, Simmtx.dna(), dvsp, ipen=ipen)
+        sm = Simmtx.dna(match=cfg.aln.smn_match,
+                        mismatch=cfg.aln.smn_mismatch)
+        prm = DpParams.build(cfg, sm, dvsp, ipen=ipen)
         return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen)
 
 

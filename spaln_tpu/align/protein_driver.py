@@ -51,7 +51,7 @@ class ProteinAlignerContext:
         if y_args:
             cfg = apply_y_args(cfg, y_args)
         cfg = resolve(cfg, PvsG)
-        sm = Simmtx.protein(tables.root, slot=0)
+        sm = Simmtx.protein(tables.root, pam=cfg.aln.pam1, slot=0)
         prm = TronDpParams.build(cfg, sm.tron().mtx)
         ipen = IntronPenalty(cfg, PvsG)
         tab = ipen.penalty(np.arange(max_intron)).astype(np.int32)

@@ -39,6 +39,12 @@ class AlnPrm:
     ls: int = 2                  # # gap states (2 = single affine)
     sh: int = 100                # band shoulder (-w)
     mtx_no: int = 0
+    # substitution-model knobs (readalprm m/n/b/p/q, spaln.cc/simmtx.cc)
+    smn_match: float | None = None    # -ym DNA match (smn[0])
+    smn_mismatch: float | None = None  # -yn DNA mismatch
+    mtx_bias: float | None = None     # -yb protein matrix bias
+    pam1: int | None = None           # -yp final-phase PAM level
+    pam2: int | None = None           # -yq HSP-search PAM level
 
 
 @dataclass(frozen=True)
@@ -203,6 +209,16 @@ def apply_y_args(cfg: Config, tokens: list[str]) -> Config:
             aln = replace(aln, k1=int(x))
         elif opt == 'l':
             aln = replace(aln, ls=int(x))
+        elif opt == 'b':
+            aln = replace(aln, mtx_bias=x)
+        elif opt == 'm':
+            aln = replace(aln, smn_match=x)
+        elif opt == 'n':
+            aln = replace(aln, smn_mismatch=x)
+        elif opt == 'p':
+            aln = replace(aln, pam1=int(x))
+        elif opt == 'q':
+            aln = replace(aln, pam2=int(x))
         elif opt == 'o':
             a2 = replace(a2, o=x)
         elif opt == 't':

@@ -212,9 +212,14 @@ class Simmtx:
         return -int(self.scale * self.v)
 
     @classmethod
-    def dna(cls, slot: int = 0, scale: int = SCALE) -> "Simmtx":
+    def dna(cls, slot: int = 0, scale: int = SCALE,
+            match: float | None = None,
+            mismatch: float | None = None) -> "Simmtx":
+        """match/mismatch override the smn ladder ends (-ym/-yn)."""
         p = DEF_NPRM[slot]
-        return cls(dna_matrix(p.n, 2., p.u, scale), p.u, p.v, scale)
+        return cls(dna_matrix(mismatch if mismatch is not None else p.n,
+                              match if match is not None else 2.,
+                              p.u, scale), p.u, p.v, scale)
 
     @classmethod
     def protein(cls, table_dir: str, pam: int | None = None, slot: int = 0,

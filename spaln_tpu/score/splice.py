@@ -188,6 +188,26 @@ def build_splice_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
         # sites that are both a 0-phase site and neighbor of a strong one
         # keep phase 0 (reference writes only into phs == -2 slots for +1)
 
+    # -yZ intron oligomer potential (sig53's intnpot term, codepot.cc:
+    # 401-435 with ExinPot::intpot = sigI[b3-rm] - sigI[b5+lm],
+    # utilseq.cc:1463-1470).  The cumulative-difference form splits by
+    # endpoint, so it folds into the per-base signals: the donor side
+    # carries -C[n5+lm], the acceptor side +C[n3-rm] — every junction
+    # consumer (kernels, oracle, closed-form joins) then applies the
+    # exact reference term with no per-pair gather.  Known deviation:
+    # introns shorter than lm+rm (22 nt) score the (tiny) negative-span
+    # difference instead of the reference's hard 0.
+    if a2.Z and a2.Z > 0 and not tron:
+        from .codepot import ExinPot
+        ipt = ExinPot.load(tables, "IntronPotTab")
+        if ipt is not None:
+            fI = a2.Z * fact
+            cum = np.zeros(L + 1, dtype=np.float64)
+            np.cumsum(ipt.scan(codes).astype(np.float64), out=cum[1:])
+            C = _c_short(fI * cum)
+            sig5 = sig5 - C[np.clip(np.arange(L) + ipt.lm, 0, L)]
+            sig3 = sig3 + C[np.clip(np.arange(L) - ipt.rm, 0, L)]
+
     acc_joint = tabs.tab53.reshape(16, 16)[:, dinc3].T.copy()   # (L, 16)
     return SpliceSignals(sig5=sig5.astype(np.int32),
                          sig3=sig3.astype(np.int32),

@@ -225,3 +225,52 @@ def test_branch_point_bonus(table_dir):
             sigB, posB = 0.0, None
     got = sig1.sig3.astype(np.int64) - sig0.sig3.astype(np.int64)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_intron_potential_yZ(table_dir, rng):
+    """-yZ wires ExinPot's intron oligomer potential into the junction
+    score as the cumulative difference sigI[b3-rm]-sigI[b5+lm]
+    (codepot.cc:401-435, utilseq.cc:1463-1470)."""
+    from dataclasses import replace as _rep
+    from spaln_tpu.config import Config, resolve, CvsG
+    from spaln_tpu.score.codepot import ExinPot
+    from spaln_tpu.score.splice import build_splice_signals, _c_short
+    from spaln_tpu.score.tables import TableDir
+    from spaln_tpu.seq.codec import encode_dna
+    td = TableDir(table_dir.root, species="Dictyost")
+    ipt = ExinPot.load(td, "IntronPotTab")
+    assert ipt is not None
+    g = ("A" * 50 + "GTAAGT" + "".join(rng.choice(list("ACGT"), 300))
+         + "TTACAG" + "C" * 50)
+    codes = encode_dna(g)
+    cfg0 = resolve(Config(), CvsG)
+    cfg = _rep(cfg0, aln2=_rep(cfg0.aln2, Z=2.0))
+    s0 = build_splice_signals(codes, cfg0, td)
+    s1 = build_splice_signals(codes, cfg, td)
+    n5, n3 = 50, 362
+    d0 = int(s0.sig53_ie53(n5, n3)) + int(s0.sig5[n5])
+    d1 = int(s1.sig53_ie53(n5, n3)) + int(s1.sig5[n5])
+    cum = np.concatenate([[0.], np.cumsum(
+        ipt.scan(codes).astype(np.float64))])
+    fI = 2.0 * cfg.aln.scale
+    expect = (int(_c_short(np.float64(fI * cum[n3 - ipt.rm])))
+              - int(_c_short(np.float64(fI * cum[n5 + ipt.lm]))))
+    assert d1 - d0 == expect
+    assert expect != 0
+
+
+def test_y_matrix_overrides(table_dir):
+    """-ym/-yn/-yp plumb into the substitution model."""
+    from spaln_tpu.config import Config, apply_y_args, resolve, CvsG
+    from spaln_tpu.score.simmtx import Simmtx
+    from spaln_tpu.seq.codec import encode_dna
+    cfg = apply_y_args(Config(), ["-ym3", "-yn-8", "-yp250"])
+    assert cfg.aln.smn_match == 3 and cfg.aln.smn_mismatch == -8
+    assert cfg.aln.pam1 == 250
+    sm = Simmtx.dna(match=cfg.aln.smn_match,
+                    mismatch=cfg.aln.smn_mismatch)
+    a, c = encode_dna("AC")
+    assert sm.mtx[a, a] == 30 and sm.mtx[a, c] == -80
+    smp = Simmtx.protein(table_dir.root, pam=250)
+    smp0 = Simmtx.protein(table_dir.root)
+    assert (smp.mtx != smp0.mtx).any()
