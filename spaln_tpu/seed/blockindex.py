@@ -26,6 +26,15 @@ from ..seq.genome import GenomeStore
 from .wilip import _kmer_words
 
 
+def _aa_reduce(nalpha: int) -> np.ndarray:
+    """aa-code -> reduced-class table (ReducWord; 20 = identity map)."""
+    if nalpha == 20:
+        return AA_REDUCE20
+    from .reduc import reduc_table
+    tab, _ = reduc_table(nalpha)
+    return tab.astype(np.int64)
+
+
 def auto_params(glen: int) -> dict:
     blklen = min(int(math.sqrt(glen)) + 1, 65536)
     blklen = max(blklen, 256)
@@ -49,6 +58,7 @@ class BlockIndex:
     n_blocks: int
     glen: int
     cbounds: np.ndarray | None = None   # contig starts + glen sentinel
+    nalpha: int = 20         # protein reduced-alphabet size (ReducWord)
 
     def _contig_clamp(self, g0: int, g1: int, peak: int
                       ) -> tuple[int, int]:
@@ -331,19 +341,25 @@ class ProteinBlockIndex(BlockIndex):
     @classmethod
     def build(cls, store: GenomeStore, k: int | None = None,
               blklen: int | None = None,
-              max_word_freq: float = 2e-3) -> "ProteinBlockIndex":
+              max_word_freq: float = 2e-3,
+              nalpha: int = 20) -> "ProteinBlockIndex":
+        # nalpha selects the reduced alphabet (ReducWord/DefConvPat,
+        # bitpat.cc:25-90): 20 = one class per aa (default .bka),
+        # 6 = SEB6 for higher seed sensitivity on diverged proteins
         glen = len(store.codes)
         p = auto_params(store.total_len or glen)
+        if k is None and nalpha <= 8:
+            k = min(p["kp"] + 2, 8)      # smaller alphabet, longer tuple
         k = k or p["kp"]
         blklen = blklen or p["blklen"]
-        na = cls.NALPHA
+        na = nalpha
         codes = np.asarray(store.codes)
         pairs = []
         for strand in range(2):
             seq = codes if strand == 0 else comrev(codes)
             for frame in range(3):
                 aa = translate(seq, frame)
-                red = AA_REDUCE20[aa.astype(np.int64)]
+                red = _aa_reduce(nalpha)[aa.astype(np.int64)]
                 valid = (red >= 0) & (red < na)
                 L = len(red)
                 if L < k:
@@ -381,7 +397,8 @@ class ProteinBlockIndex(BlockIndex):
         cbounds = np.append(store.offsets, glen).astype(np.int64)
         return cls(k=k, blklen=blklen, maxgene=p["maxgene"],
                    offsets=offsets, blocks=ub, wscr=wscr,
-                   n_blocks=n_blocks, glen=glen, cbounds=cbounds)
+                   n_blocks=n_blocks, glen=glen, cbounds=cbounds,
+                   nalpha=nalpha)
 
     def save(self, prefix: str) -> None:
         np.savez(prefix + ".bkp.npz", offsets=self.offsets,
@@ -389,23 +406,27 @@ class ProteinBlockIndex(BlockIndex):
                  cbounds=(self.cbounds if self.cbounds is not None
                           else np.array([0, self.glen], dtype=np.int64)),
                  meta=np.array([self.k, self.blklen, self.maxgene,
-                                self.n_blocks, self.glen], dtype=np.int64))
+                                self.n_blocks, self.glen, self.nalpha],
+                               dtype=np.int64))
 
     @classmethod
     def load(cls, prefix: str) -> "ProteinBlockIndex":
         z = np.load(prefix + ".bkp.npz")
-        k, blklen, maxgene, n_blocks, glen = z["meta"].tolist()
+        meta = z["meta"].tolist()
+        k, blklen, maxgene, n_blocks, glen = meta[:5]
+        nalpha = meta[5] if len(meta) > 5 else 20
         return cls(k=int(k), blklen=int(blklen), maxgene=int(maxgene),
                    offsets=z["offsets"], blocks=z["blocks"],
                    wscr=z["wscr"], n_blocks=int(n_blocks), glen=int(glen),
-                   cbounds=z["cbounds"] if "cbounds" in z else None)
+                   cbounds=z["cbounds"] if "cbounds" in z else None,
+                   nalpha=int(nalpha))
 
     def _query_words(self, query: np.ndarray) -> np.ndarray:
         return self._query_words_pos(query)[0]
 
     def _query_words_pos(self, query: np.ndarray):
-        red = AA_REDUCE20[np.asarray(query, dtype=np.int64)]
-        na, k = self.NALPHA, self.k
+        red = _aa_reduce(self.nalpha)[np.asarray(query, dtype=np.int64)]
+        na, k = self.nalpha, self.k
         valid = (red >= 0) & (red < na)
         L = len(red)
         if L < k:
