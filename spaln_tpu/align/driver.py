@@ -246,10 +246,18 @@ def _align_long(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
             qb = min(segs[si + 1].hsps[0].jx, seg.hsps[-1].rx)
         qb = max(qb, qa + 1)
         if si > 0:
-            # join previous segment to this one across the big gap
+            # join previous segment to this one across the big gap.
+            # The left anchor may have crept a few chance-matching
+            # bases past the true junction; give the join creepback
+            # slack and strip those trailing ops (creepback,
+            # fwd2s1.cc:1960-2001)
             d1, _ = prev
             d2 = seg.hsps[0].diag
-            m_lo = max(prev[1], 1)
+            CB = 12
+            m_lo = max(min(prev[1], seg.hsps[0].jx + JN) - CB, 1)
+            while (all_ops and all_ops[-1][0] != 'I'
+                   and all_ops[-1][1] > m_lo):
+                all_ops.pop()
             m_hi = min(seg.hsps[0].jx + JN, M - 1)
             jn = _splice_join(q, g, sig_full, ctx.prm, d1, d2,
                               m_lo, m_hi)

@@ -146,7 +146,8 @@ def search_protein_local(query: np.ndarray, db: list,
                 return (ops[0][1], ops[0][2], ops)
 
             for val, m, n, (m0, n0, ops) in pick_colonies(
-                    cands, _trace, max_out=max_out):
+                    cands, _trace, max_out=max_out, gep=prm.gep,
+                    vthr=vthr):
                 gsr = build_gene_structure(ops, query, chunk[i][1], val,
                                            q_name="query", g_name=name,
                                            aa_pair=True)

@@ -108,16 +108,78 @@ def _end_scan(piece, g, sig, prm, lo, hi, donor_at_end: bool,
     return w * mch, ps
 
 
+def _creepback_head(gs: GeneStructure, q, g, prm, max_head: int):
+    """Longest sloppy prefix of the first exon: walk the op stream
+    while the cumulative matrix score stays <= 0 (creepback,
+    fwd2s1.cc:1960-2001).  Returns (q_cut, g_cut, cum, mch, mmc, ng)
+    of the best strip point, or None."""
+    if gs.view is None or not gs.view.ops:
+        return None
+    e0 = gs.exons[0]
+    qi = np.asarray(q, dtype=np.int64)
+    gi = np.asarray(g, dtype=np.int64)
+    cum = 0
+    mch = mmc = ng = 0
+    best = None                        # strip at the cumulative MINIMUM
+    best_cum = 0
+    n_cur = e0.g_start
+    for op in gs.view.ops:
+        if op[0] == 'I':
+            break
+        m = op[1]
+        if m > min(e0.q_end, e0.q_start + max_head):
+            break
+        if op[0] == 'D':
+            n_cur = op[2]
+            cum += int(prm.qprof_mtx[qi[m - 1], gi[n_cur - 1]])
+            if qi[m - 1] == gi[n_cur - 1]:
+                mch += 1
+            else:
+                mmc += 1
+        else:
+            if op[0] == 'E':
+                n_cur = op[2]
+            cum += prm.gep
+            ng += 1
+        if cum < best_cum:
+            best_cum = cum
+            best = (m, n_cur, cum, mch, mmc, ng)
+    return best
+
+
 def refine_first_exon(gs: GeneStructure, q, g, sig, prm,
                       maxgene: int = 100_000, max_head: int = 120,
                       w: float = 9.0) -> bool:
     """Plant a short first exon for an uncovered query head
-    (first_exon, fwd2s1.cc:2274-2360).  Mutates gs; True if extended."""
+    (first_exon, fwd2s1.cc:2274-2360).  A sloppy aligned head (score
+    <= 0 prefix) is stripped first (creepback, fwd2s1.cc:1960-2001).
+    Mutates gs; True if extended."""
     e0 = gs.exons[0]
-    qh = e0.q_start
+    strip = None
+    if e0.q_start < 2:
+        cb = _creepback_head(gs, q, g, prm, max_head)
+        if cb is not None and cb[0] - e0.q_start >= 4:
+            # tentative strip; the acceptor may sit a few nt away on
+            # the same diagonal (nearest3ss, fwd2s1.cc:2128-2162)
+            mq, mg, cum, smch, smmc, sng = cb
+            d0 = mg - mq
+            for off in [0] + [s * d for d in range(1, 11)
+                              for s in (1, -1)]:
+                gcut = mg + off
+                qcut = gcut - d0
+                if not (0 <= gcut < len(g) and 2 <= qcut
+                        <= e0.q_end - 2):
+                    continue
+                if sig.is_accpt[gcut]:
+                    strip = (qcut, gcut, cum, smch, smmc)
+                    break
+        if strip is None:
+            return False
+        qh, g0 = strip[0], strip[1]
+    else:
+        qh, g0 = e0.q_start, e0.g_start
     if qh < 2 or qh > max_head:
         return False
-    g0 = e0.g_start
     if g0 < prm.intron_llmt + qh or not sig.is_accpt[g0]:
         return False
     res = _end_scan(q[:qh], g, sig, prm, g0 - maxgene,
@@ -129,9 +191,19 @@ def refine_first_exon(gs: GeneStructure, q, g, sig, prm,
     tot = mscr + ipen_tab[g0 - (ps + qh)] + np.array(
         [_sig53_pair(sig, int(p + qh), g0) for p in ps])
     k = int(np.argmax(tot))
-    if tot[k] <= 0:
+    # the planted exon must beat keeping the (non-positive-scoring)
+    # stripped prefix in place
+    floor = strip[2] if strip is not None else 0
+    if tot[k] <= floor:
         return False
     p = int(ps[k])
+    if strip is not None:
+        # shrink exon 0 to the strip point before planting
+        e0.q_start, e0.g_start = qh, g0
+        e0.mch = max(e0.mch - strip[3], 0)
+        e0.mmc = max(e0.mmc - strip[4], 0)
+        e0.sig3 = int(sig.sig3[g0])
+        gs.score -= strip[2]
     piece = np.asarray(q[:qh], np.int64)
     garr = np.asarray(g, np.int64)[p:p + qh]
     nid = int((piece == garr).sum())

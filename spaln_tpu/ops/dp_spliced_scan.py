@@ -999,22 +999,30 @@ def collect_local_ends(bp: BatchProblem, traces, vthr: int,
     return out
 
 
-def pick_colonies(cands: list, trace_fn, max_out: int = 16) -> list:
+def pick_colonies(cands: list, trace_fn, max_out: int = 16,
+                  gep: int = -20, vthr: int = 350) -> list:
     """Greedy colony selection (Colonies::detectoverlap role): take the
-    best remaining end, trace it with trace_fn(m, n) -> (m0, n0) span
-    start (or None), and suppress every remaining candidate end inside
-    the traced footprint.  Returns [(val, m, n, traced), ...]."""
+    best remaining end, trace it with trace_fn(m, n) -> (m0, n0, ops)
+    (or None).  A candidate whose trace STARTS inside an accepted
+    colony's footprint is a decaying ridge tail of that colony (its
+    path re-enters the island) and is suppressed — exact, unlike any
+    end-window heuristic.  Cheap in-box ends are pre-skipped without
+    tracing."""
     picked = []
     remaining = list(cands)
     while remaining and len(picked) < max_out:
         v, m, n = remaining.pop(0)
+        if any(pm0 - 1 <= m <= pm and pn0 - 1 <= n <= pn
+               for _, pm, pn, (pm0, pn0, *_x) in picked):
+            continue                        # inside a colony: skip
         traced = trace_fn(m, n)
         if traced is None:
             continue
         m0, n0 = traced[0], traced[1]
+        if any(pm0 - 1 <= m0 <= pm and pn0 - 1 <= n0 <= pn
+               for _, pm, pn, (pm0, pn0, *_x) in picked):
+            continue                        # ridge tail of a colony
         picked.append((v, m, n, traced))
-        remaining = [(vv, mm, nn) for vv, mm, nn in remaining
-                     if not (m0 - 1 <= mm <= m and n0 - 1 <= nn <= n)]
     return picked
 
 

@@ -8,7 +8,8 @@ from spaln_tpu.seq.codec import encode_protein
 AAS = list("ARNDCQEGHILKMFPSTWYV")
 
 
-def test_local_two_islands(table_dir, rng):
+def test_local_two_islands(table_dir):
+    rng = np.random.default_rng(7)
     """Two homologous blocks whose separation costs more than either
     block scores must come back as two distinct local alignments (the
     connecting gap would wipe out the smaller island's score, so SWG
@@ -32,7 +33,8 @@ def test_local_two_islands(table_dir, rng):
         assert h.identity > 0.95
 
 
-def test_local_score_matches_swg_oracle(table_dir, rng):
+def test_local_score_matches_swg_oracle(table_dir):
+    rng = np.random.default_rng(8)
     """Single-island local score == a numpy Smith-Waterman-Gotoh."""
     from spaln_tpu.config import Config, resolve, PvsP
     from spaln_tpu.score.simmtx import Simmtx

@@ -30,7 +30,8 @@ def _mk(rng, n):
     return "".join(rng.choice(BASES, n))
 
 
-def test_micro_exon_scan(cfg, prm, table_dir, rng):
+def test_micro_exon_scan(cfg, prm, table_dir):
+    rng = np.random.default_rng(21)
     """A 12-nt query piece planted mid-intron with AG..piece..GT context
     is found at the exact position; the skip option loses."""
     piece = _mk(rng, 12)
@@ -50,7 +51,8 @@ def test_micro_exon_scan(cfg, prm, table_dir, rng):
     assert score > 0
 
 
-def test_refine_first_exon(cfg, prm, table_dir, rng):
+def test_refine_first_exon(cfg, prm, table_dir):
+    rng = np.random.default_rng(22)
     """An uncovered 15-nt query head becomes a planted first exon at the
     upstream donor-consistent position."""
     head = _mk(rng, 15)
@@ -75,7 +77,8 @@ def test_refine_first_exon(cfg, prm, table_dir, rng):
     assert gs.introns[0].canonical
 
 
-def test_refine_last_exon(cfg, prm, table_dir, rng):
+def test_refine_last_exon(cfg, prm, table_dir):
+    rng = np.random.default_rng(23)
     """An uncovered 14-nt query tail becomes a planted last exon."""
     tail = _mk(rng, 14)
     body = _mk(rng, 150)
@@ -96,7 +99,8 @@ def test_refine_last_exon(cfg, prm, table_dir, rng):
     assert gs.introns[-1].canonical
 
 
-def test_refine_noop_when_covered(cfg, prm, table_dir, rng):
+def test_refine_noop_when_covered(cfg, prm, table_dir):
+    rng = np.random.default_rng(24)
     """Fully covered queries are untouched."""
     body = _mk(rng, 120)
     gc = encode_dna(_mk(rng, 30) + body + _mk(rng, 30))
@@ -111,7 +115,8 @@ def test_refine_noop_when_covered(cfg, prm, table_dir, rng):
     assert len(gs.exons) == 1
 
 
-def test_refine_end_to_end(cfg, prm, table_dir, rng):
+def test_refine_end_to_end(cfg, prm, table_dir):
+    rng = np.random.default_rng(25)
     """align_cdna recovers a 15-nt first exon 2 kb upstream through the
     end-refinement post-pass (the banded DP alone cannot reach it)."""
     from spaln_tpu.align.driver import AlignerContext, align_cdna
@@ -133,7 +138,8 @@ def test_refine_end_to_end(cfg, prm, table_dir, rng):
     assert gs.introns[0].canonical
 
 
-def test_micro_exon_through_align_long(cfg, prm, table_dir, rng):
+def test_micro_exon_through_align_long(cfg, prm, table_dir):
+    rng = np.random.default_rng(26)
     """A 15-nt micro exon inside a >BIG_GAP intron pair is recovered by
     the long-gap join (micro_exon fallback in _align_long)."""
     from spaln_tpu.align.driver import AlignerContext, align_cdna
