@@ -21,11 +21,20 @@ import numpy as np
 
 def main():
     import jax
+    # the sandbox sitecustomize re-pins jax_platforms at interpreter
+    # start; honor an explicit JAX_PLATFORMS so CPU smoke-runs never
+    # block on an unhealthy TPU tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from spaln_tpu.config import Config, resolve, CvsG
     from spaln_tpu.ops.params import DpParams
     from spaln_tpu.ops.dp_spliced_scan import (prepare_spliced_batch,
                                                run_spliced_batch,
                                                collect_batch_results)
+    from spaln_tpu.ops.dp_spliced_pallas import run_spliced_batch_pallas
     from spaln_tpu.score.intron import IntronPenalty
     from spaln_tpu.score.simmtx import Simmtx
     from spaln_tpu.score.splice import build_splice_signals
@@ -64,15 +73,40 @@ def main():
 
     bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
                                lw=lw, up=up, L=L)
-    # warmup/compile; run_spliced_batch(block=True) materializes one
-    # element — block_until_ready alone does not guarantee completion on
+    # engine: the Pallas wavefront kernel is the production score-only
+    # path; BENCH_ENGINE=scan measures the lax.scan engine instead.
+    # Pallas self-validates against the scan engine on this batch and
+    # falls back on any compile failure or score mismatch, so the bench
+    # never reports an unverified kernel.
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    scan_run = lambda *a, **k: run_spliced_batch(*a, **k)
+    run = scan_run
+    if engine == "pallas":
+        try:
+            rp, cp, _ = run_spliced_batch_pallas(bp, prm,
+                                                 score_only=True)
+            rs, cs, _ = run_spliced_batch(bp, prm, score_only=True)
+            sp, _, _ = collect_batch_results(bp, rp, cp, None, True,
+                                             prm=prm)
+            ss, _, _ = collect_batch_results(bp, rs, cs, None, True,
+                                             prm=prm)
+            if (np.asarray(sp) == np.asarray(ss)).all():
+                run = run_spliced_batch_pallas
+            else:
+                print("# pallas/scan score mismatch: benching scan",
+                      file=sys.stderr)
+        except Exception as exc:                 # noqa: BLE001
+            print(f"# pallas unavailable ({type(exc).__name__}): "
+                  "benching scan", file=sys.stderr)
+    # warmup/compile; run(block=True) materializes one element —
+    # block_until_ready alone does not guarantee completion on
     # remote-tunnel backends, so timings below are honest wall-clock
-    run_spliced_batch(bp, prm, score_only=True)
+    run(bp, prm, score_only=True)
     iters = int(os.environ.get("BENCH_ITERS", 3))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        row_h, rc_h, _ = run_spliced_batch(bp, prm, score_only=True)
+        row_h, rc_h, _ = run(bp, prm, score_only=True)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]               # median: contention-robust
