@@ -342,7 +342,8 @@ class ProteinBlockIndex(BlockIndex):
     def build(cls, store: GenomeStore, k: int | None = None,
               blklen: int | None = None,
               max_word_freq: float = 2e-3,
-              nalpha: int = 20) -> "ProteinBlockIndex":
+              nalpha: int = 20, min_orf: int = 30
+              ) -> "ProteinBlockIndex":
         # nalpha selects the reduced alphabet (ReducWord/DefConvPat,
         # bitpat.cc:25-90): 20 = one class per aa (default .bka),
         # 6 = SEB6 for higher seed sensitivity on diverged proteins
@@ -361,6 +362,17 @@ class ProteinBlockIndex(BlockIndex):
                 aa = translate(seq, frame)
                 red = _aa_reduce(nalpha)[aa.astype(np.int64)]
                 valid = (red >= 0) & (red < na)
+                if min_orf > 0:
+                    # ORF filter (MinOrf, blksrc.cc:70,483-510): words
+                    # must lie in a stop-free frame segment of at least
+                    # min_orf nt — 6-frame junk between stops never
+                    # enters the index
+                    from ..constants import TRM, TRM2
+                    stop = (aa == TRM) | (aa == TRM2)
+                    seg = np.cumsum(stop)
+                    seglen = np.bincount(seg, minlength=seg[-1] + 1
+                                         if len(seg) else 1)
+                    valid &= seglen[seg] >= max(min_orf // 3, 1)
                 L = len(red)
                 if L < k:
                     continue

@@ -118,3 +118,35 @@ def test_protein_index_seb6(rng):
         idx.save(os.path.join(td, "x"))
         idx2 = ProteinBlockIndex.load(os.path.join(td, "x"))
         assert idx2.nalpha == 6 and idx2.k == idx.k
+
+
+def test_protein_index_orf_filter(rng):
+    """-KP ORF filter (MinOrf, blksrc.cc:70): words in stop-riddled
+    frames never enter the index, shrinking it without losing a real
+    coding region."""
+    from spaln_tpu.seed.blockindex import ProteinBlockIndex
+    from spaln_tpu.seq.genome import GenomeStore
+    from spaln_tpu.seq.fasta import SeqRecord
+    from spaln_tpu.seq.codec import encode_dna, encode_protein
+    from spaln_tpu.constants import DNA
+    AAS = list("ARNDCQEGHILKMFPSTWYV")
+    CODON = {"A": "GCT", "R": "CGT", "N": "AAT", "D": "GAT", "C": "TGT",
+             "Q": "CAA", "E": "GAA", "G": "GGT", "H": "CAT", "I": "ATT",
+             "L": "CTT", "K": "AAA", "M": "ATG", "F": "TTT", "P": "CCT",
+             "S": "TCT", "T": "ACT", "W": "TGG", "Y": "TAT", "V": "GTT"}
+    prot = "".join(rng.choice(AAS, 60))
+    cds = "".join(CODON[c] for c in prot)
+    # stop-riddled junk: TAA every ~5 codons in every frame
+    junk = ("TAA" + "".join(rng.choice(list("ACGT"), 12))) * 200
+    g = junk + cds + junk
+    store = GenomeStore.from_records(
+        [SeqRecord(name="c", codes=encode_dna(g), molc=DNA)])
+    filt = ProteinBlockIndex.build(store, blklen=512, min_orf=30)
+    nofilt = ProteinBlockIndex.build(store, blklen=512, min_orf=0)
+    # stops land in one junk frame per strand; the other frames keep
+    # their (chance) long ORFs, so the reduction is partial
+    assert len(filt.blocks) < 0.9 * len(nofilt.blocks)
+    cands = filt.candidate_ranges(encode_protein(prot))
+    assert cands
+    g0, g1, _ = cands[0]
+    assert g0 <= len(junk) and g1 >= len(junk) + len(cds)
