@@ -120,7 +120,8 @@ def test_protein_index_seb6(rng):
         assert idx2.nalpha == 6 and idx2.k == idx.k
 
 
-def test_protein_index_orf_filter(rng):
+def test_protein_index_orf_filter():
+    rng = np.random.default_rng(31)
     """-KP ORF filter (MinOrf, blksrc.cc:70): words in stop-riddled
     frames never enter the index, shrinking it without losing a real
     coding region."""
@@ -136,16 +137,15 @@ def test_protein_index_orf_filter(rng):
              "S": "TCT", "T": "ACT", "W": "TGG", "Y": "TAT", "V": "GTT"}
     prot = "".join(rng.choice(AAS, 60))
     cds = "".join(CODON[c] for c in prot)
-    # stop-riddled junk: TAA every ~5 codons in every frame
-    junk = ("TAA" + "".join(rng.choice(list("ACGT"), 12))) * 200
+    # A/T-only junk: 1/8 of codons are TAA stops in every frame and
+    # strand, so mean junk ORF length is ~8 codons < MinOrf/3
+    junk = "".join(rng.choice(list("AT"), 3000))
     g = junk + cds + junk
     store = GenomeStore.from_records(
         [SeqRecord(name="c", codes=encode_dna(g), molc=DNA)])
-    filt = ProteinBlockIndex.build(store, blklen=512, min_orf=30)
-    nofilt = ProteinBlockIndex.build(store, blklen=512, min_orf=0)
-    # stops land in one junk frame per strand; the other frames keep
-    # their (chance) long ORFs, so the reduction is partial
-    assert len(filt.blocks) < 0.9 * len(nofilt.blocks)
+    filt = ProteinBlockIndex.build(store, blklen=256, min_orf=60)
+    nofilt = ProteinBlockIndex.build(store, blklen=256, min_orf=0)
+    assert len(filt.blocks) < 0.7 * len(nofilt.blocks)
     cands = filt.candidate_ranges(encode_protein(prot))
     assert cands
     g0, g1, _ = cands[0]
