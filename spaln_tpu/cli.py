@@ -330,6 +330,53 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_pair(args) -> int:
+    """Pairwise alignment of paired inputs (SeqServer IM_PARA/IM_ALTR,
+    seq.h:1158-1197, cmn.h:105-107): two parallel files, or one file
+    with alternating entries (-ia), each pair aligned ordinarily."""
+    from .align.protein_search import search_protein_db
+    from .out.formats import (alignment_lines, hit_stat_line, psl_line,
+                              sugar_line)
+    from .constants import PROTEIN
+    recs_a = list(iter_seqfile(args.a))
+    if args.b:
+        recs_b = list(iter_seqfile(args.b))
+        if len(recs_a) != len(recs_b):
+            print(f"warning: unpaired inputs ({len(recs_a)} vs "
+                  f"{len(recs_b)}); extra entries skipped",
+                  file=sys.stderr)
+        pairs = list(zip(recs_a, recs_b))
+    else:                                  # alternating single file
+        pairs = list(zip(recs_a[0::2], recs_a[1::2]))
+    out = open(args.output, "w") if args.output else sys.stdout
+    fmts = _parse_fmts(args.fmt)
+    from .utils.errors import guard_query
+    for ra, rb in pairs:
+        hits = guard_query(search_protein_db, ra.codes,
+                           [(rb.name, rb.codes)],
+                           table_dir=find_table_dir(args.table_dir),
+                           max_hits=1, align_top=1, lanes=args.lanes,
+                           prefilter=False,
+                           name=ra.name, stage="pair", fallback=[])
+        for hit in hits:
+            gs = hit.structure
+            for fmt in fmts:
+                if fmt == 0:
+                    out.write(f"{ra.name}\t" + hit_stat_line(hit) + "\n")
+                elif gs is None:
+                    continue
+                elif fmt == 1:
+                    out.write("\n".join(alignment_lines(gs)) + "\n")
+                elif fmt == 2:
+                    out.write(sugar_line(gs) + "\n")
+                elif fmt == 3:
+                    out.write(psl_line(gs, q_len=len(ra.codes),
+                                       t_len=len(rb.codes)) + "\n")
+    if args.output:
+        out.close()
+    return 0
+
+
 def cmd_seq(args) -> int:
     """Batch sequence toolbox (the utn command set, utn.cc:1412-1461):
     orf find/translate, poly-A trim, composition, mutate, forge random
@@ -476,6 +523,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "appearance/reverse-minus")
     sp.add_argument("-o", dest="output", default=None)
     sp.set_defaults(func=cmd_sortgrcd)
+
+    sp = sub.add_parser("pair", help="align paired entries "
+                        "(two parallel files, or one alternating file)")
+    sp.add_argument("a")
+    sp.add_argument("b", nargs="?", default=None)
+    sp.add_argument("-O", dest="fmt", default="0")
+    sp.add_argument("-o", dest="output", default=None)
+    sp.add_argument("-T", dest="species", default=None)
+    sp.add_argument("-t", dest="table_dir", default=None)
+    sp.add_argument("--lanes", type=int, default=64)
+    sp.set_defaults(func=cmd_pair)
 
     sp = sub.add_parser("seq", help="sequence toolbox (utn equivalents)")
     sp.add_argument("op", choices=["orf", "polya", "comp", "mutate",

@@ -136,3 +136,30 @@ def test_repalninf_forms(rng):
     sk = skl_lines(gs)
     assert sk[1] == "1 1 2 2 3 4 4 5"
     assert boundary_line(gs).startswith("s ")
+
+
+def test_pair_mode(tmp_path, capsys):
+    """Paired-input alignment (IM_PARA two files / IM_ALTR alternating,
+    seq.h:1158-1197)."""
+    import numpy as np
+    from spaln_tpu.cli import main as cli_main
+    rng = np.random.default_rng(5)
+    AAS = list("ARNDCQEGHILKMFPSTWYV")
+    s1 = "".join(rng.choice(AAS, 60))
+    s2 = "".join(rng.choice(AAS, 50))
+    a = tmp_path / "a.faa"
+    b = tmp_path / "b.faa"
+    a.write_text(f">p1\n{s1}\n>p2\n{s2}\n")
+    b.write_text(f">q1\n{s1}\n>q2\n{s2}\n")
+    outp = tmp_path / "out.txt"
+    cli_main(["pair", str(a), str(b), "-O", "0", "-o", str(outp)])
+    lines = [l for l in outp.read_text().splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert lines[0].split("\t")[0] == "p1"
+    # alternating single-file mode
+    c = tmp_path / "c.faa"
+    c.write_text(f">p1\n{s1}\n>q1\n{s1}\n>p2\n{s2}\n>q2\n{s2}\n")
+    outp2 = tmp_path / "out2.txt"
+    cli_main(["pair", str(c), "-O", "0", "-o", str(outp2)])
+    lines2 = [l for l in outp2.read_text().splitlines() if l.strip()]
+    assert len(lines2) == 2
