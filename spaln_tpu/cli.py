@@ -377,6 +377,71 @@ def cmd_pair(args) -> int:
     return 0
 
 
+def _read_lengths(path):
+    import numpy as np
+    vals = []
+    with open(path) as f:
+        for line in f:
+            for tok in line.split():
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    break
+    return np.asarray(vals, dtype=np.float64)
+
+
+def _fit_or_load(path, n_modes):
+    """A file of intron lengths -> fit; a saved .ild.json -> load."""
+    import json as _json
+    from .tools.fitild import IldFit, fit_ild
+    if path.endswith(".json"):
+        d = _json.load(open(path))
+        return IldFit(**d)
+    return fit_ild(_read_lengths(path), n_modes=n_modes)
+
+
+def cmd_ild(args) -> int:
+    """ILD tool family (fitild/compild/decompild/plotild, src/*.cc)."""
+    import dataclasses
+    import json as _json
+    from .tools.fitild import (compare_ilds, decompose_ild, ild_pdf,
+                               plot_ild_text)
+    import numpy as np
+    out = open(args.output, "w") if args.output else sys.stdout
+    if args.op == "fit":                   # fitild
+        fit = _fit_or_load(args.files[0], args.modes)
+        out.write(_json.dumps(dataclasses.asdict(fit)) + "\n")
+        out.write("-yI" + fit.yI_line() + "\n")
+    elif args.op == "compare":             # compild
+        fits = [_fit_or_load(p, args.modes) for p in args.files]
+        for i, fa in enumerate(fits):
+            for j, fb in enumerate(fits[i + 1:], start=i + 1):
+                d = compare_ilds(fa, fb)
+                out.write(f"{args.files[i]}\t{args.files[j]}\t"
+                          f"{d:.6f}\n")
+    elif args.op == "decompose":           # decompild
+        fit = _fit_or_load(args.files[0], args.modes)
+        x = np.unique(np.geomspace(max(min(fit.mus) + 1, 10),
+                                   args.x_max, 64).astype(int))
+        rows = decompose_ild(fit, x)
+        tot = ild_pdf(fit, x)
+        out.write("#len\ttotal\t" + "\t".join(
+            f"mode{i + 1}" for i in range(len(rows))) + "\n")
+        for ci, xx in enumerate(x):
+            out.write(f"{xx}\t{tot[ci]:.3e}\t" + "\t".join(
+                f"{rows[mi][ci]:.3e}" for mi in range(len(rows)))
+                + "\n")
+    elif args.op == "plot":                # plotild
+        fit = _fit_or_load(args.files[0], args.modes)
+        lens = (_read_lengths(args.files[1])
+                if len(args.files) > 1 else None)
+        for line in plot_ild_text(fit, lens):
+            out.write(line + "\n")
+    if args.output:
+        out.close()
+    return 0
+
+
 def cmd_seq(args) -> int:
     """Batch sequence toolbox (the utn command set, utn.cc:1412-1461):
     orf find/translate, poly-A trim, composition, mutate, forge random
@@ -534,6 +599,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", dest="table_dir", default=None)
     sp.add_argument("--lanes", type=int, default=64)
     sp.set_defaults(func=cmd_pair)
+
+    sp = sub.add_parser("ild", help="intron-length-distribution tools "
+                        "(fitild / compild / decompild / plotild)")
+    sp.add_argument("op", choices=["fit", "compare", "decompose", "plot"])
+    sp.add_argument("files", nargs="+",
+                    help="length lists (one per line) or saved fits")
+    sp.add_argument("-m", dest="modes", type=int, default=2,
+                    help="Frechet mixture components (1-3)")
+    sp.add_argument("--x-max", type=int, default=20000)
+    sp.add_argument("-o", dest="output", default=None)
+    sp.set_defaults(func=cmd_ild)
 
     sp = sub.add_parser("seq", help="sequence toolbox (utn equivalents)")
     sp.add_argument("op", choices=["orf", "polya", "comp", "mutate",

@@ -162,3 +162,31 @@ def test_ild_compare_decompose_plot(rng):
                                   f1.thetas, f1.kappas)
     lines = plot_ild_text(f1, lens)
     assert len(lines) == 24 and any("*" in l for l in lines)
+
+
+def test_ild_cli_family(tmp_path):
+    """fitild / compild / decompild / plotild as CLI subcommands."""
+    import numpy as np
+    from spaln_tpu.cli import main as cli_main
+    from spaln_tpu.tools.fitild import sample_frechet_mixture
+    rng = np.random.default_rng(3)
+    lens = sample_frechet_mixture(rng, 800, [1.0], [30.], [120.], [1.1])
+    f = tmp_path / "lens.txt"
+    f.write_text("\n".join(str(int(x)) for x in lens) + "\n")
+    fit_out = tmp_path / "fit.json"
+    cli_main(["ild", "fit", str(f), "-m", "1", "-o", str(fit_out)])
+    first = fit_out.read_text().splitlines()
+    assert first[1].startswith("-yI")
+    saved = tmp_path / "a.ild.json"
+    saved.write_text(first[0])
+    # compare a fit against itself -> ~0 divergence
+    cmp_out = tmp_path / "cmp.txt"
+    cli_main(["ild", "compare", str(saved), str(saved), "-o",
+              str(cmp_out)])
+    assert float(cmp_out.read_text().split()[-1]) < 1e-9
+    dec_out = tmp_path / "dec.txt"
+    cli_main(["ild", "decompose", str(saved), "-o", str(dec_out)])
+    assert dec_out.read_text().startswith("#len")
+    plot_out = tmp_path / "plot.txt"
+    cli_main(["ild", "plot", str(saved), str(f), "-o", str(plot_out)])
+    assert "*" in plot_out.read_text()
