@@ -166,7 +166,8 @@ def cmd_index(args) -> int:
         print(f"indexed {store.n_contigs} contigs, {store.total_len} "
               f"bases -> {prefix}.bkn.npz", file=sys.stderr)
     if "P" in kinds:
-        ProteinBlockIndex.build(store).save(prefix)
+        ProteinBlockIndex.build(store, nalpha=args.nalpha,
+                                min_orf=args.min_orf).save(prefix)
         print(f"6-frame protein index -> {prefix}.bkp.npz",
               file=sys.stderr)
     return 0
@@ -543,6 +544,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-K", dest="kind", default="D",
                     help="index kind(s): D = nt queries (.bkn), "
                          "P = protein queries (.bkp); e.g. -K DP")
+    sp.add_argument("--nalpha", type=int, default=20,
+                    help="protein reduced alphabet size (6..20, SEB6..)")
+    sp.add_argument("--min-orf", type=int, default=30,
+                    help="-KP ORF filter in nt (0 disables)")
     sp.set_defaults(func=cmd_index)
 
     sp = sub.add_parser("map", help="map queries onto an indexed genome")
