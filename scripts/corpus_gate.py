@@ -146,6 +146,9 @@ def run_reference(corpus: str, qfile: str, ref_bin: str) -> tuple:
 
 def run_ours(corpus: str, qfile: str, lanes: int = 128,
              batch: int = 16, platform: str = "cpu") -> tuple:
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)     # kill -USR1 <pid> -> stack
     if platform:
         # the sandbox sitecustomize re-pins jax_platforms to the axon
         # TPU backend; force the requested platform before any device
