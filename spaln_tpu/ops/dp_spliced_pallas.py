@@ -2,26 +2,49 @@
 
 Same wavefront decomposition as dp_spliced_scan (lane i owns query row
 m0+i; step t computes n_i(t) = m0+lw+1+t-i), but authored as a hand-tiled
-Mosaic kernel: grid over B/8 problem groups, each program sweeps the full
-T-step band with its carry in (8,128) vector registers and every operand
-resident in VMEM.  Replaces the reference's SIMD slab engine
-(fwd2s1_simd.cc:309-457) at the level of the hardware the TPU actually
-has: an 8x128 VPU and ~1 cycle per (8,128) int32 op.
+Mosaic kernel: each program sweeps one CHUNK=128-step block of the band
+for one group of GRP=8 problems, with the carry in (8,128) vector
+registers and every operand resident in VMEM.  Replaces the reference's
+SIMD slab engine (fwd2s1_simd.cc:309-457) at the level of the hardware
+the TPU actually has: an 8x128 VPU and ~1 cycle per (8,128) int32 op.
+
+Mosaic imposes hard rules the interpreter does not check, all probed on
+hardware (scripts/mosaic_repro.py):
+
+  * dynamic slices along the 128-lane dimension must start at a lane
+    multiple of 128.  The wavefront's genome window moves one column per
+    step, so operand reads are unaligned at almost every step.  The
+    kernel therefore never slices lanes dynamically: all sliding
+    genome-side operands (code, isdon, isacc, sig5, accb, d5cls,
+    joint4[cls]) are stacked host-side into group-major tiles
+    (nblk*NBT, SOP*GRP, 128); per step the kernel reads the two tiles
+    covering the window with OUTER-dim dynamic indices (always legal),
+    joins them to (SOP*GRP, 256) and applies one dynamic pltpu.roll,
+    after which the L-wide window is a static slice.  Operands the step
+    reads at base-1 are pre-shifted one column at stack build so every
+    row shares the single roll.
+  * memory reads inside a second-level nested loop mis-compile (invalid
+    relayout), as do stores at dynamic lane offsets of non-uniform
+    values.  The kernel therefore makes the chunk index a GRID dimension
+    — grid (nblk, n_chunks) — so each program runs one flat fori_loop
+    (all ref reads at depth 1) and flushes its emission accumulators
+    with STATIC full-block stores; the DP carry crosses chunk programs
+    in a VMEM scratch buffer (the grid iterates c innermost, so chunks
+    of one problem group run in order and re-initialize at c == 0).
+  * the slab-boundary reads (bnd_h/bnd_f at rel0+t) become three
+    prepared fill streams laid out (n_chunks, 3, B, CHUNK): chunk c is
+    the program's own block and lane t%CHUNK is extracted with a masked
+    reduction — no lane slicing.
 
 Score-only mode (the genome-mapping hot loop).  Traceback runs on the
-lax.scan engine (dp_spliced_scan) — mapping calls are heavily score-only,
-and full trace planes would blow VMEM.
+lax.scan engine (dp_spliced_scan) — mapping calls are heavily
+score-only, and full trace planes would blow VMEM.
 
-Speed-relevant differences from the scan engine:
+Other speed-relevant differences from the scan engine:
   - substitution one-hot runs over the genome classes actually present
     in the batch (usually ~5: A/C/G/T/N) instead of the 17-letter IUPAC
     alphabet; compress_classes subsets qprof columns + recodes rb_code,
     keeping scores bit-exact.
-  - emissions (slab boundary, final-row, right-column values) accumulate
-    in vregs and flush to the output refs every CHUNK=128 steps as
-    aligned stores; the masked window write-back into the (B, TOTn)
-    storage arrays runs outside the kernel (same _win_update as the
-    scan engine), inside one jitted per-slab wrapper.
   - the intron penalty is the exact-value-run compare/select chain
     (_pack_ipen) on 4 separate (8,128) candidate vregs.
 
@@ -43,8 +66,9 @@ from .params import DpParams, NEVSEL
 from .dp_spliced_scan import BatchProblem, _pads, _win_update, NCAND
 
 NEV = np.int32(NEVSEL)
-CHUNK = 128                      # emission flush period (aligned stores)
+CHUNK = 128                      # steps per grid program (lane tile)
 GRP = 8                          # problems per program (sublane tile)
+LT = 128                         # left guard tile in the operand stack
 
 
 def compress_classes(qprof_all, rb_code) -> tuple:
@@ -65,27 +89,58 @@ def compress_classes(qprof_all, rb_code) -> tuple:
     return qprof_cls, code_cls, len(classes)
 
 
-def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
-                 WIN):
-    """The Pallas kernel body for one slab sweep (static geometry)."""
+@functools.partial(jax.jit, static_argnames=("nbs",))
+def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
+                        nbs):
+    """Stack every sliding genome-side operand into group-major tiles
+    (nblk*NBT, SOP*GRP, 128) int32, on device.  Stack column LT + j =
+    operand column j; rows read at base-1 by the step are pre-shifted so
+    a single per-step roll serves all of them.  Operands arrive
+    downcast (int8/int16) to keep the host->device transfer small."""
+    B, NB = code8.shape
+    ncls = j416.shape[2]
+
+    def shift1(a):
+        return jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
+
+    rows = [code8.astype(jnp.int32)]
+    for arr in (don8, acc8, sig16, accb16, d5c8):
+        rows.append(shift1(arr.astype(jnp.int32)))
+    for c in range(ncls):
+        rows.append(shift1(j416[:, :, c].astype(jnp.int32)))
+    sop = len(rows)
+    stk = jnp.stack(rows, 0)                     # (SOP, B, NB)
+    stk = jnp.pad(stk, ((0, 0), (0, 0), (LT, nbs - LT - NB)))
+    nbt = nbs // 128
+    nblk = B // GRP
+    stk = stk.reshape(sop, nblk, GRP, nbt, 128)
+    return stk.transpose(1, 3, 0, 2, 4).reshape(nblk * nbt, sop * GRP,
+                                                128)
+
+
+def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
+                 nbs, interpret):
+    """The Pallas kernel body: one CHUNK-step block of one slab sweep."""
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
     nstate = 3                                   # H / E1 / F
     GOPk = (0, 0, gop)                           # GOP[k//2] for k=0,1,2
     PSPB = (4, 1, 8)                             # psp bits (aln.h:56-59)
+    NST = 5 + 4 * NCAND                          # scratch state planes
+    roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
+            else pltpu.roll)
 
     def kernel(sca_ref,
                dl_ref, nb_ref, mb_ref, econst_ref, colm_ref, colm1_ref,
                qp_ref,                           # (nclass, GRP, L)
-               code_ref, isdon_ref, isacc_ref, sig5_ref, accb_ref,
-               d5cls_ref,                        # (GRP, NB)
-               j4_ref,                           # (ncls, GRP, NB)
-               bndh_ref, bndf_ref,               # (GRP, WIN)
-               bh_out, bf_out, row_out, rc_out):
+               stk_ref,                          # (NBT, SOP*GRP, 128)
+               fills_ref,                        # (1, 3, GRP, CHUNK)
+               bh_out, bf_out, row_out, rc_out,  # (GRP, CHUNK) blocks
+               st_ref):                          # (NST, GRP, L) scratch
+        c = pl.program_id(1)
         m0 = sca_ref[0]
         lw0 = sca_ref[1]
         base0 = sca_ref[2]        # pad2 + Npad - (m0 + lw0 + 1)
-        rel0 = sca_ref[3]         # m0 + lw0 + PBn - wstart
         a_exgr = sca_ref[4]
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (GRP, L), 1)
@@ -105,15 +160,35 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
         zero = jnp.zeros((GRP, L), jnp.int32)
         enegv = jnp.full((GRP, CHUNK), NEV)      # emission accumulators
         elanes = jax.lax.broadcasted_iota(jnp.int32, (GRP, CHUNK), 1)
+        el3 = jax.lax.broadcasted_iota(jnp.int32, (3, GRP, CHUNK), 2)
         qp = [qp_ref[k] for k in range(nclass)]
+        fl = fills_ref[0]                        # (3, GRP, CHUNK)
+
+        # ---- DP carry: scratch planes, re-initialized at chunk 0
+        fresh = c == 0
+        st = st_ref[:]
+
+        def ld(k, init):
+            return jnp.where(fresh, init, st[k])
+
+        h1 = ld(0, negv)
+        h2 = ld(1, negv)
+        f1 = ld(2, negv)
+        e1 = ld(3, negv)
+        psp = ld(4, zero)
+        cvs = [ld(5 + l, negv) for l in range(NCAND)]
+        cjs = [ld(9 + l, zero) for l in range(NCAND)]
+        cds = [ld(13 + l, zero) for l in range(NCAND)]
+        c5s = [ld(17 + l, zero) for l in range(NCAND)]
 
         def shift_right(x, fill):
             y = jnp.roll(x, 1, 1)
-            return jnp.where(lanes == 0, fill[:, None], y)
+            return jnp.where(lanes == 0, fill, y)
 
-        def step(t, carry):
+        def step(t2, carry):
             (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
              ebh, ebf, erow, erc) = carry
+            t = c * CHUNK + t2
             sc = m0 + lw0 + 1 + t
             n = sc + dln
             r_off = t - 2 * lanes
@@ -121,29 +196,30 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
                       & m_ok)
             first = r_off == 0
 
-            base = base0 - t
-            sl = lambda ref, o=0: ref[:, pl.ds(base + o, L)]
-            b_code = sl(code_ref)
-            isdon = sl(isdon_ref, -1) != 0
-            isacc = sl(isacc_ref, -1) != 0
-            sig5 = sl(sig5_ref, -1)
-            accb = sl(accb_ref, -1)
-            d5cls = sl(d5cls_ref, -1)
-            j4 = [j4_ref[c, :, pl.ds(base - 1, L)] for c in range(ncls)]
+            # ---- sliding operand window: 2 outer tile reads + one roll
+            bq = jnp.clip(base0 - t + LT, 0, nbs - 256)
+            q = bq // 128
+            r = bq - q * 128
+            wide = jnp.concatenate([stk_ref[q], stk_ref[q + 1]], axis=1)
+            w = roll(wide, -r, 1)[:, :L]         # (SOP*GRP, L)
+            b_code = w[0:GRP]
+            isdon = w[GRP:2 * GRP] != 0
+            isacc = w[2 * GRP:3 * GRP] != 0
+            sig5 = w[3 * GRP:4 * GRP]
+            accb = w[4 * GRP:5 * GRP]
+            d5cls = w[5 * GRP:6 * GRP]
+            j4 = [w[(6 + cc) * GRP:(7 + cc) * GRP] for cc in range(ncls)]
 
             score = jnp.zeros((GRP, L), jnp.int32)
             for k in range(nclass):
                 score = score + jnp.where(b_code == k, qp[k], 0)
 
-            rel = rel0 + t
-            bh2 = bndh_ref[:, pl.ds(rel, 2)]
-            bf2 = bndf_ref[:, pl.ds(rel, 2)]
-            n0 = sc + dl[:, 0]                   # (GRP,) lane-0 col
-            okd = (n0 - 1) <= Nb[:, 0]
-            oku = n0 <= Nb[:, 0] + 1
-            up_h = shift_right(h1, jnp.where(oku, bh2[:, 1], NEV))
-            up_f = shift_right(f1, jnp.where(oku, bf2[:, 1], NEV))
-            diag_h = shift_right(h2, jnp.where(okd, bh2[:, 0], NEV))
+            # ---- slab-boundary fills: lane t2 of the chunk block
+            fv = jnp.sum(jnp.where(el3 == t2, fl, 0), axis=2,
+                         keepdims=True)          # (3, GRP, 1)
+            up_h = shift_right(h1, fv[1])
+            up_f = shift_right(f1, fv[2])
+            diag_h = shift_right(h2, fv[0])
 
             edge = first & (n != 1)
             left_h = jnp.where(n == 1, col_m,
@@ -155,10 +231,10 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
             up_f = jnp.where(at_top, NEV, up_f)
             e1 = jnp.where(first, NEV, e1)
             psp = jnp.where(first, 0, psp)
-            cvs = [jnp.where(first, NEV, c) for c in cvs]
-            cjs = [jnp.where(first, 0, c) for c in cjs]
-            cds = [jnp.where(first, 0, c) for c in cds]
-            c5s = [jnp.where(first, 0, c) for c in c5s]
+            cvs = [jnp.where(first, NEV, cc) for cc in cvs]
+            cjs = [jnp.where(first, 0, cc) for cc in cjs]
+            cds = [jnp.where(first, 0, cc) for cc in cds]
+            c5s = [jnp.where(first, 0, cc) for cc in c5s]
 
             # ---- recurrence (order = fwd2s1.cc:276-431)
             h_val = diag_h + score
@@ -189,8 +265,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
                 for b_, v_ in ipen_key:
                     pen = jnp.where(ilen >= b_, v_, pen)
                 jv = zero
-                for c in range(ncls):
-                    jv = jv + jnp.where(c5s[l] == c, j4[c], 0)
+                for cc in range(ncls):
+                    jv = jv + jnp.where(c5s[l] == cc, j4[cc], 0)
                 ok = acc_ok & (ilen >= llmt) & (cvs[l] > NEV // 2)
                 xcs.append(jnp.where(ok, cvs[l] + pen + accb + jv, NEV))
                 oks.append(ok)
@@ -212,13 +288,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
             # ---- donor push (fwd2s1.cc:380-406)
             don_ok = isdon & internal_m & active & (n < Nb)
             for k in range(nstate):
-                fv = state_vals[k]
+                fvk = state_vals[k]
                 elig = don_ok if k else (don_ok & (mx_k == 0))
                 elig = elig & ((psp & PSPB[k]) == 0)
                 z = mx_val + jnp.where(
                     (mx_k == 0) | (((k - mx_k) % 2) != 0), GOPk[k], 0)
-                elig = elig & ~((k != mx_k) & (fv <= z))
-                x = fv + sig5
+                elig = elig & ~((k != mx_k) & (fvk <= z))
+                x = fvk + sig5
                 pos = ((cvs[0] >= x).astype(jnp.int32)
                        + (cvs[1] >= x) + (cvs[2] >= x) + (cvs[3] >= x))
                 kf = jnp.full((GRP, L), k, jnp.int32)
@@ -242,13 +318,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
             f_out = jnp.where(active, state_vals[2], NEV)
             e1 = jnp.where(active, state_vals[1], e1)
 
-            # ---- emissions into lane (t % CHUNK) of the accumulators
-            t2 = jax.lax.rem(t, CHUNK)
+            # ---- emissions into lane t2 of the accumulators
             lane_sel = elanes == t2
             ebh = jnp.where(lane_sel, h_out[:, L - 1:L], ebh)
             ebf = jnp.where(lane_sel, f_out[:, L - 1:L], ebf)
             row_v = jnp.sum(jnp.where(li_mask, h_out, 0), axis=1,
                             keepdims=True)
+            n0 = sc + dl[:, 0]                   # (GRP,) lane-0 col
             rcl = n0 - Nb[:, 0]
             rc_v = jnp.sum(jnp.where(lanes == rcl[:, None], h_out, 0),
                            axis=1, keepdims=True)
@@ -258,80 +334,92 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
             return (h_out, h1, f_out, e1, psp, cvs, cjs, cds, c5s,
                     ebh, ebf, erow, erc)
 
-        def chunk_body(c, dp_carry):
-            carry = dp_carry + (enegv, enegv, enegv, enegv)
+        carry0 = (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
+                  enegv, enegv, enegv, enegv)
+        out = jax.lax.fori_loop(0, CHUNK, step, carry0)
+        (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
+         ebh, ebf, erow, erc) = out
 
-            def inner(t2, carry):
-                return step(c * CHUNK + t2, carry)
+        st_ref[0] = h1
+        st_ref[1] = h2
+        st_ref[2] = f1
+        st_ref[3] = e1
+        st_ref[4] = psp
+        for l in range(NCAND):
+            st_ref[5 + l] = cvs[l]
+            st_ref[9 + l] = cjs[l]
+            st_ref[13 + l] = cds[l]
+            st_ref[17 + l] = c5s[l]
+        bh_out[:] = ebh
+        bf_out[:] = ebf
+        row_out[:] = erow
+        rc_out[:] = erc
 
-            carry = jax.lax.fori_loop(0, CHUNK, inner, carry)
-            dp_carry, (ebh, ebf, erow, erc) = carry[:-4], carry[-4:]
-            o = c * CHUNK
-            bh_out[:, pl.ds(o, CHUNK)] = ebh
-            bf_out[:, pl.ds(o, CHUNK)] = ebf
-            row_out[:, pl.ds(o, CHUNK)] = erow
-            rc_out[:, pl.ds(o, CHUNK)] = erc
-            return dp_carry
-
-        four = lambda v: [v, v, v, v]
-        dp0 = (negv, negv, negv, negv, zero,
-               four(negv), four(zero), four(zero), four(zero))
-        jax.lax.fori_loop(0, n_chunks, chunk_body, dp0)
-
-    return kernel, Tpad
+    return kernel, Tpad, n_chunks, NST
 
 
 @functools.lru_cache(maxsize=64)
-def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
-               WIN, interpret=False):
+def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
+               nbt, interpret=False):
     """Jitted pallas_call for one static geometry."""
-    kernel, Tpad = _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass,
-                                ipen_key, NB, WIN)
+    kernel, Tpad, n_chunks, NST = _make_kernel(
+        L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop, nbt * 128,
+        interpret)
     nblk = B // GRP
 
     def bspec(*shape):
         return pl.BlockSpec((GRP,) + shape,
-                            lambda i, s: (i,) + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def lead(n, *shape):
-        return pl.BlockSpec((n, GRP) + shape,
-                            lambda i, s: (0, i) + (0,) * len(shape),
+                            lambda i, c, s: (i,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblk,),
+        grid=(nblk, n_chunks),
         in_specs=[
             bspec(L), bspec(L), bspec(L), bspec(L), bspec(L), bspec(L),
-            lead(nclass, L),
-            bspec(NB), bspec(NB), bspec(NB), bspec(NB), bspec(NB),
-            bspec(NB),
-            lead(ncls, NB),
-            bspec(WIN), bspec(WIN),
+            pl.BlockSpec((nclass, GRP, L), lambda i, c, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, sop * GRP, 128),
+                         lambda i, c, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, GRP, CHUNK),
+                         lambda i, c, s: (c, 0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=[bspec(Tpad)] * 4,
+        out_specs=[pl.BlockSpec((GRP, CHUNK), lambda i, c, s: (i, c),
+                                memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[pltpu.VMEM((NST, GRP, L), jnp.int32)],
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, Tpad), jnp.int32)] * 4,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024),
     )
 
     @jax.jit
-    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, code,
-                  isdon, isacc, sig5, accb, d5cls, j4, bnd_h, bnd_f,
-                  row_h, rc_h, wstart, cb0, cr0, cc0, wl, wr, wc, PBn,
-                  PBm):
-        bndh_win = jax.lax.dynamic_slice(bnd_h, (0, wstart),
-                                         (bnd_h.shape[0], WIN))
-        bndf_win = jax.lax.dynamic_slice(bnd_f, (0, wstart),
-                                         (bnd_f.shape[0], WIN))
+    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk,
+                  n0_base, ns, bnd_h, bnd_f, row_h, rc_h, wstart,
+                  cb0, cr0, cc0, wl, wr, wc, PBn, PBm):
+        # boundary fill streams: diag / up_h / up_f per step, chunked
+        ts = jnp.arange(Tpad, dtype=jnp.int32)
+        n0t = n0_base[:, None] + ts[None, :]     # (B, Tpad)
+        oku = n0t <= ns[:, None] + 1
+        okd = (n0t - 1) <= ns[:, None]
+        Bfull = bnd_h.shape[0]
+        wh = jax.lax.dynamic_slice(bnd_h, (0, wstart), (Bfull, Tpad + 1))
+        wf = jax.lax.dynamic_slice(bnd_f, (0, wstart), (Bfull, Tpad + 1))
+        diag = jnp.where(okd, wh[:, :Tpad], NEV)
+        uph = jnp.where(oku, wh[:, 1:], NEV)
+        upf = jnp.where(oku, wf[:, 1:], NEV)
+        fills = jnp.stack([diag, uph, upf], 0)   # (3, B, Tpad)
+        fills = fills.reshape(3, Bfull, n_chunks, CHUNK).transpose(
+            2, 0, 1, 3)
+
         bh_v, bf_v, row_v, rc_v = call(
-            sca, dl, nb, mb, ec, colm, colm1, qp_slab, code, isdon,
-            isacc, sig5, accb, d5cls, j4, bndh_win, bndf_win)
+            sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, fills)
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
         row_h = _win_update(row_h, row_v, wr, cr0, PBn)
@@ -341,21 +429,20 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, NB,
     return slab_step, Tpad
 
 
-def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
-                             score_only: bool = True, block: bool = True,
-                             interpret: bool | None = None):
-    """Device stage on the Pallas kernel; contract and storage layout
-    identical to run_spliced_batch (score-only, single-affine)."""
-    assert score_only, "trace mode runs on the scan engine"
-    assert not prm.dagp, "double-affine not yet in the pallas kernel"
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
+    """One-time per-batch device preparation, cached on the
+    BatchProblem: class-compressed substitution profiles, the group-major
+    operand tile stack (built on device from downcast uploads), and the
+    per-slab constants (band placement scalars, column inits, write-back
+    masks).  Alignment calls reuse a batch's prep across engine calls;
+    the per-call work is then just the slab sweeps themselves."""
+    prep = getattr(bp, "_pallas_prep", None)
+    if prep is not None and prep["Bp"] == Bp:
+        return prep
     B, L = bp.B, bp.L
     PBn, TOTn, PBm, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
     T = bp.T
-    WIN = -(-(T + 2 * L + 8) // 512) * 512
-
-    Bp = -(-B // GRP) * GRP
+    Tpad = -(-T // CHUNK) * CHUNK
 
     def pad_b(x):
         x = np.asarray(x)
@@ -367,6 +454,19 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     qprof_cls, code_cls, nclass = compress_classes(
         bp.qprof_all, bp.ops["rb_code"])
     NB = code_cls.shape[1]
+    nbs = LT + (-(-NB // 128) * 128) + 256
+    nbt = nbs // 128
+    j4 = pad_b(np.asarray(bp.ops["rb_joint4"]))
+    sop = 6 + j4.shape[2]
+    stk_d = _build_stack_device(
+        jnp.asarray(pad_b(code_cls).astype(np.int8)),
+        jnp.asarray(pad_b(np.asarray(bp.ops["rb_isdon"])).astype(np.int8)),
+        jnp.asarray(pad_b(np.asarray(bp.ops["rb_isacc"])).astype(np.int8)),
+        jnp.asarray(pad_b(np.asarray(bp.ops["rb_sig5"])).astype(np.int16)),
+        jnp.asarray(pad_b(np.asarray(bp.ops["rb_accb"])).astype(np.int16)),
+        jnp.asarray(pad_b(np.asarray(bp.ops["rb_d5cls"])).astype(np.int8)),
+        jnp.asarray(j4.astype(np.int16)),
+        nbs=nbs)
 
     deltas = pad_b(np.asarray(bp.deltas_j))
     Ns = pad_b(np.asarray(bp.Ns_j))
@@ -379,46 +479,36 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
         NEV).astype(np.int32)
 
     dev = jnp.asarray
-    dl_d = dev(deltas[:, None] * ones)
-    nb_d = dev(Ns[:, None] * ones)
-    mb_d = dev(Ms[:, None] * ones)
-    ec_d = dev(e_const[:, None] * ones)
-    code_d = dev(pad_b(code_cls))
-    isdon_d = dev(pad_b(np.asarray(bp.ops["rb_isdon"])))
-    isacc_d = dev(pad_b(np.asarray(bp.ops["rb_isacc"])))
-    sig5_d = dev(pad_b(np.asarray(bp.ops["rb_sig5"])))
-    accb_d = dev(pad_b(np.asarray(bp.ops["rb_accb"])))
-    d5cls_d = dev(pad_b(np.asarray(bp.ops["rb_d5cls"])))
-    j4_d = dev(np.ascontiguousarray(np.transpose(
-        pad_b(np.asarray(bp.ops["rb_joint4"])), (2, 0, 1))))
-    qp_d = dev(np.ascontiguousarray(np.transpose(
-        pad_b(qprof_cls), (2, 0, 1))))
-
-    slab_step, Tpad = _slab_call(
-        Bp, L, bp.W, T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
-        nclass, bp.ipen_key, NB, WIN, interpret)
-
-    bnd_h = dev(pad_b(np.asarray(bp.bnd_h0)))
-    bnd_f = dev(pad_b(np.asarray(bp.bnd_f0)))
-    row_h = jnp.full((Bp, TOTn), NEV)
-    rc_h = jnp.full((Bp, TOTm), NEV)
+    prep = {
+        "Bp": Bp, "nclass": nclass, "sop": sop, "nbt": nbt,
+        "PBn": PBn, "PBm": PBm, "TOTn": TOTn, "TOTm": TOTm,
+        "dl": dev(deltas[:, None] * ones),
+        "nb": dev(Ns[:, None] * ones),
+        "mb": dev(Ms[:, None] * ones),
+        "ec": dev(e_const[:, None] * ones),
+        "ns": dev(Ns.astype(np.int32)),
+        "stk": stk_d,
+        "qp": dev(np.ascontiguousarray(np.transpose(
+            pad_b(qprof_cls), (2, 0, 1)))),
+        "bnd_h0": dev(pad_b(np.asarray(bp.bnd_h0))),
+        "bnd_f0": dev(pad_b(np.asarray(bp.bnd_f0))),
+        "slabs": [],
+    }
 
     ts = np.arange(Tpad)[None, :]
     dlc = deltas[:, None]
     m_arr = Ms[:, None]
     n_arr = Ns[:, None]
     lw0 = bp.lw
-
     for s in range(bp.n_slabs):
         m0 = s * L + 1
         base0 = bp.pad2 + bp.Nmax - (m0 + lw0 + 1)
         cb0 = m0 + lw0 + 2 - L
         cr0 = m0 + lw0 + 1 - L
         cc0 = 2 * m0 + lw0 + 1 - bp.Nmax
-        wstart = int(np.clip(PBn + m0 + lw0 - 4, 0, TOTn - WIN))
-        rel0 = m0 + lw0 + PBn - wstart
+        wstart = int(np.clip(PBn + m0 + lw0, 0, TOTn - (Tpad + 1)))
         sca = dev(np.asarray(
-            [m0, lw0, base0, rel0, int(bp.flags.a_exgr), 0, 0, 0],
+            [m0, lw0, base0, 0, int(bp.flags.a_exgr), 0, 0, 0],
             np.int32))
         cm = np.clip(m0, 0, bp.Mpad)
         cm1 = np.clip(m0 - 1, 0, bp.Mpad)
@@ -426,8 +516,7 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
                                      (Bp, L)).astype(np.int32).copy())
         colm1_d = dev(np.broadcast_to(colinit[cm1:cm1 + L],
                                       (Bp, L)).astype(np.int32).copy())
-        qp_slab = jax.lax.dynamic_slice(qp_d, (0, 0, m0 - 1),
-                                        (nclass, Bp, L))
+        n0_base = dev((m0 + lw0 + 1 + deltas).astype(np.int32))
 
         m_last = m0 + L - 1
         nl = cb0 + dlc + ts
@@ -443,12 +532,47 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
         rcl = m0 + lw0 + 1 + dlc + ts - n_arr
         wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
               & (ts - 2 * rcl < bp.W) & (mc >= 1) & (mc <= m_arr))
+        prep["slabs"].append(dict(
+            sca=sca, colm=colm_d, colm1=colm1_d, n0_base=n0_base,
+            m0=m0, wstart=wstart, cb0=cb0, cr0=cr0, cc0=cc0,
+            wl=dev(wl), wr=dev(wr), wc=dev(wc)))
+    bp._pallas_prep = prep
+    return prep
 
+
+def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
+                             score_only: bool = True, block: bool = True,
+                             interpret: bool | None = None):
+    """Device stage on the Pallas kernel; contract and storage layout
+    identical to run_spliced_batch (score-only, single-affine)."""
+    assert score_only, "trace mode runs on the scan engine"
+    assert not prm.dagp, "double-affine not yet in the pallas kernel"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L = bp.B, bp.L
+    Bp = -(-B // GRP) * GRP
+    prep = _prepare_device(bp, Bp)
+    PBn, PBm = prep["PBn"], prep["PBm"]
+
+    slab_step, Tpad = _slab_call(
+        Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
+        prep["nclass"], bp.ipen_key, prep["sop"], prep["nbt"], interpret)
+
+    bnd_h = prep["bnd_h0"]
+    bnd_f = prep["bnd_f0"]
+    row_h = jnp.full((Bp, prep["TOTn"]), NEV)
+    rc_h = jnp.full((Bp, prep["TOTm"]), NEV)
+
+    qp_d = prep["qp"]
+    for sl in prep["slabs"]:
+        qp_slab = jax.lax.dynamic_slice(
+            qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
         bnd_h, bnd_f, row_h, rc_h = slab_step(
-            sca, dl_d, nb_d, mb_d, ec_d, colm_d, colm1_d, qp_slab,
-            code_d, isdon_d, isacc_d, sig5_d, accb_d, d5cls_d, j4_d,
-            bnd_h, bnd_f, row_h, rc_h, wstart, cb0, cr0, cc0,
-            dev(wl), dev(wr), dev(wc), PBn, PBm)
+            sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
+            sl["colm"], sl["colm1"], qp_slab, prep["stk"],
+            sl["n0_base"], prep["ns"], bnd_h, bnd_f, row_h, rc_h,
+            sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
+            sl["wl"], sl["wr"], sl["wc"], PBn, PBm)
 
     if Bp != B:
         row_h = row_h[:B]
