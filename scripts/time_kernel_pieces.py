@@ -35,6 +35,18 @@ VARIANTS = {
         "            fv = jnp.sum(jnp.where(el3 == t2, fl, 0), axis=2,\n"
         "                         keepdims=True)          # (3, GRP, 1)",
         "            fv = jnp.zeros((3, GRP, 1), jnp.int32) + t2 * 0")],
+    "chunk512": [(
+        "CHUNK = 256                      # steps per grid program (lane tile)",
+        "CHUNK = 512                      # steps per grid program (lane tile)")],
+    "grp32": [(
+        "GRP = 16                         # problems per program (sublane tile)",
+        "GRP = 32                         # problems per program (sublane tile)")],
+    "grp8": [(
+        "GRP = 16                         # problems per program (sublane tile)",
+        "GRP = 8                          # problems per program (sublane tile)")],
+    "chunk128": [(
+        "CHUNK = 256                      # steps per grid program (lane tile)",
+        "CHUNK = 128                      # steps per grid program (lane tile)")],
     "no_emis": [(
         "            row_v = jnp.sum(jnp.where(li_mask, h_out, 0), axis=1,\n"
         "                            keepdims=True)",
@@ -97,6 +109,8 @@ def main():
     results = {}
     for name in only:
         try:
+            if hasattr(bp, "_pallas_prep"):
+                del bp._pallas_prep
             mod = load_variant(name, VARIANTS[name])
             mod.run_spliced_batch_pallas(bp, prm, score_only=True)
             ts = []
