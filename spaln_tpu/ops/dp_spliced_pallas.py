@@ -135,6 +135,8 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
 def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                  nbs, interpret):
     """The Pallas kernel body: one CHUNK-step block of one slab sweep."""
+    import os
+    _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes only
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
     nstate = 3                                   # H / E1 / F
@@ -157,7 +159,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
 
     def ipen_of(ilen):
         pen = jnp.full(ilen.shape, NEVSEL // 2, jnp.int32)
-        for b_, v_ in ipen_key:
+        key = ipen_key[:4] if _ablate == "ipen4" else ipen_key
+        for b_, v_ in key:
             pen = jnp.where(ilen >= b_, v_, pen)
         if iprlmt is not None:
             x = jnp.maximum((ilen - ipmu).astype(jnp.float32),
@@ -239,8 +242,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             bq = jnp.clip(base0 - t + LT, 0, nbs - 256)
             q = bq // 128
             r = bq - q * 128
-            wide = jnp.concatenate([stk_ref[q], stk_ref[q + 1]], axis=1)
-            w = roll(wide, -r, 1)[:, :L]         # (SOP*GRP, L)
+            if _ablate == "noroll":
+                w = stk_ref[q]                   # timing probe: wrong data
+            else:
+                wide = jnp.concatenate([stk_ref[q], stk_ref[q + 1]],
+                                       axis=1)
+                w = roll(wide, -r, 1)[:, :L]     # (SOP*GRP, L)
             w0 = w[0:GRP]
             w1 = w[GRP:2 * GRP]
             b_code = w0 & 31
@@ -261,6 +268,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             # ---- slab-boundary fills: lane t2 of the chunk block
             fv = jnp.sum(jnp.where(el3 == t2, fl, 0), axis=2,
                          keepdims=True)          # (3, GRP, 1)
+            if _ablate == "nofill":
+                fv = jnp.zeros((3, GRP, 1), jnp.int32) + t2 % 2
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
@@ -301,6 +310,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
 
             # ---- acceptor close (fwd2s1.cc:333-354)
             acc_ok = isacc & internal_m & active & (n < Nb)
+            if _ablate == "noclose":
+                acc_ok = acc_ok & False
             state_vals = [h_val, e_val, f_val]
             xcs, oks = [], []
             for l in range(NCAND):
@@ -329,6 +340,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
 
             # ---- donor push (fwd2s1.cc:380-406)
             don_ok = isdon & internal_m & active & (n < Nb)
+            if _ablate == "nopush":
+                don_ok = don_ok & False
             for k in range(nstate):
                 fvk = state_vals[k]
                 elig = don_ok if k else (don_ok & (mx_k == 0))
