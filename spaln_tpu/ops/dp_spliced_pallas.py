@@ -2,51 +2,50 @@
 
 Same wavefront decomposition as dp_spliced_scan (lane i owns query row
 m0+i; step t computes n_i(t) = m0+lw+1+t-i), but authored as a hand-tiled
-Mosaic kernel: each program sweeps one CHUNK=128-step block of the band
-for one group of GRP=8 problems, with the carry in (8,128) vector
-registers and every operand resident in VMEM.  Replaces the reference's
-SIMD slab engine (fwd2s1_simd.cc:309-457) at the level of the hardware
-the TPU actually has: an 8x128 VPU and ~1 cycle per (8,128) int32 op.
+Mosaic kernel: each program sweeps one CHUNK-step block of the band for
+one group of GRP problems, with the carry in (GRP,128) vector registers
+and every operand resident in VMEM.  Replaces the reference's SIMD slab
+engine (fwd2s1_simd.cc:309-457) at the level of the hardware the TPU
+actually has: an 8x128 VPU and ~4 (8,128) int32 ops per cycle.
 
-Mosaic imposes hard rules the interpreter does not check, all probed on
-hardware (scripts/mosaic_repro.py):
+Round-3 redesign (all three were measured dominant on chip):
 
-  * dynamic slices along the 128-lane dimension must start at a lane
-    multiple of 128.  The wavefront's genome window moves one column per
-    step, so operand reads are unaligned at almost every step.  The
-    kernel therefore never slices lanes dynamically: all sliding
-    genome-side operands (code, isdon, isacc, sig5, accb, d5cls,
-    joint4[cls]) are stacked host-side into group-major tiles
-    (nblk*NBT, SOP*GRP, 128); per step the kernel reads the two tiles
-    covering the window with OUTER-dim dynamic indices (always legal),
-    joins them to (SOP*GRP, 256) and applies one dynamic pltpu.roll,
-    after which the L-wide window is a static slice.  Operands the step
-    reads at base-1 are pre-shifted one column at stack build so every
-    row shares the single roll.
-  * memory reads inside a second-level nested loop mis-compile (invalid
-    relayout), as do stores at dynamic lane offsets of non-uniform
-    values.  The kernel therefore makes the chunk index a GRID dimension
-    — grid (nblk, n_chunks) — so each program runs one flat fori_loop
-    (all ref reads at depth 1) and flushes its emission accumulators
-    with STATIC full-block stores; the DP carry crosses chunk programs
-    in a VMEM scratch buffer (the grid iterates c innermost, so chunks
-    of one problem group run in order and re-initialize at c == 0).
-  * the slab-boundary reads (bnd_h/bnd_f at rel0+t) become three
-    prepared fill streams laid out (n_chunks, 3, B, CHUNK): chunk c is
-    the program's own block and lane t%CHUNK is extracted with a masked
-    reduction — no lane slicing.
+  * INCREMENTAL WINDOW.  The wavefront's genome window moves one column
+    per step; instead of re-materializing it each step with a 2-tile
+    concat + dynamic pltpu.roll (Mosaic forbids unaligned lane slices),
+    the window lives in the loop carry and shifts right by one lane per
+    step.  The entering lane-0 column comes from a per-chunk "entering
+    columns" tile cut from a REVERSED copy of the operand stack, itself
+    shifted left once per step so the next value is always a static
+    [:, :1] slice.  One constant-shift roll replaces the dynamic roll.
+  * CARRIED INTRON PENALTY.  The 120-entry compare/select chain over
+    the penalty value runs (x4 candidates = ~480 selects/step, measured
+    31% of the step) is replaced by a carried per-candidate penalty:
+    the exact table (rebuilt densely from the same ipen_key the scan
+    engine chains over, so equality is by construction) is gathered
+    directly while ilen < 128 (tpu.dynamic_gather on a broadcast head
+    row) and beyond that decremented by a boundary bit looked up in a
+    bit-packed mask (one dynamic_gather per candidate per step).  The
+    table's deltas are {0,-1} for every length >= 58 for all fitted ILD
+    mixtures (prep asserts this and the caller falls back to the scan
+    engine otherwise).
+  * GATHERED EMISSIONS.  Slab-boundary fills and the row/right-column
+    result extractions were masked cross-lane reductions; fills now ride
+    the same entering-columns roll (their lane-0 value IS the per-step
+    fill), and row/rc extraction is a single lane-gather at the target
+    lane (take_along_axis -> tpu.dynamic_gather) instead of a
+    where+sum over 128 lanes.
+
+Mosaic rules honored (probed on hardware, scripts/mosaic_repro.py):
+dynamic lane slices only at 128-multiples (all dynamic rolls happen once
+per chunk program, on tiles selected by scalar-prefetch-driven
+index_maps); all ref reads at loop depth 1; emissions flushed with
+static full-block stores; the DP carry crosses chunk programs in VMEM
+scratch (grid iterates c innermost, re-initialized at c == 0).
 
 Score-only mode (the genome-mapping hot loop).  Traceback runs on the
 lax.scan engine (dp_spliced_scan) — mapping calls are heavily
 score-only, and full trace planes would blow VMEM.
-
-Other speed-relevant differences from the scan engine:
-  - substitution one-hot runs over the genome classes actually present
-    in the batch (usually ~5: A/C/G/T/N) instead of the 17-letter IUPAC
-    alphabet; compress_classes subsets qprof columns + recodes rb_code,
-    keeping scores bit-exact.
-  - the intron penalty is the exact-value-run compare/select chain
-    (_pack_ipen) on 4 separate (8,128) candidate vregs.
 
 Results are bit-identical to the scan engine / scalar oracle; tests
 assert this on a CPU interpret-mode run and on chip.
@@ -54,6 +53,7 @@ assert this on a CPU interpret-mode run and on chip.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,7 @@ NEV = np.int32(NEVSEL)
 CHUNK = 256                      # steps per grid program (lane tile)
 GRP = 16                         # problems per program (sublane tile)
 LT = 128                         # left guard tile in the operand stack
+PHEAD = 128                      # direct-gather head of the ipen table
 
 
 def compress_classes(qprof_all, rb_code) -> tuple:
@@ -89,18 +90,57 @@ def compress_classes(qprof_all, rb_code) -> tuple:
     return qprof_cls, code_cls, len(classes)
 
 
+def dense_ipen(ipen_key, nmax: int) -> np.ndarray:
+    """Reconstruct the dense penalty table the scan engine's select
+    chain evaluates (value runs -> per-length values, 0..nmax)."""
+    tab = np.full(nmax + 1, NEVSEL // 2, dtype=np.int32)
+    for b, v in ipen_key:
+        if b <= nmax:
+            tab[b:] = v
+    return tab
+
+
+def ipen_tiles(ipen_key, nmax: int) -> tuple:
+    """Head row + boundary bitmask rows for the carried-penalty scheme.
+
+    Returns (head (GRP,128) int32, bits (nbrow*GRP, 128) int32, nbrow).
+    Raises ValueError when the table's deltas beyond PHEAD leave {0,-1}
+    (caller falls back to the scan engine)."""
+    tab = dense_ipen(ipen_key, max(nmax, PHEAD))
+    d = np.diff(tab.astype(np.int64))
+    bad = np.nonzero((d != 0) & (d != -1))[0] + 1
+    if len(bad) and bad.max() >= PHEAD:
+        raise ValueError("intron penalty deltas outside {0,-1} beyond "
+                         f"head (n={int(bad.max())})")
+    head = np.broadcast_to(tab[:PHEAD], (GRP, PHEAD)).astype(np.int32)
+    pmax = -(-(nmax + 2) // 4096) * 4096
+    isb = np.zeros(pmax, dtype=np.int64)
+    isb[1:len(tab)] = -d                          # 1 where the value drops
+    words = np.zeros(pmax // 32, dtype=np.int64)
+    idx = np.nonzero(isb)[0]
+    np.bitwise_or.at(words, idx >> 5, 1 << (idx & 31))
+    words = words.astype(np.uint32).view(np.int32)
+    nbrow = pmax // 4096
+    bits = np.zeros((nbrow * GRP, 128), np.int32)
+    for r in range(nbrow):
+        bits[r * GRP:(r + 1) * GRP] = np.broadcast_to(
+            words[r * 128:(r + 1) * 128], (GRP, 128))
+    return np.ascontiguousarray(head), bits, nbrow
+
+
 @functools.partial(jax.jit, static_argnames=("nbs",))
 def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
                         nbs):
     """Stack every sliding genome-side operand into group-major tiles
-    (nblk*NBT, SOP*GRP, 128) int32, on device, bit-packed to minimize
-    the per-step roll width:
+    (nblk*NBT, SOP*GRP, 128) int32, on device, bit-packed:
       word 0: code | isdon<<5 | isacc<<6 | d5cls<<7
       word 1: sig5 (low 16, signed) | accb<<16
       word 2+: joint4 class pairs (low/high 16)
     Stack column LT + j = operand column j; rows read at base-1 by the
-    step are pre-shifted so a single per-step roll serves all of them.
-    Operands arrive downcast (int8/int16) to keep the transfer small."""
+    step are pre-shifted so every row shares the window position.
+    Also returns the column-REVERSED stack (same tiling) feeding the
+    per-chunk entering-columns tile.  Operands arrive downcast
+    (int8/int16) to keep the transfer small."""
     B, NB = code8.shape
     ncls = j416.shape[2]
 
@@ -127,55 +167,41 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
     stk = jnp.pad(stk, ((0, 0), (0, 0), (LT, nbs - LT - NB)))
     nbt = nbs // 128
     nblk = B // GRP
-    stk = stk.reshape(sop, nblk, GRP, nbt, 128)
-    return stk.transpose(1, 3, 0, 2, 4).reshape(nblk * nbt, sop * GRP,
-                                                128)
+
+    def tile(x):
+        x = x.reshape(sop, nblk, GRP, nbt, 128)
+        return x.transpose(1, 3, 0, 2, 4).reshape(nblk * nbt, sop * GRP,
+                                                  128)
+
+    return tile(stk), tile(stk[:, :, ::-1])
 
 
-def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
-                 nbs, interpret):
+def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
+                 interpret):
     """The Pallas kernel body: one CHUNK-step block of one slab sweep."""
-    import os
-    _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes only
+    _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
     nstate = 3                                   # H / E1 / F
     GOPk = (0, 0, gop)                           # GOP[k//2] for k=0,1,2
     PSPB = (4, 1, 8)                             # psp bits (aln.h:56-59)
-    NST = 5 + 4 * NCAND                          # scratch state planes
+    NST = 5 + 5 * NCAND                          # scratch state planes
+    nbt = nbs // 128
+    SG = sop * GRP
     roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
             else pltpu.roll)
-    # intron penalty: compare/select chain over the value runs below
-    # rlmt, analytic f32 log tail beyond (bit-identical to the host
-    # table: IntronPenalty._tail evaluates the same f32 formula on the
-    # same backend).  "full" mode chains every run (no IntronPenalty).
-    if ipen_spec[0] == "tail":
-        _, ipen_key, fx_bits, ep_bits, ipmu, iprlmt = ipen_spec
-        ipfx = float(np.array(fx_bits, np.int32).view(np.float32))
-        ipep = float(np.array(ep_bits, np.int32).view(np.float32))
-    else:
-        ipen_key = ipen_spec[1]
-        iprlmt = None
 
-    def ipen_of(ilen):
-        pen = jnp.full(ilen.shape, NEVSEL // 2, jnp.int32)
-        key = ipen_key[:4] if _ablate == "ipen4" else ipen_key
-        for b_, v_ in key:
-            pen = jnp.where(ilen >= b_, v_, pen)
-        if iprlmt is not None:
-            x = jnp.maximum((ilen - ipmu).astype(jnp.float32),
-                            jnp.float32(1.0))
-            tl = jnp.trunc(jnp.float32(ipfx)
-                           + jnp.float32(ipep) * jnp.log(x)
-                           ).astype(jnp.int32)
-            tl = jnp.where(tl <= -32768, NEVSEL // 2, tl)
-            pen = jnp.where(ilen >= iprlmt, tl, pen)
-        return pen
+    def gather_lane(x, idx):
+        """out[i,j] = x[i, idx[i,j]] (tpu.dynamic_gather along lanes)."""
+        return jnp.take_along_axis(x, idx, axis=1)
 
     def kernel(sca_ref,
                dl_ref, nb_ref, mb_ref, econst_ref, colm_ref, colm1_ref,
                qp_ref,                           # (nclass, GRP, L)
-               stk_ref,                          # (NBT, SOP*GRP, 128)
+               wta_ref, wtb_ref,                 # (1, SG, 128) w-init
+               ea_ref, eb_ref, ec_ref,           # (1, SG, 128) entering
+               iph_ref,                          # (GRP, 128) ipen head
+               ipb_ref,                          # (nbrow*GRP, 128) bits
                fills_ref,                        # (1, 3, GRP, CHUNK)
                bh_out, bf_out, row_out, rc_out,  # (GRP, CHUNK) blocks
                st_ref):                          # (NST, GRP, L) scratch
@@ -196,15 +222,36 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
         mrow = m0 + lanes
         m_ok = (mrow >= 1) & (mrow <= Mb)
         li = jnp.clip(Mb - m0, 0, L - 1)
-        li_mask = lanes == li
         internal_m = (mrow < Mb) | (a_exgr == 0)
         negv = jnp.full((GRP, L), NEV)
         zero = jnp.zeros((GRP, L), jnp.int32)
         enegv = jnp.full((GRP, CHUNK), NEV)      # emission accumulators
         elanes = jax.lax.broadcasted_iota(jnp.int32, (GRP, CHUNK), 1)
-        el3 = jax.lax.broadcasted_iota(jnp.int32, (3, GRP, CHUNK), 2)
         qp = [qp_ref[k] for k in range(nclass)]
-        fl = fills_ref[0]                        # (3, GRP, CHUNK)
+        iph = iph_ref[:]
+        ipb = [ipb_ref[r * GRP:(r + 1) * GRP] for r in range(nbrow)]
+
+        # ---- per-chunk window init: the original 2-tile concat + one
+        # dynamic roll, at t = c*CHUNK only (Mosaic-legal: outer-dim
+        # dynamic tile choice happens in the index_maps)
+        t0c = c * CHUNK
+        bq = jnp.clip(base0 - t0c + LT, 0, nbs - 256)
+        r0 = bq - (bq // 128) * 128
+        wwide = jnp.concatenate([wta_ref[0], wtb_ref[0]], axis=1)
+        w_init = roll(wwide, -r0, 1)[:, :L]      # (SG, L)
+
+        # ---- per-chunk entering-columns tile: lane u holds the stack
+        # column entering the window during body step u (i.e. the lane-0
+        # operand of wavefront step t0c+u+1).  In the reversed stack
+        # these columns are ascending from R0 = nbs - base0 - LT + t0c.
+        rj0 = nbs - base0 - LT + t0c
+        rq = jnp.clip(rj0, 0, nbs - 384)
+        rr = jnp.clip(rj0 - (rq // 128) * 128, 0, 383)  # clipped: garbage,
+        ewide = jnp.concatenate([ea_ref[0], eb_ref[0], ec_ref[0]],
+                                axis=1)          # (SG, 384)  masked lanes
+        fl = fills_ref[0].reshape(3 * GRP, CHUNK)
+        ecw0 = roll(ewide, -rr, 1)[:, :CHUNK]
+        ecw0 = jnp.concatenate([ecw0, fl], axis=0)   # (SG+3*GRP, CHUNK)
 
         # ---- DP carry: scratch planes, re-initialized at chunk 0
         fresh = c == 0
@@ -222,15 +269,16 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
         cjs = [ld(9 + l, zero) for l in range(NCAND)]
         cds = [ld(13 + l, zero) for l in range(NCAND)]
         c5s = [ld(17 + l, zero) for l in range(NCAND)]
+        cps = [ld(21 + l, zero) for l in range(NCAND)]
 
         def shift_right(x, fill):
-            y = jnp.roll(x, 1, 1)
+            y = jnp.roll(x, 1, 1) if interpret else pltpu.roll(x, 1, 1)
             return jnp.where(lanes == 0, fill, y)
 
         def step(t2, carry):
-            (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
+            (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps, w, ecw,
              ebh, ebf, erow, erc) = carry
-            t = c * CHUNK + t2
+            t = t0c + t2
             sc = m0 + lw0 + 1 + t
             n = sc + dln
             r_off = t - 2 * lanes
@@ -238,16 +286,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                       & m_ok)
             first = r_off == 0
 
-            # ---- sliding operand window: 2 outer tile reads + one roll
-            bq = jnp.clip(base0 - t + LT, 0, nbs - 256)
-            q = bq // 128
-            r = bq - q * 128
-            if _ablate == "noroll":
-                w = stk_ref[q]                   # timing probe: wrong data
-            else:
-                wide = jnp.concatenate([stk_ref[q], stk_ref[q + 1]],
-                                       axis=1)
-                w = roll(wide, -r, 1)[:, :L]     # (SOP*GRP, L)
+            # ---- unpack the carried window
             w0 = w[0:GRP]
             w1 = w[GRP:2 * GRP]
             b_code = w0 & 31
@@ -262,32 +301,35 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                 j4.append((wj << 16) >> 16 if cc % 2 == 0 else wj >> 16)
 
             score = jnp.zeros((GRP, L), jnp.int32)
-            for k in range(nclass):
-                score = score + jnp.where(b_code == k, qp[k], 0)
+            if _ablate == "noscore":
+                score = score + b_code + qp[0]
+            else:
+                for k in range(nclass):
+                    score = score + jnp.where(b_code == k, qp[k], 0)
 
-            # ---- slab-boundary fills: lane t2 of the chunk block
-            fv = jnp.sum(jnp.where(el3 == t2, fl, 0), axis=2,
-                         keepdims=True)          # (3, GRP, 1)
-            if _ablate == "nofill":
-                fv = jnp.zeros((3, GRP, 1), jnp.int32) + t2 % 2
+            # ---- slab-boundary fills: lane 0 of the rolled tile
+            fv = ecw[SG:, :1].reshape(3, GRP, 1)
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
 
-            edge = first & (n != 1)
-            left_h = jnp.where(n == 1, col_m,
-                               jnp.where(edge, e_const,
-                                         jnp.where(first, NEV, h1)))
-            diag_h = jnp.where(n == 1, col_m1, diag_h)
-            at_top = r_off >= W - 1
-            up_h = jnp.where(at_top, NEV, up_h)
-            up_f = jnp.where(at_top, NEV, up_f)
-            e1 = jnp.where(first, NEV, e1)
-            psp = jnp.where(first, 0, psp)
-            cvs = [jnp.where(first, NEV, cc) for cc in cvs]
-            cjs = [jnp.where(first, 0, cc) for cc in cjs]
-            cds = [jnp.where(first, 0, cc) for cc in cds]
-            c5s = [jnp.where(first, 0, cc) for cc in c5s]
+            if _ablate == "noedge":   # timing probe: skip edge logic
+                left_h = h1
+            else:
+                edge = first & (n != 1)
+                left_h = jnp.where(n == 1, col_m,
+                                   jnp.where(edge, e_const,
+                                             jnp.where(first, NEV, h1)))
+                diag_h = jnp.where(n == 1, col_m1, diag_h)
+                at_top = r_off >= W - 1
+                up_h = jnp.where(at_top, NEV, up_h)
+                up_f = jnp.where(at_top, NEV, up_f)
+                e1 = jnp.where(first, NEV, e1)
+                psp = jnp.where(first, 0, psp)
+                cvs = [jnp.where(first, NEV, cc) for cc in cvs]
+                cjs = [jnp.where(first, 0, cc) for cc in cjs]
+                cds = [jnp.where(first, 0, cc) for cc in cds]
+                c5s = [jnp.where(first, 0, cc) for cc in c5s]
 
             # ---- recurrence (order = fwd2s1.cc:276-431)
             h_val = diag_h + score
@@ -308,6 +350,26 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             mx_val = jnp.where(ge, e_val, mx_val)
             mx_k = jnp.where(ge, 1, mx_k)
 
+            # ---- carried intron penalty (exact table; see module doc)
+            ncp = []
+            for l in range(NCAND):
+                ilen = n - cjs[l]
+                if _ablate == "noipen":
+                    ncp.append(cps[l])
+                    continue
+                il = jnp.clip(ilen, 0, nbrow * 4096 - 1)
+                wq = il >> 5
+                lo = wq & 127
+                brow = ipb[0]
+                for rr_ in range(1, nbrow):
+                    brow = jnp.where((wq >> 7) == rr_, ipb[rr_], brow)
+                bits = gather_lane(brow, lo)
+                isb = (jax.lax.shift_right_logical(bits, il & 31)) & 1
+                penh = gather_lane(iph, il & (PHEAD - 1))
+                pen = jnp.where(il < PHEAD, penh, cps[l] - isb)
+                ncp.append(pen)
+            cps = ncp
+
             # ---- acceptor close (fwd2s1.cc:333-354)
             acc_ok = isacc & internal_m & active & (n < Nb)
             if _ablate == "noclose":
@@ -316,12 +378,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             xcs, oks = [], []
             for l in range(NCAND):
                 ilen = n - cjs[l]
-                pen = ipen_of(ilen)
                 jv = zero
                 for cc in range(ncls):
                     jv = jv + jnp.where(c5s[l] == cc, j4[cc], 0)
                 ok = acc_ok & (ilen >= llmt) & (cvs[l] > NEV // 2)
-                xcs.append(jnp.where(ok, cvs[l] + pen + accb + jv, NEV))
+                xcs.append(jnp.where(ok, cvs[l] + cps[l] + accb + jv,
+                                     NEV))
                 oks.append(ok)
             for k in range(nstate):
                 cur = state_vals[k]
@@ -353,7 +415,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                 pos = ((cvs[0] >= x).astype(jnp.int32)
                        + (cvs[1] >= x) + (cvs[2] >= x) + (cvs[3] >= x))
                 kf = jnp.full((GRP, L), k, jnp.int32)
-                ncv, ncj, ncd, nc5 = [], [], [], []
+                ncv, ncj, ncd, nc5, ncp = [], [], [], [], []
                 for j in range(NCAND):
                     ins = (pos == j) & elig
                     shf = (pos < j) & elig
@@ -367,32 +429,47 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
                     nc5.append(jnp.where(ins, d5cls,
                                          jnp.where(shf, c5s[pj],
                                                    c5s[j])))
-                cvs, cjs, cds, c5s = ncv, ncj, ncd, nc5
+                    ncp.append(jnp.where(ins, zero,
+                                         jnp.where(shf, cps[pj],
+                                                   cps[j])))
+                cvs, cjs, cds, c5s, cps = ncv, ncj, ncd, nc5, ncp
 
             h_out = jnp.where(active, h_out, NEV)
             f_out = jnp.where(active, state_vals[2], NEV)
             e1 = jnp.where(active, state_vals[1], e1)
 
             # ---- emissions into lane t2 of the accumulators
-            lane_sel = elanes == t2
-            ebh = jnp.where(lane_sel, h_out[:, L - 1:L], ebh)
-            ebf = jnp.where(lane_sel, f_out[:, L - 1:L], ebf)
-            row_v = jnp.sum(jnp.where(li_mask, h_out, 0), axis=1,
-                            keepdims=True)
-            n0 = sc + dl[:, 0]                   # (GRP,) lane-0 col
-            rcl = n0 - Nb[:, 0]
-            rc_v = jnp.sum(jnp.where(lanes == rcl[:, None], h_out, 0),
-                           axis=1, keepdims=True)
-            erow = jnp.where(lane_sel, row_v, erow)
-            erc = jnp.where(lane_sel, rc_v, erc)
+            if _ablate == "noemit":
+                ebh = ebh + h_out[:, :CHUNK] if CHUNK <= L else ebh
+                ebf = ebf + f_out[:, :CHUNK] if CHUNK <= L else ebf
+            else:
+                lane_sel = elanes == t2
+                ebh = jnp.where(lane_sel, h_out[:, L - 1:L], ebh)
+                ebf = jnp.where(lane_sel, f_out[:, L - 1:L], ebf)
+                row_v = gather_lane(h_out, li)[:, :1]
+                n0 = sc + dl[:, 0]               # (GRP,) lane-0 col
+                rcl = jnp.clip(n0 - Nb[:, 0], 0, L - 1)
+                rc_v = gather_lane(h_out, rcl[:, None] + lanes * 0
+                                   )[:, :1]
+                erow = jnp.where(lane_sel, row_v, erow)
+                erc = jnp.where(lane_sel, rc_v, erc)
 
-            return (h_out, h1, f_out, e1, psp, cvs, cjs, cds, c5s,
-                    ebh, ebf, erow, erc)
+            # ---- slide the window and the entering/fill tile
+            ecol = ecw[:SG, :1]
+            wsh = jnp.roll(w, 1, 1) if interpret else pltpu.roll(w, 1, 1)
+            w = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (SG, L), 1) == 0,
+                ecol, wsh)
+            ecw = (jnp.roll(ecw, -1, 1) if interpret
+                   else pltpu.roll(ecw, -1, 1))
 
-        carry0 = (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
-                  enegv, enegv, enegv, enegv)
+            return (h_out, h1, f_out, e1, psp, cvs, cjs, cds, c5s, cps,
+                    w, ecw, ebh, ebf, erow, erc)
+
+        carry0 = (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps,
+                  w_init, ecw0, enegv, enegv, enegv, enegv)
         out = jax.lax.fori_loop(0, CHUNK, step, carry0)
-        (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s,
+        (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps, _w, _e,
          ebh, ebf, erow, erc) = out
 
         st_ref[0] = h1
@@ -405,6 +482,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             st_ref[9 + l] = cjs[l]
             st_ref[13 + l] = cds[l]
             st_ref[17 + l] = c5s[l]
+            st_ref[21 + l] = cps[l]
         bh_out[:] = ebh
         bf_out[:] = ebf
         row_out[:] = erow
@@ -414,18 +492,36 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
 
 
 @functools.lru_cache(maxsize=64)
-def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
-               nbt, interpret=False):
+def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
+               interpret=False):
     """Jitted pallas_call for one static geometry."""
+    nbs = nbt * 128
     kernel, Tpad, n_chunks, NST = _make_kernel(
-        L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop, nbt * 128,
+        L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         interpret)
     nblk = B // GRP
+    SG = sop * GRP
 
     def bspec(*shape):
         return pl.BlockSpec((GRP,) + shape,
                             lambda i, c, s: (i,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
+
+    # window-init tiles: stack blocks q(c) and q(c)+1 where
+    # q(c) = clip(base0 - c*CHUNK + LT, 0, nbs-256) // 128 of group i
+    def wtile(d):
+        def imap(i, c, s):
+            bq = jnp.clip(s[2] - c * CHUNK + LT, 0, nbs - 256)
+            return (i * nbt + bq // 128 + d, 0, 0)
+        return pl.BlockSpec((1, SG, 128), imap, memory_space=pltpu.VMEM)
+
+    # entering-columns tiles: reversed-stack blocks p(c)..p(c)+2 where
+    # p(c) = clip(nbs - (base0 - c*CHUNK + LT), 0, nbs-384) // 128
+    def etile(d):
+        def imap(i, c, s):
+            rj = jnp.clip(nbs - (s[2] - c * CHUNK + LT), 0, nbs - 384)
+            return (i * nbt + rj // 128 + d, 0, 0)
+        return pl.BlockSpec((1, SG, 128), imap, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -434,9 +530,11 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             bspec(L), bspec(L), bspec(L), bspec(L), bspec(L), bspec(L),
             pl.BlockSpec((nclass, GRP, L), lambda i, c, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbt, sop * GRP, 128),
-                         lambda i, c, s: (i, 0, 0),
+            wtile(0), wtile(1),
+            etile(0), etile(1), etile(2),
+            pl.BlockSpec((GRP, 128), lambda i, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, GRP, CHUNK),
                          lambda i, c, s: (c, 0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -455,9 +553,9 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
     )
 
     @jax.jit
-    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk,
-                  n0_base, ns, bnd_h, bnd_f, row_h, rc_h, wstart,
-                  cb0, cr0, cc0, wl, wr, wc, PBn, PBm):
+    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, rstk,
+                  iph, ipb, n0_base, ns, bnd_h, bnd_f, row_h, rc_h,
+                  wstart, cb0, cr0, cc0, wl, wr, wc, PBn, PBm):
         # boundary fill streams: diag / up_h / up_f per step, chunked
         ts = jnp.arange(Tpad, dtype=jnp.int32)
         n0t = n0_base[:, None] + ts[None, :]     # (B, Tpad)
@@ -474,7 +572,8 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
             2, 0, 1, 3)
 
         bh_v, bf_v, row_v, rc_v = call(
-            sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, fills)
+            sca, dl, nb, mb, ec, colm, colm1, qp_slab,
+            stk, stk, rstk, rstk, rstk, iph, ipb, fills)
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
         row_h = _win_update(row_h, row_v, wr, cr0, PBn)
@@ -484,10 +583,11 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, ipen_spec, sop,
     return slab_step, Tpad
 
 
-def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
+def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
     """One-time per-batch device preparation, cached on the
     BatchProblem: class-compressed substitution profiles, the group-major
-    operand tile stack (built on device from downcast uploads), and the
+    operand tile stacks (forward + reversed, built on device from
+    downcast uploads), intron-penalty head/bitmask tiles, and the
     per-slab constants (band placement scalars, column inits, write-back
     masks).  Alignment calls reuse a batch's prep across engine calls;
     the per-call work is then just the slab sweeps themselves."""
@@ -509,7 +609,7 @@ def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
     qprof_cls, code_cls, nclass = compress_classes(
         bp.qprof_all, bp.ops["rb_code"])
     NB = code_cls.shape[1]
-    nbs = LT + (-(-NB // 128) * 128) + 256
+    nbs = LT + (-(-NB // 128) * 128) + 384
     nbt = nbs // 128
     j4 = pad_b(np.asarray(bp.ops["rb_joint4"]))
     for name, arr in (("sig5", bp.ops["rb_sig5"]),
@@ -519,7 +619,7 @@ def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
         assert a.min() >= -32768 and a.max() < 32768, \
             f"rb_{name} exceeds int16 packing range"
     sop = 2 + (j4.shape[2] + 1) // 2
-    stk_d = _build_stack_device(
+    stk_d, rstk_d = _build_stack_device(
         jnp.asarray(pad_b(code_cls).astype(np.int8)),
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_isdon"])).astype(np.int8)),
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_isacc"])).astype(np.int8)),
@@ -528,6 +628,8 @@ def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_d5cls"])).astype(np.int8)),
         jnp.asarray(j4.astype(np.int16)),
         nbs=nbs)
+
+    iph, ipb, nbrow = ipen_tiles(ipen_key, bp.Nmax + 1)
 
     deltas = pad_b(np.asarray(bp.deltas_j))
     Ns = pad_b(np.asarray(bp.Ns_j))
@@ -543,13 +645,15 @@ def _prepare_device(bp: BatchProblem, Bp: int) -> dict:
     prep = {
         "key": (Bp, CHUNK, GRP),
         "Bp": Bp, "nclass": nclass, "sop": sop, "nbt": nbt,
+        "nbrow": nbrow,
         "PBn": PBn, "PBm": PBm, "TOTn": TOTn, "TOTm": TOTm,
         "dl": dev(deltas[:, None] * ones),
         "nb": dev(Ns[:, None] * ones),
         "mb": dev(Ms[:, None] * ones),
         "ec": dev(e_const[:, None] * ones),
         "ns": dev(Ns.astype(np.int32)),
-        "stk": stk_d,
+        "stk": stk_d, "rstk": rstk_d,
+        "iph": dev(iph), "ipb": dev(ipb),
         "qp": dev(np.ascontiguousarray(np.transpose(
             pad_b(qprof_cls), (2, 0, 1)))),
         "bnd_h0": dev(pad_b(np.asarray(bp.bnd_h0))),
@@ -613,21 +717,13 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
         interpret = jax.default_backend() == "cpu"
     B, L = bp.B, bp.L
     Bp = -(-B // GRP) * GRP
-    prep = _prepare_device(bp, Bp)
+    prep = _prepare_device(bp, Bp, bp.ipen_key)
     PBn, PBm = prep["PBn"], prep["PBm"]
 
-    if prm.ipen is not None:
-        ip = prm.ipen
-        head_key = tuple((b, v) for b, v in bp.ipen_key if b < ip.rlmt)
-        ipen_spec = ("tail", head_key,
-                     int(np.float32(ip.int_fx).view(np.int32)),
-                     int(np.float32(ip.int_ep).view(np.int32)),
-                     int(ip.mu), int(ip.rlmt))
-    else:
-        ipen_spec = ("full", bp.ipen_key)
     slab_step, Tpad = _slab_call(
         Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
-        prep["nclass"], ipen_spec, prep["sop"], prep["nbt"], interpret)
+        prep["nclass"], prep["sop"], prep["nbt"], prep["nbrow"],
+        interpret)
 
     bnd_h = prep["bnd_h0"]
     bnd_f = prep["bnd_f0"]
@@ -640,7 +736,8 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
             qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
         bnd_h, bnd_f, row_h, rc_h = slab_step(
             sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
-            sl["colm"], sl["colm1"], qp_slab, prep["stk"],
+            sl["colm"], sl["colm1"], qp_slab, prep["stk"], prep["rstk"],
+            prep["iph"], prep["ipb"],
             sl["n0_base"], prep["ns"], bnd_h, bnd_f, row_h, rc_h,
             sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
             sl["wl"], sl["wr"], sl["wc"], PBn, PBm)

@@ -174,6 +174,19 @@ class BlockIndex:
         return (self.RBS_FACT * math.log(mmc + 1)
                 + self.RBS_BASE) * self.avr_wscr
 
+    @staticmethod
+    def _ragged_arange(lo: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        """Vectorized concatenate([arange(l, l+c) ...]) — no Python loop
+        over query words (the loop was the measured votes/s bottleneck)."""
+        total = int(cnt.sum())
+        ends = np.cumsum(cnt)
+        # cumsum of per-element deltas: +1 within a segment, and at each
+        # segment boundary a jump from (lo[i-1]+cnt[i-1]-1) to lo[i]
+        delta = np.ones(total, dtype=np.int64)
+        delta[ends[:-1]] = lo[1:] - (lo[:-1] + cnt[:-1]) + 1
+        delta[0] = lo[0]
+        return np.cumsum(delta)
+
     def _hit_stream(self, query: np.ndarray):
         """All (word position, block, word score) hits of the query
         plus the position count — the vectorized equivalent of the
@@ -188,8 +201,7 @@ class BlockIndex:
         has = cnt > 0
         if not has.any():
             return None
-        idx = np.concatenate([np.arange(l, h)
-                              for l, h in zip(lo[has], hi[has])])
+        idx = self._ragged_arange(lo[has].astype(np.int64), cnt[has])
         blk = self.blocks[idx].astype(np.int64)
         cyc = np.repeat(pos[has], cnt[has]).astype(np.int64)
         ws = np.repeat(self.wscr[w[has]].astype(np.int64), cnt[has])
@@ -209,8 +221,7 @@ class BlockIndex:
         if not has.any():
             return np.zeros(self.n_blocks, dtype=np.int64)
         scores = self.wscr[w[has]].astype(np.int64)
-        idx = np.concatenate([np.arange(l, h)
-                              for l, h in zip(lo[has], hi[has])])
+        idx = self._ragged_arange(lo[has].astype(np.int64), cnt[has])
         rep_score = np.repeat(scores, cnt[has])
         return np.bincount(self.blocks[idx], weights=rep_score,
                            minlength=self.n_blocks).astype(np.int64)
