@@ -66,8 +66,9 @@ from .params import DpParams, NEVSEL
 from .dp_spliced_scan import BatchProblem, _pads, _win_update, NCAND
 
 NEV = np.int32(NEVSEL)
-CHUNK = 256                      # steps per grid program (lane tile)
-GRP = 16                         # problems per program (sublane tile)
+CHUNK = int(os.environ.get("SPALN_PALLAS_CHUNK", 256))  # steps/program
+GRP = int(os.environ.get("SPALN_PALLAS_GRP", 16))       # problems/program
+UNROLL = int(os.environ.get("SPALN_PALLAS_UNROLL", 1))   # loop unroll
 LT = 128                         # left guard tile in the operand stack
 PHEAD = 128                      # direct-gather head of the ipen table
 
@@ -128,9 +129,9 @@ def ipen_tiles(ipen_key, nmax: int) -> tuple:
     return np.ascontiguousarray(head), bits, nbrow
 
 
-@functools.partial(jax.jit, static_argnames=("nbs",))
+@functools.partial(jax.jit, static_argnames=("nbs", "pade"))
 def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
-                        nbs):
+                        nbs, pade):
     """Stack every sliding genome-side operand into group-major tiles
     (nblk*NBT, SOP*GRP, 128) int32, on device, bit-packed:
       word 0: code | isdon<<5 | isacc<<6 | d5cls<<7
@@ -173,7 +174,11 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
         return x.transpose(1, 3, 0, 2, 4).reshape(nblk * nbt, sop * GRP,
                                                   128)
 
-    return tile(stk), tile(stk[:, :, ::-1])
+    # flat column-reversed copy, padded so any Tpad-long entering-column
+    # slice is in range (pad regions decode to inert operands and the
+    # corresponding lanes are inactive-masked in the kernel)
+    rflat = jnp.pad(stk[:, :, ::-1], ((0, 0), (0, 0), (pade, pade)))
+    return tile(stk), rflat
 
 
 def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
@@ -185,7 +190,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
     nstate = 3                                   # H / E1 / F
     GOPk = (0, 0, gop)                           # GOP[k//2] for k=0,1,2
     PSPB = (4, 1, 8)                             # psp bits (aln.h:56-59)
-    NST = 5 + 5 * NCAND                          # scratch state planes
+    NST = 5 + 3 * NCAND                          # scratch state planes
     nbt = nbs // 128
     SG = sop * GRP
     roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
@@ -199,11 +204,10 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                dl_ref, nb_ref, mb_ref, econst_ref, colm_ref, colm1_ref,
                qp_ref,                           # (nclass, GRP, L)
                wta_ref, wtb_ref,                 # (1, SG, 128) w-init
-               ea_ref, eb_ref, ec_ref,           # (1, SG, 128) entering
                iph_ref,                          # (GRP, 128) ipen head
                ipb_ref,                          # (nbrow*GRP, 128) bits
-               fills_ref,                        # (1, 3, GRP, CHUNK)
-               bh_out, bf_out, row_out, rc_out,  # (GRP, CHUNK) blocks
+               ecs_ref,                          # (1,1,CHUNK,SG+3*GRP)
+               em_out,                           # (4, GRP, CHUNK) block
                st_ref):                          # (NST, GRP, L) scratch
         c = pl.program_id(1)
         m0 = sca_ref[0]
@@ -240,18 +244,6 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         wwide = jnp.concatenate([wta_ref[0], wtb_ref[0]], axis=1)
         w_init = roll(wwide, -r0, 1)[:, :L]      # (SG, L)
 
-        # ---- per-chunk entering-columns tile: lane u holds the stack
-        # column entering the window during body step u (i.e. the lane-0
-        # operand of wavefront step t0c+u+1).  In the reversed stack
-        # these columns are ascending from R0 = nbs - base0 - LT + t0c.
-        rj0 = nbs - base0 - LT + t0c
-        rq = jnp.clip(rj0, 0, nbs - 384)
-        rr = jnp.clip(rj0 - (rq // 128) * 128, 0, 383)  # clipped: garbage,
-        ewide = jnp.concatenate([ea_ref[0], eb_ref[0], ec_ref[0]],
-                                axis=1)          # (SG, 384)  masked lanes
-        fl = fills_ref[0].reshape(3 * GRP, CHUNK)
-        ecw0 = roll(ewide, -rr, 1)[:, :CHUNK]
-        ecw0 = jnp.concatenate([ecw0, fl], axis=0)   # (SG+3*GRP, CHUNK)
 
         # ---- DP carry: scratch planes, re-initialized at chunk 0
         fresh = c == 0
@@ -266,18 +258,20 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         e1 = ld(3, negv)
         psp = ld(4, zero)
         cvs = [ld(5 + l, negv) for l in range(NCAND)]
-        cjs = [ld(9 + l, zero) for l in range(NCAND)]
-        cds = [ld(13 + l, zero) for l in range(NCAND)]
-        c5s = [ld(17 + l, zero) for l in range(NCAND)]
-        cps = [ld(21 + l, zero) for l in range(NCAND)]
+        cms = [ld(9 + l, zero) for l in range(NCAND)]   # cj<<4|k<<2|c5
+        cps = [ld(13 + l, zero) for l in range(NCAND)]
 
         def shift_right(x, fill):
             y = jnp.roll(x, 1, 1) if interpret else pltpu.roll(x, 1, 1)
             return jnp.where(lanes == 0, fill, y)
 
         def step(t2, carry):
-            (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps, w, ecw,
-             ebh, ebf, erow, erc) = carry
+            (h1, h2, f1, e1, psp, cvs, cms, cps, w,
+             em) = carry
+            # entering operands + boundary fills for this step: one
+            # dynamic-SUBLANE row read of the time-major block, then a
+            # single lane->sublane relayout
+            ecol_all = ecs_ref[0, 0, t2].reshape(SG + 3 * GRP, 1)
             t = t0c + t2
             sc = m0 + lw0 + 1 + t
             n = sc + dln
@@ -308,7 +302,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                     score = score + jnp.where(b_code == k, qp[k], 0)
 
             # ---- slab-boundary fills: lane 0 of the rolled tile
-            fv = ecw[SG:, :1].reshape(3, GRP, 1)
+            fv = ecol_all[SG:].reshape(3, GRP, 1)
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
@@ -327,9 +321,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 e1 = jnp.where(first, NEV, e1)
                 psp = jnp.where(first, 0, psp)
                 cvs = [jnp.where(first, NEV, cc) for cc in cvs]
-                cjs = [jnp.where(first, 0, cc) for cc in cjs]
-                cds = [jnp.where(first, 0, cc) for cc in cds]
-                c5s = [jnp.where(first, 0, cc) for cc in c5s]
+                cms = [jnp.where(first, 0, cc) for cc in cms]
 
             # ---- recurrence (order = fwd2s1.cc:276-431)
             h_val = diag_h + score
@@ -353,7 +345,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             # ---- carried intron penalty (exact table; see module doc)
             ncp = []
             for l in range(NCAND):
-                ilen = n - cjs[l]
+                ilen = n - (cms[l] >> 4)
                 if _ablate == "noipen":
                     ncp.append(cps[l])
                     continue
@@ -377,23 +369,23 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             state_vals = [h_val, e_val, f_val]
             xcs, oks = [], []
             for l in range(NCAND):
-                ilen = n - cjs[l]
+                ilen = n - (cms[l] >> 4)
                 jv = zero
                 for cc in range(ncls):
-                    jv = jv + jnp.where(c5s[l] == cc, j4[cc], 0)
+                    jv = jv + jnp.where((cms[l] & 3) == cc, j4[cc], 0)
                 ok = acc_ok & (ilen >= llmt) & (cvs[l] > NEV // 2)
                 xcs.append(jnp.where(ok, cvs[l] + cps[l] + accb + jv,
                                      NEV))
                 oks.append(ok)
             for k in range(nstate):
                 cur = state_vals[k]
-                jnc_k = zero
+                closed = jnp.zeros((GRP, L), bool)
                 for l in range(NCAND):
-                    take = (cds[l] == k) & (xcs[l] >= cur) & oks[l]
+                    take = (((cms[l] >> 2) & 3) == k) & \
+                        (xcs[l] >= cur) & oks[l]
                     cur = jnp.where(take, xcs[l], cur)
-                    jnc_k = jnp.where(take, cjs[l] + 1, jnc_k)
+                    closed = closed | take
                 state_vals[k] = cur
-                closed = jnc_k > 0
                 psp = jnp.where(closed, psp | PSPB[k], psp)
                 ge = closed & (cur >= mx_val)
                 mx_val = jnp.where(ge, cur, mx_val)
@@ -414,63 +406,56 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 x = fvk + sig5
                 pos = ((cvs[0] >= x).astype(jnp.int32)
                        + (cvs[1] >= x) + (cvs[2] >= x) + (cvs[3] >= x))
-                kf = jnp.full((GRP, L), k, jnp.int32)
-                ncv, ncj, ncd, nc5, ncp = [], [], [], [], []
+                meta = (n << 4) | (k << 2) | d5cls
+                ncv, ncm, ncp = [], [], []
                 for j in range(NCAND):
                     ins = (pos == j) & elig
                     shf = (pos < j) & elig
                     pj = j - 1 if j else 0
                     ncv.append(jnp.where(ins, x,
                                          jnp.where(shf, cvs[pj], cvs[j])))
-                    ncj.append(jnp.where(ins, n,
-                                         jnp.where(shf, cjs[pj], cjs[j])))
-                    ncd.append(jnp.where(ins, kf,
-                                         jnp.where(shf, cds[pj], cds[j])))
-                    nc5.append(jnp.where(ins, d5cls,
-                                         jnp.where(shf, c5s[pj],
-                                                   c5s[j])))
+                    ncm.append(jnp.where(ins, meta,
+                                         jnp.where(shf, cms[pj], cms[j])))
                     ncp.append(jnp.where(ins, zero,
                                          jnp.where(shf, cps[pj],
                                                    cps[j])))
-                cvs, cjs, cds, c5s, cps = ncv, ncj, ncd, nc5, ncp
+                cvs, cms, cps = ncv, ncm, ncp
 
             h_out = jnp.where(active, h_out, NEV)
             f_out = jnp.where(active, state_vals[2], NEV)
             e1 = jnp.where(active, state_vals[1], e1)
 
-            # ---- emissions into lane t2 of the accumulators
+            # ---- emissions into lane t2 (one shared mask; row/rc are
+            # single lane-gathers, not masked cross-lane reductions)
             if _ablate == "noemit":
-                ebh = ebh + h_out[:, :CHUNK] if CHUNK <= L else ebh
-                ebf = ebf + f_out[:, :CHUNK] if CHUNK <= L else ebf
+                ebh, ebf, erow, erc = em
             else:
                 lane_sel = elanes == t2
+                ebh, ebf, erow, erc = em
                 ebh = jnp.where(lane_sel, h_out[:, L - 1:L], ebh)
                 ebf = jnp.where(lane_sel, f_out[:, L - 1:L], ebf)
                 row_v = gather_lane(h_out, li)[:, :1]
-                n0 = sc + dl[:, 0]               # (GRP,) lane-0 col
-                rcl = jnp.clip(n0 - Nb[:, 0], 0, L - 1)
-                rc_v = gather_lane(h_out, rcl[:, None] + lanes * 0
-                                   )[:, :1]
+                rcl = jnp.clip(sc + dl - Nb, 0, L - 1)
+                rc_v = gather_lane(h_out, rcl)[:, :1]
                 erow = jnp.where(lane_sel, row_v, erow)
                 erc = jnp.where(lane_sel, rc_v, erc)
+            em = (ebh, ebf, erow, erc)
 
-            # ---- slide the window and the entering/fill tile
-            ecol = ecw[:SG, :1]
+            # ---- slide the window (entering column at lane 0)
             wsh = jnp.roll(w, 1, 1) if interpret else pltpu.roll(w, 1, 1)
             w = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (SG, L), 1) == 0,
-                ecol, wsh)
-            ecw = (jnp.roll(ecw, -1, 1) if interpret
-                   else pltpu.roll(ecw, -1, 1))
+                ecol_all[:SG], wsh)
 
-            return (h_out, h1, f_out, e1, psp, cvs, cjs, cds, c5s, cps,
-                    w, ecw, ebh, ebf, erow, erc)
+            return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
+                    w, em)
 
-        carry0 = (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps,
-                  w_init, ecw0, enegv, enegv, enegv, enegv)
-        out = jax.lax.fori_loop(0, CHUNK, step, carry0)
-        (h1, h2, f1, e1, psp, cvs, cjs, cds, c5s, cps, _w, _e,
-         ebh, ebf, erow, erc) = out
+        carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps,
+                  w_init, (enegv, enegv, enegv, enegv))
+        out = jax.lax.fori_loop(0, CHUNK, step, carry0,
+                                unroll=UNROLL)
+        (h1, h2, f1, e1, psp, cvs, cms, cps, _w,
+         em) = out
 
         st_ref[0] = h1
         st_ref[1] = h2
@@ -479,14 +464,9 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         st_ref[4] = psp
         for l in range(NCAND):
             st_ref[5 + l] = cvs[l]
-            st_ref[9 + l] = cjs[l]
-            st_ref[13 + l] = cds[l]
-            st_ref[17 + l] = c5s[l]
-            st_ref[21 + l] = cps[l]
-        bh_out[:] = ebh
-        bf_out[:] = ebf
-        row_out[:] = erow
-        rc_out[:] = erc
+            st_ref[9 + l] = cms[l]
+            st_ref[13 + l] = cps[l]
+        em_out[:] = jnp.stack(em, axis=0)
 
     return kernel, Tpad, n_chunks, NST
 
@@ -501,6 +481,7 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         interpret)
     nblk = B // GRP
     SG = sop * GRP
+    sop_c = sop
 
     def bspec(*shape):
         return pl.BlockSpec((GRP,) + shape,
@@ -515,14 +496,6 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             return (i * nbt + bq // 128 + d, 0, 0)
         return pl.BlockSpec((1, SG, 128), imap, memory_space=pltpu.VMEM)
 
-    # entering-columns tiles: reversed-stack blocks p(c)..p(c)+2 where
-    # p(c) = clip(nbs - (base0 - c*CHUNK + LT), 0, nbs-384) // 128
-    def etile(d):
-        def imap(i, c, s):
-            rj = jnp.clip(nbs - (s[2] - c * CHUNK + LT), 0, nbs - 384)
-            return (i * nbt + rj // 128 + d, 0, 0)
-        return pl.BlockSpec((1, SG, 128), imap, memory_space=pltpu.VMEM)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk, n_chunks),
@@ -531,21 +504,21 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             pl.BlockSpec((nclass, GRP, L), lambda i, c, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
             wtile(0), wtile(1),
-            etile(0), etile(1), etile(2),
             pl.BlockSpec((GRP, 128), lambda i, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, GRP, CHUNK),
-                         lambda i, c, s: (c, 0, i, 0),
+            pl.BlockSpec((1, 1, CHUNK, SG + 3 * GRP),
+                         lambda i, c, s: (i, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((GRP, CHUNK), lambda i, c, s: (i, c),
-                                memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((4, GRP, CHUNK),
+                               lambda i, c, s: (0, i, c),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((NST, GRP, L), jnp.int32)],
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, Tpad), jnp.int32)] * 4,
+        out_shape=jax.ShapeDtypeStruct((4, B, Tpad), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -553,8 +526,8 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
     )
 
     @jax.jit
-    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, rstk,
-                  iph, ipb, n0_base, ns, bnd_h, bnd_f, row_h, rc_h,
+    def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, rflat,
+                  iph, ipb, r0s, n0_base, ns, bnd_h, bnd_f, row_h, rc_h,
                   wstart, cb0, cr0, cc0, wl, wr, wc, PBn, PBm):
         # boundary fill streams: diag / up_h / up_f per step, chunked
         ts = jnp.arange(Tpad, dtype=jnp.int32)
@@ -568,12 +541,24 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         uph = jnp.where(oku, wh[:, 1:], NEV)
         upf = jnp.where(oku, wf[:, 1:], NEV)
         fills = jnp.stack([diag, uph, upf], 0)   # (3, B, Tpad)
-        fills = fills.reshape(3, Bfull, n_chunks, CHUNK).transpose(
-            2, 0, 1, 3)
 
-        bh_v, bf_v, row_v, rc_v = call(
+        # time-major entering-columns + fills block (see kernel doc):
+        # ecs[i, c, u, :SG] = reversed-stack column r0s + c*CHUNK + u of
+        # group i; ecs[i, c, u, SG:] = this step's boundary fills
+        ecs_ops = jax.lax.dynamic_slice(
+            rflat, (0, 0, r0s), (sop_c, Bfull, Tpad))
+        ops_p = ecs_ops.reshape(sop_c, nblk, GRP, n_chunks,
+                                CHUNK).transpose(1, 3, 4, 0, 2)
+        ops_p = ops_p.reshape(nblk, n_chunks, CHUNK, SG)
+        fl_p = fills.reshape(3, nblk, GRP, n_chunks,
+                             CHUNK).transpose(1, 3, 4, 0, 2)
+        fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, 3 * GRP)
+        ecs = jnp.concatenate([ops_p, fl_p], axis=3)
+
+        em4 = call(
             sca, dl, nb, mb, ec, colm, colm1, qp_slab,
-            stk, stk, rstk, rstk, rstk, iph, ipb, fills)
+            stk, stk, iph, ipb, ecs)
+        bh_v, bf_v, row_v, rc_v = em4[0], em4[1], em4[2], em4[3]
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
         row_h = _win_update(row_h, row_v, wr, cr0, PBn)
@@ -619,7 +604,8 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         assert a.min() >= -32768 and a.max() < 32768, \
             f"rb_{name} exceeds int16 packing range"
     sop = 2 + (j4.shape[2] + 1) // 2
-    stk_d, rstk_d = _build_stack_device(
+    pade = Tpad + 256
+    stk_d, rflat_d = _build_stack_device(
         jnp.asarray(pad_b(code_cls).astype(np.int8)),
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_isdon"])).astype(np.int8)),
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_isacc"])).astype(np.int8)),
@@ -627,7 +613,7 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_accb"])).astype(np.int16)),
         jnp.asarray(pad_b(np.asarray(bp.ops["rb_d5cls"])).astype(np.int8)),
         jnp.asarray(j4.astype(np.int16)),
-        nbs=nbs)
+        nbs=nbs, pade=pade)
 
     iph, ipb, nbrow = ipen_tiles(ipen_key, bp.Nmax + 1)
 
@@ -652,7 +638,7 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         "mb": dev(Ms[:, None] * ones),
         "ec": dev(e_const[:, None] * ones),
         "ns": dev(Ns.astype(np.int32)),
-        "stk": stk_d, "rstk": rstk_d,
+        "stk": stk_d, "rflat": rflat_d, "pade": pade,
         "iph": dev(iph), "ipb": dev(ipb),
         "qp": dev(np.ascontiguousarray(np.transpose(
             pad_b(qprof_cls), (2, 0, 1)))),
@@ -698,9 +684,12 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         rcl = m0 + lw0 + 1 + dlc + ts - n_arr
         wc = ((rcl >= 0) & (rcl < L) & (ts - 2 * rcl >= 0)
               & (ts - 2 * rcl < bp.W) & (mc >= 1) & (mc <= m_arr))
+        r0s = int(pade + nbt * 128 - base0 - LT)
+        assert 0 <= r0s <= nbt * 128 + 2 * pade - Tpad, (r0s, base0)
         prep["slabs"].append(dict(
             sca=sca, colm=colm_d, colm1=colm1_d, n0_base=n0_base,
             m0=m0, wstart=wstart, cb0=cb0, cr0=cr0, cc0=cc0,
+            r0s=r0s,
             wl=dev(wl), wr=dev(wr), wc=dev(wc)))
     bp._pallas_prep = prep
     return prep
@@ -736,8 +725,8 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
             qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
         bnd_h, bnd_f, row_h, rc_h = slab_step(
             sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
-            sl["colm"], sl["colm1"], qp_slab, prep["stk"], prep["rstk"],
-            prep["iph"], prep["ipb"],
+            sl["colm"], sl["colm1"], qp_slab, prep["stk"],
+            prep["rflat"], prep["iph"], prep["ipb"], sl["r0s"],
             sl["n0_base"], prep["ns"], bnd_h, bnd_f, row_h, rc_h,
             sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
             sl["wl"], sl["wr"], sl["wc"], PBn, PBm)

@@ -167,8 +167,14 @@ class BlockIndex:
 
     @property
     def avr_wscr(self) -> float:
-        pos = self.wscr[self.wscr > 0]
-        return float(pos.mean()) if len(pos) else 1.0
+        # cached: rescanning the 4^k-entry score table per query was a
+        # measured hot spot of candidate_ranges
+        cached = getattr(self, "_avr_wscr", None)
+        if cached is None:
+            pos = self.wscr[self.wscr > 0]
+            cached = float(pos.mean()) if len(pos) else 1.0
+            object.__setattr__(self, "_avr_wscr", cached)
+        return cached
 
     def randbs(self, mmc: int) -> float:
         return (self.RBS_FACT * math.log(mmc + 1)
