@@ -68,7 +68,7 @@ from .dp_spliced_scan import BatchProblem, _pads, _win_update, NCAND
 NEV = np.int32(NEVSEL)
 CHUNK = int(os.environ.get("SPALN_PALLAS_CHUNK", 256))  # steps/program
 GRP = int(os.environ.get("SPALN_PALLAS_GRP", 16))       # problems/program
-UNROLL = int(os.environ.get("SPALN_PALLAS_UNROLL", 1))   # loop unroll
+UNROLL = int(os.environ.get("SPALN_PALLAS_UNROLL", 2))   # loop unroll
 LT = 128                         # left guard tile in the operand stack
 PHEAD = 128                      # direct-gather head of the ipen table
 
@@ -265,13 +265,9 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             y = jnp.roll(x, 1, 1) if interpret else pltpu.roll(x, 1, 1)
             return jnp.where(lanes == 0, fill, y)
 
-        def step(t2, carry):
+        def step(t2, ecol_all, carry):
             (h1, h2, f1, e1, psp, cvs, cms, cps, w,
              em) = carry
-            # entering operands + boundary fills for this step: one
-            # dynamic-SUBLANE row read of the time-major block, then a
-            # single lane->sublane relayout
-            ecol_all = ecs_ref[0, 0, t2].reshape(SG + 3 * GRP, 1)
             t = t0c + t2
             sc = m0 + lw0 + 1 + t
             n = sc + dln
@@ -452,8 +448,21 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
 
         carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps,
                   w_init, (enegv, enegv, enegv, enegv))
-        out = jax.lax.fori_loop(0, CHUNK, step, carry0,
-                                unroll=UNROLL)
+
+        def step_n(u, carry):
+            # manual unroll (pallas fori_loop supports only unroll=1 or
+            # full): widens the VLIW scheduling window AND amortizes the
+            # entering-columns read — one dynamic-sublane block read +
+            # one lane->sublane relayout serves UNROLL steps
+            t2u = u * UNROLL
+            rows = ecs_ref[0, 0, pl.ds(t2u, UNROLL)]   # (UNROLL, ROWS)
+            cols = rows.reshape(UNROLL, SG + 3 * GRP).T \
+                if UNROLL > 1 else rows.reshape(SG + 3 * GRP, 1)
+            for d in range(UNROLL):
+                carry = step(t2u + d, cols[:, d:d + 1], carry)
+            return carry
+
+        out = jax.lax.fori_loop(0, CHUNK // UNROLL, step_n, carry0)
         (h1, h2, f1, e1, psp, cvs, cms, cps, _w,
          em) = out
 
