@@ -134,13 +134,19 @@ def compare(a: dict, b: dict, names) -> dict:
 
 
 def run_reference(corpus: str, qfile: str, ref_bin: str) -> tuple:
+    # without ALN_TAB the binary spins forever retrying table-file opens
+    # (observed: 1 query burned 90 s of mostly-sys time; with the env
+    # set the same query maps in 27 ms)
+    env = dict(os.environ, ALN_TAB="/root/reference/table")
     if not os.path.exists(os.path.join(corpus, "corpus_g.bkn")):
         subprocess.run([ref_bin, "-W", "-KD", "corpus_g.gf"], cwd=corpus,
-                       check=True, capture_output=True, timeout=1800)
+                       check=True, capture_output=True, timeout=1800,
+                       env=env)
     t0 = time.time()
     r = subprocess.run([ref_bin, "-Q7", "-O4", "-LS", "-pq",
                         "-d", "corpus_g", qfile], cwd=corpus,
-                       capture_output=True, text=True, timeout=36000)
+                       capture_output=True, text=True, timeout=36000,
+                       env=env)
     return parse_ref_o4(r.stdout), time.time() - t0
 
 

@@ -206,7 +206,8 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                wta_ref, wtb_ref,                 # (1, SG, 128) w-init
                iph_ref,                          # (GRP, 128) ipen head
                ipb_ref,                          # (nbrow*GRP, 128) bits
-               ecs_ref,                          # (1,1,CHUNK,SG+3*GRP)
+               ecs_ref,                          # (1,1,CHUNK,SG) ops
+               fcs_ref,                          # (1,1,CHUNK,3*GRP)
                em_out,                           # (4, GRP, CHUNK) block
                st_ref):                          # (NST, GRP, L) scratch
         c = pl.program_id(1)
@@ -265,7 +266,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             y = jnp.roll(x, 1, 1) if interpret else pltpu.roll(x, 1, 1)
             return jnp.where(lanes == 0, fill, y)
 
-        def step(t2, ecol_all, carry):
+        def step(t2, ecol, fcol, carry):
             (h1, h2, f1, e1, psp, cvs, cms, cps, w,
              em) = carry
             t = t0c + t2
@@ -298,7 +299,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                     score = score + jnp.where(b_code == k, qp[k], 0)
 
             # ---- slab-boundary fills: lane 0 of the rolled tile
-            fv = ecol_all[SG:].reshape(3, GRP, 1)
+            fv = fcol.reshape(3, GRP, 1)
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
@@ -441,7 +442,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             wsh = jnp.roll(w, 1, 1) if interpret else pltpu.roll(w, 1, 1)
             w = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (SG, L), 1) == 0,
-                ecol_all[:SG], wsh)
+                ecol, wsh)
 
             return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
                     w, em)
@@ -455,11 +456,17 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             # entering-columns read — one dynamic-sublane block read +
             # one lane->sublane relayout serves UNROLL steps
             t2u = u * UNROLL
-            rows = ecs_ref[0, 0, pl.ds(t2u, UNROLL)]   # (UNROLL, ROWS)
-            cols = rows.reshape(UNROLL, SG + 3 * GRP).T \
-                if UNROLL > 1 else rows.reshape(SG + 3 * GRP, 1)
+            rse = ecs_ref[0, 0, pl.ds(t2u, UNROLL)]    # (UNROLL, SG)
+            rsf = fcs_ref[0, 0, pl.ds(t2u, UNROLL)]    # (UNROLL, 3*GRP)
+            if UNROLL > 1:
+                ce = rse.reshape(UNROLL, SG).T
+                cf = rsf.reshape(UNROLL, 3 * GRP).T
+            else:
+                ce = rse.reshape(SG, 1)
+                cf = rsf.reshape(3 * GRP, 1)
             for d in range(UNROLL):
-                carry = step(t2u + d, cols[:, d:d + 1], carry)
+                carry = step(t2u + d, ce[:, d:d + 1], cf[:, d:d + 1],
+                             carry)
             return carry
 
         out = jax.lax.fori_loop(0, CHUNK // UNROLL, step_n, carry0)
@@ -516,7 +523,10 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             pl.BlockSpec((GRP, 128), lambda i, c, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, SG + 3 * GRP),
+            pl.BlockSpec((1, 1, CHUNK, SG),
+                         lambda i, c, s: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, 3 * GRP),
                          lambda i, c, s: (i, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -562,11 +572,10 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         fl_p = fills.reshape(3, nblk, GRP, n_chunks,
                              CHUNK).transpose(1, 3, 4, 0, 2)
         fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, 3 * GRP)
-        ecs = jnp.concatenate([ops_p, fl_p], axis=3)
 
         em4 = call(
             sca, dl, nb, mb, ec, colm, colm1, qp_slab,
-            stk, stk, iph, ipb, ecs)
+            stk, stk, iph, ipb, ops_p, fl_p)
         bh_v, bf_v, row_v, rc_v = em4[0], em4[1], em4[2], em4[3]
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)

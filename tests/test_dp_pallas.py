@@ -82,3 +82,29 @@ def test_pallas_matches_scan_per_problem_bands(ctx):
     s_pal, _, _ = collect_batch_results(bp, row_p, rc_p, None, True,
                                         prm=prm)
     np.testing.assert_array_equal(s_pal, s_scan)
+
+
+def test_ipen_tiles_reconstruct_dense_table(ctx):
+    """The carried-penalty scheme's head row + boundary bitmask must
+    reproduce the dense table exactly: pen(n) for n >= PHEAD equals
+    pen(PHEAD-1) minus the count of set boundary bits in (PHEAD-1, n]."""
+    from spaln_tpu.ops.dp_spliced_pallas import (PHEAD, dense_ipen,
+                                                 ipen_tiles)
+    from spaln_tpu.ops.dp_spliced_scan import _pack_ipen
+    cfg, prm, tables = ctx
+    nmax = 5000
+    tab_true = np.asarray(prm.intron_table(nmax + 1), np.int64)
+    key = _pack_ipen(tab_true.astype(np.int32))
+    dense = dense_ipen(key, nmax).astype(np.int64)
+    np.testing.assert_array_equal(dense, tab_true[:len(dense)])
+    head, bits, nbrow = ipen_tiles(key, nmax)
+    words = np.concatenate([bits[r * 16] for r in range(nbrow)])
+    isb = (words[np.arange(nbrow * 4096) >> 5].astype(np.int64)
+           >> (np.arange(nbrow * 4096) & 31)) & 1
+    rec = np.zeros(nmax + 1, np.int64)
+    rec[:PHEAD] = head[0][:PHEAD]
+    run = int(head[0][PHEAD - 1])
+    for n in range(PHEAD, nmax + 1):
+        run -= int(isb[n])
+        rec[n] = run
+    np.testing.assert_array_equal(rec, dense)
