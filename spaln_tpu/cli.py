@@ -331,24 +331,51 @@ def cmd_search(args) -> int:
     return 0
 
 
+def make_pairs(recs_a: list, recs_b: list | None, mode: str,
+               split: int = 1) -> list | None:
+    """SeqServer input-mode pairing (cmn.h:104-105, calcserv.h:309-355):
+    para = two parallel files; altr = one file, alternating entries;
+    grup = group 1 (first `split` entries) x group 2 (the rest);
+    every = all-vs-all; fvso = first vs others; self = each vs itself.
+    Returns None on an invalid mode/argument combination."""
+    if recs_b is not None and mode in ("auto", "para"):
+        if len(recs_a) != len(recs_b):
+            print(f"warning: unpaired inputs ({len(recs_a)} vs "
+                  f"{len(recs_b)}); extra entries skipped",
+                  file=sys.stderr)
+        return list(zip(recs_a, recs_b))
+    if mode in ("auto", "altr"):           # alternating single file
+        return list(zip(recs_a[0::2], recs_a[1::2]))
+    if mode == "grup":                     # IM_GRUP: g1 x g2 cross
+        if not 0 < split < len(recs_a):
+            print("pair --mode grup needs 0 < --split < n entries",
+                  file=sys.stderr)
+            return None
+        return [(ra, rb) for ra in recs_a[:split]
+                for rb in recs_a[split:]]
+    if mode == "every":                    # IM_EVRY: all-vs-all
+        return [(recs_a[i], recs_a[j]) for i in range(len(recs_a))
+                for j in range(i + 1, len(recs_a))]
+    if mode == "fvso":                     # IM_FvsO: first vs others
+        return [(recs_a[0], rb) for rb in recs_a[1:]]
+    if mode == "self":                     # IM_SELF
+        return [(ra, ra) for ra in recs_a]
+    print(f"unknown pair mode {mode!r}", file=sys.stderr)
+    return None
+
+
 def cmd_pair(args) -> int:
-    """Pairwise alignment of paired inputs (SeqServer IM_PARA/IM_ALTR,
-    seq.h:1158-1197, cmn.h:105-107): two parallel files, or one file
-    with alternating entries (-ia), each pair aligned ordinarily."""
+    """Pairwise alignment over the SeqServer input modes (see
+    make_pairs)."""
     from .align.protein_search import search_protein_db
     from .out.formats import (alignment_lines, hit_stat_line, psl_line,
                               sugar_line)
     from .constants import PROTEIN
     recs_a = list(iter_seqfile(args.a))
-    if args.b:
-        recs_b = list(iter_seqfile(args.b))
-        if len(recs_a) != len(recs_b):
-            print(f"warning: unpaired inputs ({len(recs_a)} vs "
-                  f"{len(recs_b)}); extra entries skipped",
-                  file=sys.stderr)
-        pairs = list(zip(recs_a, recs_b))
-    else:                                  # alternating single file
-        pairs = list(zip(recs_a[0::2], recs_a[1::2]))
+    recs_b = list(iter_seqfile(args.b)) if args.b else None
+    pairs = make_pairs(recs_a, recs_b, args.mode, args.split)
+    if pairs is None:
+        return 2
     out = open(args.output, "w") if args.output else sys.stdout
     fmts = _parse_fmts(args.fmt)
     from .utils.errors import guard_query
@@ -598,6 +625,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(two parallel files, or one alternating file)")
     sp.add_argument("a")
     sp.add_argument("b", nargs="?", default=None)
+    sp.add_argument("--mode", default="auto",
+                    choices=["auto", "para", "altr", "grup", "every",
+                             "fvso", "self"],
+                    help="input pairing mode (SeqServer IM_*)")
+    sp.add_argument("--split", type=int, default=1,
+                    help="grup mode: size of group 1")
     sp.add_argument("-O", dest="fmt", default="0")
     sp.add_argument("-o", dest="output", default=None)
     sp.add_argument("-T", dest="species", default=None)

@@ -163,3 +163,21 @@ def test_pair_mode(tmp_path, capsys):
     cli_main(["pair", str(c), "-O", "0", "-o", str(outp2)])
     lines2 = [l for l in outp2.read_text().splitlines() if l.strip()]
     assert len(lines2) == 2
+
+
+def test_make_pairs_input_modes():
+    """SeqServer pairing modes (cmn.h:104-105, calcserv.h:309-355)."""
+    from spaln_tpu.cli import make_pairs
+    a = ["r0", "r1", "r2", "r3"]
+    assert make_pairs(a, ["s0", "s1", "s2", "s3"], "para") == [
+        ("r0", "s0"), ("r1", "s1"), ("r2", "s2"), ("r3", "s3")]
+    assert make_pairs(a, None, "altr") == [("r0", "r1"), ("r2", "r3")]
+    # IM_GRUP: idx_g * (n - idx_g) cross pairs (calcserv.h:318)
+    assert make_pairs(a, None, "grup", split=2) == [
+        ("r0", "r2"), ("r0", "r3"), ("r1", "r2"), ("r1", "r3")]
+    assert make_pairs(a, None, "grup", split=0) is None
+    # IM_EVRY: n*(n-1)/2
+    assert len(make_pairs(a, None, "every")) == 6
+    assert make_pairs(a, None, "fvso") == [
+        ("r0", "r1"), ("r0", "r2"), ("r0", "r3")]
+    assert make_pairs(a, None, "self") == [(x, x) for x in a]
