@@ -431,9 +431,15 @@ def prepare_job(q: np.ndarray, g: np.ndarray, ctx: AlignerContext,
             up = min(up + (M - q1) + margin, N)
     else:
         lw, up = -M, N
-    # bucket the band width to limit recompilation
+    # bucket the band width GEOMETRICALLY to limit recompilation: every
+    # distinct W is a fresh XLA compile (30-200s each on this box), and
+    # linear 256-step buckets produced 100+ of them across a mapping
+    # run with end-margin-widened windows; 1.5x steps cap the bucket
+    # count at ~12 for W up to 100k at <=50% masked-cell overhead
     W = up - lw + 1
-    Wb = _round_up(W, 256)
+    Wb = 512
+    while Wb < W:
+        Wb = _round_up(Wb * 3 // 2, 256)
     extra = Wb - W
     lw = max(lw - extra // 2, -M)
     up = min(lw + Wb - 1, N)
