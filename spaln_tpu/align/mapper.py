@@ -32,74 +32,14 @@ class GenomeMapper:
                   max_out: int = 1, min_coverage: float = 0.3,
                   lanes: int = 128,
                   trim_polya: bool = True) -> list[GeneStructure]:
-        """Map one query onto the whole genome; returns best loci."""
-        qoff = 0
-        if trim_polya:
-            lo, hi, hint = rm_polya(query)
-            if hi - lo >= 30:
-                query, qoff = query[lo:hi], lo
-                if strand == "auto" and hint in (1, 2):
-                    strand = "+" if hint == 1 else "-"
-        cands: list[tuple[float, int, int]] = []
-        for g0, g1, score in self.index.candidate_ranges(query, ncand):
-            cands.append((score, g0, g1))
-        rc = comrev(query)
-        for g0, g1, score in self.index.candidate_ranges(rc, ncand):
-            cands.append((score, g0, g1))
-        if not cands:
-            return []
-        # dedup overlapping ranges
-        cands.sort(key=lambda c: -c[0])
-        picked: list[tuple[int, int]] = []
-        results: list[GeneStructure] = []
-        maxgene = self.index.maxgene
-        for score, g0, g1 in cands:
-            if any(not (g1 <= p0 or g0 >= p1) for p0, p1 in picked):
-                continue
-            picked.append((g0, g1))
-            for _retry in range(3):   # ExtBlock widening, blksrc.cc:2409
-                window = self.store.window(g0, g1)
-                ci, cpos0 = self.store.locate(g0)
-                gs_list = align_cdna(query, window, self.ctx,
-                                     strand=strand, q_name=q_name,
-                                     g_name=self.store.names[ci],
-                                     lanes=lanes)
-                grow_l = grow_r = 0
-                edge = max(len(query), 64)
-                for gs in gs_list:
-                    qlo = min(e.q_start for e in gs.exons)
-                    qhi = max(e.q_end for e in gs.exons)
-                    glo = min(e.g_start for e in gs.exons)
-                    ghi = max(e.g_end for e in gs.exons)
-                    if qlo > 8 and glo < edge and g0 > 0:
-                        grow_l = maxgene // 2
-                    if (len(query) - qhi > 8
-                            and len(window) - ghi < edge
-                            and g1 < self.store.total_len):
-                        grow_r = maxgene // 2
-                if not (grow_l or grow_r):
-                    break
-                g0 = max(g0 - grow_l, 0)
-                g1 = min(g1 + grow_r, self.store.total_len)
-            for gs in gs_list:
-                if gs.coverage(len(query)) < min_coverage:
-                    continue
-                off = g0 - int(self.store.offsets[ci])
-                for e in gs.exons:
-                    e.g_start += off
-                    e.g_end += off
-                for i in gs.introns:
-                    i.g_start += off
-                    i.g_end += off
-                if qoff:
-                    for e in gs.exons:
-                        e.q_start += qoff
-                        e.q_end += qoff
-                results.append(gs)
-            if len(results) >= max_out * 3:
-                break
-        results.sort(key=lambda g: -g.score)
-        return results[:max_out]
+        """Map one query onto the whole genome; returns best loci.
+
+        Thin wrapper over the batched pipeline (map_queries) so the two
+        entry points cannot drift."""
+        return self.map_queries([query], q_names=[q_name], strand=strand,
+                                ncand=ncand, max_out=max_out,
+                                min_coverage=min_coverage, lanes=lanes,
+                                trim_polya=trim_polya)[0]
 
 
 def _map_queries_batched(self, queries: list, q_names: list | None = None,
@@ -107,7 +47,9 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                          max_out: int = 1, min_coverage: float = 0.3,
                          lanes: int = 128, max_batch: int = 32,
                          mesh=None,
-                         cips: list | None = None
+                         cips: list | None = None,
+                         trim_polya: bool = True,
+                         triage: dict | None = None
                          ) -> list[list[GeneStructure]]:
     """Map many queries in bucketed device batches — the data-parallel
     replacement of the reference's master-worker ThQueue
@@ -120,16 +62,27 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
     maxgene = self.index.maxgene
     total = self.store.total_len
     metrics.bump("queries", len(queries))
-    # poly-A trimming + strand hints (PolyA::rmpolyA, spaln.cc:1154)
+    # poly-A trimming (PolyA::rmpolyA, spaln.cc:1161).  The hint encodes
+    # the QUERY's sense (ori bitmask: polyA tail = sense transcript,
+    # polyT head = antisense), NOT the genome strand — a sense cDNA maps
+    # to either strand (spaln.cc:1140-1145 only restricts which query
+    # orientation is tried).  Antisense queries are flipped to sense
+    # orientation here and reported in flipped coordinates (the
+    # reference comrevs the Seq and reports with a sense flag).
     queries = list(queries)
     q_offs = [0] * len(queries)
     strands = [strand] * len(queries)
-    for qi, q in enumerate(queries):
-        lo, hi, hint = rm_polya(q)
-        if hi - lo >= 30:
-            queries[qi], q_offs[qi] = q[lo:hi], lo
-            if strand == "auto" and hint in (1, 2):
-                strands[qi] = "+" if hint == 1 else "-"
+    if trim_polya:
+        for qi, q in enumerate(queries):
+            lo, hi, hint = rm_polya(q)
+            if hi - lo >= 30:
+                queries[qi], q_offs[qi] = q[lo:hi], lo
+                if hint == 2:
+                    queries[qi], q_offs[qi] = comrev(queries[qi]), 0
+
+    def _mark(qi, stage_name, detail=""):
+        if triage is not None:
+            triage.setdefault(qi, []).append((stage_name, detail))
     # (qi, g0, g1, retry) work items; a failing query is skipped with a
     # warning, never aborts the batch (spaln.cc:1104-1107 semantics)
     from ..utils.errors import report_skip
@@ -144,6 +97,10 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             raise
         except BaseException as exc:
             report_skip(q_names[qi], exc, "vote")
+            _mark(qi, "vote-error", repr(exc))
+            continue
+        if not cands:
+            _mark(qi, "no-candidate")
             continue
         cands.sort(key=lambda c: -c[2])
         picked = []
@@ -183,6 +140,7 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                     if rev:
                         cands.append((rev[0].score, "-", rc_w, rev[0]))
                 if not cands:
+                    _mark(qi, "no-chain", f"({g0},{g1})")
                     continue
                 cands.sort(key=lambda c: -c[0])
                 _, st, g_use, chain = cands[0]
@@ -194,8 +152,10 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                 raise
             except BaseException as exc:
                 report_skip(q_names[qi], exc, "seed")
+                _mark(qi, "seed-error", repr(exc))
                 continue
             if job is None:
+                _mark(qi, "no-job", f"({g0},{g1})")
                 continue
             jobs.append(job)
             meta.append((qi, g0, g1, retry, ci, len(window)))
@@ -207,8 +167,10 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
         for gs, (qi, g0, g1, retry, ci, wlen) in zip(out, meta):
             if isinstance(gs, BaseException):
                 report_skip(q_names[qi], gs, "align")
+                _mark(qi, "align-error", repr(gs))
                 continue
             if gs is None:
+                _mark(qi, "align-none", f"({g0},{g1})")
                 continue
             q = queries[qi]
             qlo = min(e.q_start for e in gs.exons)
@@ -226,6 +188,8 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                              min(g1 + grow_r, total), retry + 1])
                 continue
             if gs.coverage(len(q)) < min_coverage:
+                _mark(qi, "coverage-filtered",
+                      f"{gs.coverage(len(q)):.2f}")
                 continue
             off = g0 - int(self.store.offsets[ci])
             for e in gs.exons:

@@ -344,6 +344,12 @@ def make_pairs(recs_a: list, recs_b: list | None, mode: str,
                   f"{len(recs_b)}); extra entries skipped",
                   file=sys.stderr)
         return list(zip(recs_a, recs_b))
+    if mode == "para":
+        print("pair --mode para needs two input files", file=sys.stderr)
+        return None
+    if recs_b is not None:
+        print(f"warning: second input ignored in --mode {mode}",
+              file=sys.stderr)
     if mode in ("auto", "altr"):           # alternating single file
         return list(zip(recs_a[0::2], recs_a[1::2]))
     if mode == "grup":                     # IM_GRUP: g1 x g2 cross

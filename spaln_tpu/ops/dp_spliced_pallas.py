@@ -69,8 +69,12 @@ NEV = np.int32(NEVSEL)
 CHUNK = int(os.environ.get("SPALN_PALLAS_CHUNK", 256))  # steps/program
 GRP = int(os.environ.get("SPALN_PALLAS_GRP", 16))       # problems/program
 UNROLL = int(os.environ.get("SPALN_PALLAS_UNROLL", 2))   # loop unroll
+# the step loop runs CHUNK // UNROLL iterations; a non-divisible override
+# would silently skip the last CHUNK % UNROLL steps of every chunk
+assert CHUNK % UNROLL == 0, "SPALN_PALLAS_CHUNK must divide by UNROLL"
 LT = 128                         # left guard tile in the operand stack
 PHEAD = 128                      # direct-gather head of the ipen table
+MAX_NBROW = 64                   # boundary-bitmask row cap (ipen_tiles)
 
 
 def compress_classes(qprof_all, rb_code) -> tuple:
@@ -115,6 +119,13 @@ def ipen_tiles(ipen_key, nmax: int) -> tuple:
                          f"head (n={int(bad.max())})")
     head = np.broadcast_to(tab[:PHEAD], (GRP, PHEAD)).astype(np.int32)
     pmax = -(-(nmax + 2) // 4096) * 4096
+    # the kernel selects a bitmask row with an unrolled nbrow-1 compare
+    # chain per candidate per step and keeps all rows in VMEM; a huge
+    # window would reintroduce exactly the select-chain cost the carried
+    # penalty removed — beyond this bound the scan engine is faster
+    if pmax // 4096 > MAX_NBROW:
+        raise ValueError(f"window too long for the boundary bitmask "
+                         f"({pmax // 4096} rows > {MAX_NBROW})")
     isb = np.zeros(pmax, dtype=np.int64)
     isb[1:len(tab)] = -d                          # 1 where the value drops
     words = np.zeros(pmax // 32, dtype=np.int64)
@@ -621,6 +632,10 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         a = np.asarray(arr)
         assert a.min() >= -32768 and a.max() < 32768, \
             f"rb_{name} exceeds int16 packing range"
+    # candidate metadata packs the intron start column as n<<4 into an
+    # int32 plane; genome columns >= 2^27 would silently corrupt it
+    assert bp.Nmax < (1 << 27), \
+        "window too long for packed candidate metadata (n << 4 in int32)"
     sop = 2 + (j4.shape[2] + 1) // 2
     pade = Tpad + 256
     stk_d, rflat_d = _build_stack_device(

@@ -211,8 +211,11 @@ class ExinPot:
     @classmethod
     def load(cls, tables: TableDir, fname: str = "IntronPotTab"
              ) -> "ExinPot | None":
-        p = tables.path(fname)
-        if p is None:
+        return cls.load_path(tables.path(fname))
+
+    @classmethod
+    def load_path(cls, p: str | None) -> "ExinPot | None":
+        if not p:
             return None
         with open(p) as fh:
             hdr = fh.readline().split()

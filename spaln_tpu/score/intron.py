@@ -162,7 +162,12 @@ class IntronPenalty:
         cached = getattr(self, "_tail_cache", None)
         if cached is None or len(cached) < nmax - self.rlmt + 1:
             import jax.numpy as jnp
-            top = max(nmax, 2 * self.rlmt + 1024)
+            # build generously past the request: every distinct length is
+            # a distinct XLA shape, and on a TPU backend each rebuild is
+            # a fresh compile + dispatch (measured: a growing cache
+            # rebuilt per chain_hsps call cost ~minutes); one 1M-entry
+            # build covers all realistic intron lengths in one compile
+            top = max(nmax, 2 * self.rlmt + 1024, 1 << 20)
             ns = np.arange(self.rlmt, top + 1, dtype=np.int64)
             x = jnp.maximum(jnp.asarray(ns - self.mu, dtype=jnp.float32),
                             jnp.float32(1.0))

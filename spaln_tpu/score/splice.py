@@ -24,6 +24,7 @@ the 16x16 joint table is pre-expanded per acceptor position into
 """
 from __future__ import annotations
 
+import typing
 from dataclasses import dataclass
 
 import numpy as np
@@ -47,6 +48,20 @@ def _c_short(x: np.ndarray) -> np.ndarray:
     return np.trunc(x).astype(np.int32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_pssm(path: str):
+    return load_pssm(path)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_exinpot(path: str):
+    from .codepot import ExinPot
+    return ExinPot.load_path(path) if path else None
+
+
 @dataclass
 class Sig53Tables:
     """Scaled dinucleotide signal tables from table/Intron53
@@ -56,15 +71,23 @@ class Sig53Tables:
     tab53: np.ndarray     # (256,) joint donor x acceptor
     tab35: np.ndarray     # (256,) joint acceptor..donor (IE35 order)
 
+    _cache: typing.ClassVar[dict] = {}
+
     @classmethod
     def load(cls, tables: TableDir, fs: float) -> "Sig53Tables":
         path = tables.path("Intron53")
+        key = (path, fs)
+        hit = cls._cache.get(key)          # per-window rebuilds re-read
+        if hit is not None:                # the same table file otherwise
+            return hit
         mats = load_pssm_stack(path, 4)
         t5 = _c_short(fs * mats[0].mtx.ravel()[:16])
         t3 = _c_short(fs * mats[1].mtx.ravel()[:16])
         t53 = _c_short(fs * mats[2].mtx.ravel()[:256])
         t35 = _c_short(fs * mats[3].mtx.ravel()[:256])
-        return cls(t5, t3, t53, t35)
+        out = cls(t5, t3, t53, t35)
+        cls._cache[key] = out
+        return out
 
 
 @dataclass
@@ -155,9 +178,9 @@ def build_splice_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
     if a2.y > 0:
         f5, f3 = tables.path("Splice5"), tables.path("Splice3")
         if f5:
-            p5 = load_pssm(f5)
+            p5 = _cached_pssm(f5)
         if f3:
-            p3 = load_pssm(f3)
+            p3 = _cached_pssm(f3)
     pssm5 = (fs_spec * scan_pssm(p5, codes, tron=tron, zero_tonic=True)
              if p5 else np.zeros(L))
     pssm3 = (fs_spec * scan_pssm(p3, codes, tron=tron, zero_tonic=True)
@@ -198,8 +221,7 @@ def build_splice_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
     # introns shorter than lm+rm (22 nt) score the (tiny) negative-span
     # difference instead of the reference's hard 0.
     if a2.Z and a2.Z > 0 and not tron:
-        from .codepot import ExinPot
-        ipt = ExinPot.load(tables, "IntronPotTab")
+        ipt = _cached_exinpot(tables.path("IntronPotTab") or "")
         if ipt is not None:
             fI = a2.Z * fact
             cum = np.zeros(L + 1, dtype=np.float64)

@@ -106,13 +106,36 @@ def _kmer_words(red: np.ndarray, k: int,
     return w, ok
 
 
+def _ragged_arange(lo: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """concatenate([arange(l, l+c) for l, c in zip(lo, cnt)]) without a
+    Python loop (cnt entries must be > 0)."""
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(cnt)
+    delta = np.ones(total, dtype=np.int64)
+    delta[ends[:-1]] = lo[1:] - (lo[:-1] + cnt[:-1]) + 1
+    delta[0] = lo[0]
+    return np.cumsum(delta)
+
+
+# per-word occurrence cap in the seed join (the WordTab `toomany`
+# abundance cap, bitpat.h:117-178): a word hitting more window positions
+# than this is low-information repeat content (poly-A/AT runs in AT-rich
+# genomes) whose quadratic pair blow-up buys no sensitivity
+TOOMANY_PER_WORD = 64
+# HSP count handed to the O(h^2) chain DP (the reference bounds work per
+# level via thresholds + poslmt; we keep the best by matrix score)
+MAX_HSPS = 1024
+
+
 def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
               match: int = 20, mismatch: int = -60,
               max_gap_in_run: int | None = None,
               min_score: int | None = None,
               mtx: np.ndarray | None = None,
               spaced: bool = False) -> list[Hsp]:
-    """K-mer seed pairs -> diagonal runs -> scored HSPs.
+    """K-mer seed pairs -> diagonal runs -> scored HSPs (vectorized).
 
     mtx: substitution matrix for run evaluation (Wlp::eval, wln.cc:358);
     falls back to flat match/mismatch when absent.  spaced: use the
@@ -138,12 +161,20 @@ def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
     lo = np.searchsorted(qv_sorted, gv, side="left")
     hi = np.searchsorted(qv_sorted, gv, side="right")
     cnt = hi - lo
-    has = cnt > 0
+    # abundance caps: a word occurring cq times in the query and cg
+    # times in the window generates cq*cg seed pairs; low-complexity
+    # words (poly-A/AT runs) explode quadratically with no sensitivity
+    # gain, so cap both the per-position fan-out and the per-word total
+    has = (cnt > 0) & (cnt <= TOOMANY_PER_WORD)
+    if has.any():
+        _, inv, cg = np.unique(gv, return_inverse=True,
+                               return_counts=True)
+        has &= cnt * cg[inv] <= TOOMANY_PER_WORD * TOOMANY_PER_WORD
     if not has.any():
         return []
     g_rep = np.repeat(gpos[has], cnt[has])
-    idx = np.concatenate([np.arange(l, h) for l, h in
-                          zip(lo[has], hi[has])])
+    idx = _ragged_arange(lo[has].astype(np.int64),
+                         cnt[has].astype(np.int64))
     q_rep = qpos_sorted[idx]
     diag = g_rep.astype(np.int64) - q_rep
     order = np.lexsort((g_rep, diag))
@@ -153,26 +184,33 @@ def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
                      | (np.diff(gg) > merge_gap))[0] + 1
     starts = np.concatenate([[0], brk])
     ends = np.concatenate([brk, [len(dd)]])
-    hsps: list[Hsp] = []
-    q_arr = np.asarray(q, dtype=np.int64)
-    g_arr = np.asarray(g, dtype=np.int64)
     span = k if pattern is None else len(pattern)
-    for s, e in zip(starts, ends):
-        jx, jy = int(qq[s]), int(gg[s])
-        jlen = int(gg[e - 1]) + span - jy
-        # evaluate with the matrix over the run (Wlp::eval, wln.cc:358)
-        qs = rq[jx:jx + jlen]
-        gs = rg[jy:jy + jlen]
-        L = min(len(qs), len(gs))
-        eq = (qs[:L] == gs[:L]) & (qs[:L] < 4)
-        nid = int(eq.sum())
-        if mtx is not None:
-            scr = int(mtx[q_arr[jx:jx + L], g_arr[jy:jy + L]].sum())
-        else:
-            scr = int(nid * match + (L - nid) * mismatch)
-        if scr >= thr:
-            hsps.append(Hsp(jx=jx, jy=jy, jlen=L, nid=nid, jscr=scr))
-    return hsps
+    jx = qq[starts]
+    jy = gg[starts]
+    jlen = gg[ends - 1] + span - jy
+    L = np.minimum(np.minimum(jlen, len(rq) - jx), len(rg) - jy)
+    keep = L >= k
+    jx, jy, L = jx[keep], jy[keep], L[keep]
+    if not len(jx):
+        return []
+    # vectorized run evaluation (Wlp::eval): flat gather + reduceat
+    qixs = _ragged_arange(jx, L)
+    gixs = _ragged_arange(jy, L)
+    offs = np.concatenate([[0], np.cumsum(L)[:-1]])
+    eq_flat = (rq[qixs] == rg[gixs]) & (rq[qixs] < 4)
+    nid = np.add.reduceat(eq_flat.astype(np.int64), offs)
+    if mtx is not None:
+        q_arr = np.asarray(q, dtype=np.int64)
+        g_arr = np.asarray(g, dtype=np.int64)
+        scr = np.add.reduceat(mtx[q_arr[qixs], g_arr[gixs]], offs)
+    else:
+        scr = nid * match + (L - nid) * mismatch
+    good = np.nonzero(scr >= thr)[0]
+    if len(good) > MAX_HSPS:
+        good = good[np.argsort(scr[good])[::-1][:MAX_HSPS]]
+        good.sort()
+    return [Hsp(jx=int(jx[i]), jy=int(jy[i]), jlen=int(L[i]),
+                nid=int(nid[i]), jscr=int(scr[i])) for i in good]
 
 
 def chain_hsps(hsps: list[Hsp], ipen=None, gop: int = -80, gep: int = -30,
@@ -186,32 +224,34 @@ def chain_hsps(hsps: list[Hsp], ipen=None, gop: int = -80, gep: int = -30,
         return []
     hs = sorted(hsps, key=lambda h: (h.ry, h.rx))
     n = len(hs)
-    best = [h.jscr for h in hs]
-    prev = [-1] * n
-    for i in range(n):
-        hi_ = hs[i]
-        for j in range(i):
-            lo_ = hs[j]
-            if lo_.rx >= hi_.rx or lo_.ry >= hi_.ry:
-                continue
-            ovl_x = lo_.rx - hi_.jx
-            if 2 * ovl_x > hi_.rx - lo_.jx:           # >50% overlap
-                continue
-            dy = hi_.jy - lo_.ry                      # genomic gap
-            dx = hi_.jx - lo_.rx
-            ovl = max(max(ovl_x, lo_.ry - hi_.jy), 0)
-            dr = dy - dx                              # diagonal shift
-            if dr >= min_intron and ipen is not None:
-                link = int(ipen.penalty_plus(np.asarray([dr]))[0])
-                link = max(link, gop + gep * dr)
-            elif dr != 0:
-                link = gop + gep * abs(dr)
-            else:
-                link = 0
-            cand = best[j] + hi_.jscr + link - ovl * 20
-            if cand > best[i]:
-                best[i] = cand
-                prev[i] = j
+    a_jx = np.array([h.jx for h in hs], dtype=np.int64)
+    a_jy = np.array([h.jy for h in hs], dtype=np.int64)
+    a_rx = np.array([h.rx for h in hs], dtype=np.int64)
+    a_ry = np.array([h.ry for h in hs], dtype=np.int64)
+    a_scr = np.array([h.jscr for h in hs], dtype=np.int64)
+    best = a_scr.copy()
+    prev = np.full(n, -1, dtype=np.int64)
+    NEG = np.int64(-2**62)
+    for i in range(1, n):
+        # vectorized inner loop over all predecessors j < i
+        ok = (a_rx[:i] < a_rx[i]) & (a_ry[:i] < a_ry[i])
+        ovl_x = a_rx[:i] - a_jx[i]
+        ok &= 2 * ovl_x <= a_rx[i] - a_jx[:i]         # <=50% overlap
+        if not ok.any():
+            continue
+        dr = (a_jy[i] - a_ry[:i]) - (a_jx[i] - a_rx[:i])
+        ovl = np.maximum(np.maximum(ovl_x, a_ry[:i] - a_jy[i]), 0)
+        link = np.where(dr != 0, gop + gep * np.abs(dr), 0)
+        if ipen is not None:
+            intr = dr >= min_intron
+            if intr.any():
+                pen = ipen.penalty_plus(dr[intr])
+                link[intr] = np.maximum(pen, gop + gep * dr[intr])
+        cand = np.where(ok, best[:i] + a_scr[i] + link - ovl * 20, NEG)
+        j = int(np.argmax(cand))
+        if cand[j] > best[i]:
+            best[i] = cand[j]
+            prev[i] = j
     # extract non-overlapping chains best-first
     order = np.argsort(best)[::-1]
     used = [False] * n

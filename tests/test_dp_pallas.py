@@ -88,7 +88,7 @@ def test_ipen_tiles_reconstruct_dense_table(ctx):
     """The carried-penalty scheme's head row + boundary bitmask must
     reproduce the dense table exactly: pen(n) for n >= PHEAD equals
     pen(PHEAD-1) minus the count of set boundary bits in (PHEAD-1, n]."""
-    from spaln_tpu.ops.dp_spliced_pallas import (PHEAD, dense_ipen,
+    from spaln_tpu.ops.dp_spliced_pallas import (GRP, PHEAD, dense_ipen,
                                                  ipen_tiles)
     from spaln_tpu.ops.dp_spliced_scan import _pack_ipen
     cfg, prm, tables = ctx
@@ -98,7 +98,7 @@ def test_ipen_tiles_reconstruct_dense_table(ctx):
     dense = dense_ipen(key, nmax).astype(np.int64)
     np.testing.assert_array_equal(dense, tab_true[:len(dense)])
     head, bits, nbrow = ipen_tiles(key, nmax)
-    words = np.concatenate([bits[r * 16] for r in range(nbrow)])
+    words = np.concatenate([bits[r * GRP] for r in range(nbrow)])
     isb = (words[np.arange(nbrow * 4096) >> 5].astype(np.int64)
            >> (np.arange(nbrow * 4096) & 31)) & 1
     rec = np.zeros(nmax + 1, np.int64)
