@@ -193,15 +193,24 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
 
 
 def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-                 interpret):
-    """The Pallas kernel body: one CHUNK-step block of one slab sweep."""
+                 interpret, emit_links=False):
+    """The Pallas kernel body: one CHUNK-step block of one slab sweep.
+
+    emit_links: the multi-intermediate UDH forward (fwd2s1_simd.h mode
+    table role, 221-229; link packing 334-347): every state additionally
+    carries the packed (column * 8 + state) crossing link at the previous
+    slab boundary, links ride the same selects as the values, and four
+    extra emission streams (boundary-H/F, final-row, right-column links)
+    feed the host backwalk (dp_spliced_udh).  Bit-identical to the scan
+    engine's emit_links mode by construction."""
     _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
     nstate = 3                                   # H / E1 / F
     GOPk = (0, 0, gop)                           # GOP[k//2] for k=0,1,2
     PSPB = (4, 1, 8)                             # psp bits (aln.h:56-59)
-    NST = 5 + 3 * NCAND                          # scratch state planes
+    NST = 5 + 3 * NCAND + ((4 + NCAND) if emit_links else 0)
+    NEM = 8 if emit_links else 4                 # emission planes
     nbt = nbs // 128
     SG = sop * GRP
     roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
@@ -272,14 +281,24 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         cvs = [ld(5 + l, negv) for l in range(NCAND)]
         cms = [ld(9 + l, zero) for l in range(NCAND)]   # cj<<4|k<<2|c5
         cps = [ld(13 + l, zero) for l in range(NCAND)]
+        if emit_links:
+            lk = [ld(17 + j, zero) for j in range(4)]   # h1/h2/f/e links
+            lkc = [ld(21 + l, zero) for l in range(NCAND)]
+        else:
+            lk, lkc = None, None
 
         def shift_right(x, fill):
             y = jnp.roll(x, 1, 1) if interpret else pltpu.roll(x, 1, 1)
             return jnp.where(lanes == 0, fill, y)
 
         def step(t2, ecol, fcol, carry):
-            (h1, h2, f1, e1, psp, cvs, cms, cps, w,
-             em) = carry
+            if emit_links:
+                (h1, h2, f1, e1, psp, cvs, cms, cps, lk, lkc, w,
+                 em) = carry
+                lkh1, lkh2, lkf, lke = lk
+            else:
+                (h1, h2, f1, e1, psp, cvs, cms, cps, w,
+                 em) = carry
             t = t0c + t2
             sc = m0 + lw0 + 1 + t
             n = sc + dln
@@ -314,9 +333,17 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
+            if emit_links:
+                # lane-0 sources sit ON the intermediate row: their link
+                # is their own (column, state) — pack_link(n0, st)
+                n0c = sc + dl[:, :1]
+                lk_up_h = shift_right(lkh1, n0c << 3)
+                lk_up_f = shift_right(lkf, (n0c << 3) | 2)
+                lk_diag = shift_right(lkh2, (n0c - 1) << 3)
 
             if _ablate == "noedge":   # timing probe: skip edge logic
                 left_h = h1
+                lk_left = lkh1 if emit_links else None
             else:
                 edge = first & (n != 1)
                 left_h = jnp.where(n == 1, col_m,
@@ -330,16 +357,25 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 psp = jnp.where(first, 0, psp)
                 cvs = [jnp.where(first, NEV, cc) for cc in cvs]
                 cms = [jnp.where(first, 0, cc) for cc in cms]
+                if emit_links:
+                    # column-0 / band-edge init cells descend from col 0
+                    lk_left = jnp.where((n == 1) | edge, 0, lkh1)
+                    lk_diag = jnp.where(n == 1, 0, lk_diag)
 
             # ---- recurrence (order = fwd2s1.cc:276-431)
             h_val = diag_h + score
             mx_val, mx_k = h_val, zero
+            if emit_links:
+                lk_mx = lk_diag
             xo = up_h + gop
             f_open = xo >= up_f
             f_val = jnp.where(f_open, xo, up_f) + gep
             gt = f_val > mx_val
             mx_val = jnp.where(gt, f_val, mx_val)
             mx_k = jnp.where(gt, 2, mx_k)
+            if emit_links:
+                lkf = jnp.where(f_open, lk_up_h, lk_up_f)
+                lk_mx = jnp.where(gt, lkf, lk_mx)
             prev_psp = psp
             xo = left_h + gop
             e_open = xo >= e1
@@ -349,6 +385,10 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             ge = e_val >= mx_val
             mx_val = jnp.where(ge, e_val, mx_val)
             mx_k = jnp.where(ge, 1, mx_k)
+            if emit_links:
+                lke = jnp.where(e_open, lk_left, lke)
+                lk_mx = jnp.where(ge, lke, lk_mx)
+                lk_states = [lk_diag, lke, lkf]
 
             # ---- carried intron penalty (exact table; see module doc)
             ncp = []
@@ -393,11 +433,16 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                         (xcs[l] >= cur) & oks[l]
                     cur = jnp.where(take, xcs[l], cur)
                     closed = closed | take
+                    if emit_links:
+                        lk_states[k] = jnp.where(take, lkc[l],
+                                                 lk_states[k])
                 state_vals[k] = cur
                 psp = jnp.where(closed, psp | PSPB[k], psp)
                 ge = closed & (cur >= mx_val)
                 mx_val = jnp.where(ge, cur, mx_val)
                 mx_k = jnp.where(ge, k, mx_k)
+                if emit_links:
+                    lk_mx = jnp.where(ge, lk_states[k], lk_mx)
             h_out = mx_val
 
             # ---- donor push (fwd2s1.cc:380-406)
@@ -415,7 +460,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 pos = ((cvs[0] >= x).astype(jnp.int32)
                        + (cvs[1] >= x) + (cvs[2] >= x) + (cvs[3] >= x))
                 meta = (n << 4) | (k << 2) | d5cls
-                ncv, ncm, ncp = [], [], []
+                ncv, ncm, ncp, ncl = [], [], [], []
                 for j in range(NCAND):
                     ins = (pos == j) & elig
                     shf = (pos < j) & elig
@@ -427,7 +472,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                     ncp.append(jnp.where(ins, zero,
                                          jnp.where(shf, cps[pj],
                                                    cps[j])))
+                    if emit_links:
+                        ncl.append(jnp.where(ins, lk_states[k],
+                                             jnp.where(shf, lkc[pj],
+                                                       lkc[j])))
                 cvs, cms, cps = ncv, ncm, ncp
+                if emit_links:
+                    lkc = ncl
 
             h_out = jnp.where(active, h_out, NEV)
             f_out = jnp.where(active, state_vals[2], NEV)
@@ -435,11 +486,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
 
             # ---- emissions into lane t2 (one shared mask; row/rc are
             # single lane-gathers, not masked cross-lane reductions)
+            if emit_links:
+                lkh_c = jnp.where(active, lk_mx, 0)
             if _ablate == "noemit":
-                ebh, ebf, erow, erc = em
+                pass
             else:
                 lane_sel = elanes == t2
-                ebh, ebf, erow, erc = em
+                ebh, ebf, erow, erc = em[:4]
                 ebh = jnp.where(lane_sel, h_out[:, L - 1:L], ebh)
                 ebf = jnp.where(lane_sel, f_out[:, L - 1:L], ebf)
                 row_v = gather_lane(h_out, li)[:, :1]
@@ -447,7 +500,19 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 rc_v = gather_lane(h_out, rcl)[:, :1]
                 erow = jnp.where(lane_sel, row_v, erow)
                 erc = jnp.where(lane_sel, rc_v, erc)
-            em = (ebh, ebf, erow, erc)
+                em4 = (ebh, ebf, erow, erc)
+                if emit_links:
+                    lbh, lbf, lrow, lrc = em[4:]
+                    lbh = jnp.where(lane_sel, lkh_c[:, L - 1:L], lbh)
+                    lbf = jnp.where(lane_sel, lk_states[2][:, L - 1:L],
+                                    lbf)
+                    lrow_v = gather_lane(lkh_c, li)[:, :1]
+                    lrc_v = gather_lane(lkh_c, rcl)[:, :1]
+                    lrow = jnp.where(lane_sel, lrow_v, lrow)
+                    lrc = jnp.where(lane_sel, lrc_v, lrc)
+                    em = em4 + (lbh, lbf, lrow, lrc)
+                else:
+                    em = em4
 
             # ---- slide the window (entering column at lane 0)
             wsh = jnp.roll(w, 1, 1) if interpret else pltpu.roll(w, 1, 1)
@@ -455,11 +520,19 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 jax.lax.broadcasted_iota(jnp.int32, (SG, L), 1) == 0,
                 ecol, wsh)
 
+            if emit_links:
+                lk_new = (lkh_c, lkh1, lk_states[2], lk_states[1])
+                return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
+                        lk_new, lkc, w, em)
             return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
                     w, em)
 
-        carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps,
-                  w_init, (enegv, enegv, enegv, enegv))
+        em0 = (enegv,) * NEM
+        if emit_links:
+            carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps,
+                      tuple(lk), lkc, w_init, em0)
+        else:
+            carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps, w_init, em0)
 
         def step_n(u, carry):
             # manual unroll (pallas fori_loop supports only unroll=1 or
@@ -481,8 +554,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             return carry
 
         out = jax.lax.fori_loop(0, CHUNK // UNROLL, step_n, carry0)
-        (h1, h2, f1, e1, psp, cvs, cms, cps, _w,
-         em) = out
+        if emit_links:
+            (h1, h2, f1, e1, psp, cvs, cms, cps, lk, lkc, _w,
+             em) = out
+        else:
+            (h1, h2, f1, e1, psp, cvs, cms, cps, _w,
+             em) = out
 
         st_ref[0] = h1
         st_ref[1] = h2
@@ -493,19 +570,24 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             st_ref[5 + l] = cvs[l]
             st_ref[9 + l] = cms[l]
             st_ref[13 + l] = cps[l]
+        if emit_links:
+            for j in range(4):
+                st_ref[17 + j] = lk[j]
+            for l in range(NCAND):
+                st_ref[21 + l] = lkc[l]
         em_out[:] = jnp.stack(em, axis=0)
 
-    return kernel, Tpad, n_chunks, NST
+    return kernel, Tpad, n_chunks, NST, NEM
 
 
 @functools.lru_cache(maxsize=64)
 def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
-               interpret=False):
+               interpret=False, emit_links=False):
     """Jitted pallas_call for one static geometry."""
     nbs = nbt * 128
-    kernel, Tpad, n_chunks, NST = _make_kernel(
+    kernel, Tpad, n_chunks, NST, NEM = _make_kernel(
         L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-        interpret)
+        interpret, emit_links=emit_links)
     nblk = B // GRP
     SG = sop * GRP
     sop_c = sop
@@ -541,14 +623,14 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
                          lambda i, c, s: (i, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, GRP, CHUNK),
+        out_specs=pl.BlockSpec((NEM, GRP, CHUNK),
                                lambda i, c, s: (0, i, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((NST, GRP, L), jnp.int32)],
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, B, Tpad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((NEM, B, Tpad), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -584,14 +666,19 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
                              CHUNK).transpose(1, 3, 4, 0, 2)
         fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, 3 * GRP)
 
-        em4 = call(
+        em = call(
             sca, dl, nb, mb, ec, colm, colm1, qp_slab,
             stk, stk, iph, ipb, ops_p, fl_p)
-        bh_v, bf_v, row_v, rc_v = em4[0], em4[1], em4[2], em4[3]
+        bh_v, bf_v, row_v, rc_v = em[0], em[1], em[2], em[3]
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
         row_h = _win_update(row_h, row_v, wr, cr0, PBn)
         rc_h = _win_update(rc_h, rc_v, wc, cc0, PBm)
+        if emit_links:
+            # raw per-step link streams (B, Tpad): boundary-H/F,
+            # final-row, right-column — backwalk indexes them by t
+            return (bnd_h, bnd_f, row_h, rc_h,
+                    em[4], em[5], em[6], em[7])
         return bnd_h, bnd_f, row_h, rc_h
 
     return slab_step, Tpad
@@ -730,9 +817,15 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
 
 def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
                              score_only: bool = True, block: bool = True,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             emit_links: bool = False):
     """Device stage on the Pallas kernel; contract and storage layout
-    identical to run_spliced_batch (score-only, single-affine)."""
+    identical to run_spliced_batch (single-affine).
+
+    emit_links: the UDH links forward — returns (row_h, rc_h, traces)
+    with traces[s] = ((5 link streams), entry-boundary snapshot), the
+    exact contract of run_spliced_batch(emit_links=True), so
+    dp_spliced_udh's backwalk + retrace consume it unchanged."""
     assert score_only, "trace mode runs on the scan engine"
     assert not prm.dagp, "double-affine not yet in the pallas kernel"
     if interpret is None:
@@ -745,28 +838,41 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     slab_step, Tpad = _slab_call(
         Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
         prep["nclass"], prep["sop"], prep["nbt"], prep["nbrow"],
-        interpret)
+        interpret, emit_links=emit_links)
 
     bnd_h = prep["bnd_h0"]
     bnd_f = prep["bnd_f0"]
+    bnd_f2 = bp.bnd_f20                   # untouched: single-affine
     row_h = jnp.full((Bp, prep["TOTn"]), NEV)
     rc_h = jnp.full((Bp, prep["TOTm"]), NEV)
 
+    from .dp_spliced_scan import snap_pos
+    traces = []
     qp_d = prep["qp"]
-    for sl in prep["slabs"]:
+    for s, sl in enumerate(prep["slabs"]):
+        if emit_links:
+            p0 = snap_pos(bp, s)
+            snap = (bnd_h[:B, p0:p0 + bp.T + 2],
+                    bnd_f[:B, p0:p0 + bp.T + 2],
+                    bnd_f2[:, p0:p0 + bp.T + 2])
         qp_slab = jax.lax.dynamic_slice(
             qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
-        bnd_h, bnd_f, row_h, rc_h = slab_step(
+        out = slab_step(
             sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
             sl["colm"], sl["colm1"], qp_slab, prep["stk"],
             prep["rflat"], prep["iph"], prep["ipb"], sl["r0s"],
             sl["n0_base"], prep["ns"], bnd_h, bnd_f, row_h, rc_h,
             sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
             sl["wl"], sl["wr"], sl["wc"], PBn, PBm)
+        bnd_h, bnd_f, row_h, rc_h = out[:4]
+        if emit_links:
+            zf2 = jnp.zeros((B, bp.T), jnp.int32)
+            streams = tuple(y[:B, :bp.T] for y in out[4:]) + (zf2,)
+            traces.append((streams, snap))
 
     if Bp != B:
         row_h = row_h[:B]
         rc_h = rc_h[:B]
     if block:
         np.asarray(row_h[:1, :1])
-    return row_h, rc_h, None
+    return row_h, rc_h, (traces if emit_links else None)

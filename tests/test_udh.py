@@ -200,3 +200,29 @@ def test_udh_memory_shape(cfg, prm, table_dir):
     assert len(snap) == 3
     for sn in snap:
         assert np.asarray(sn).shape == (1, bp.T + 2)
+
+
+def test_udh_pallas_links_bit_identity(cfg, prm, table_dir):
+    """The Pallas links forward (interpret mode on CPU) must reproduce
+    the scan engine's UDH results exactly: scores, ends, and op
+    streams (fwd2s1_simd.h mode-table parity for the links mode)."""
+    rng = np.random.default_rng(4242)
+    specs = [((60, 80), (150,)), ((40, 90, 40), (100, 90)),
+             ((120, 50), (250,))]
+    qs, gs, sigs = [], [], []
+    for exons, introns in specs:
+        q, g = _gene(rng, exons, introns, mut=0.03)
+        qs.append(encode_dna(q))
+        gs.append(encode_dna(g))
+        sigs.append(build_splice_signals(gs[-1], cfg, table_dir))
+    W = 512
+    lws = [-8, -16, -4]
+    bp = prepare_spliced_batch(qs, gs, prm, sigs=sigs, lws=lws, W=W, L=32)
+    s_ref, e_ref, ops_ref = run_spliced_batch_udh(bp, prm, engine="scan")
+    bp2 = prepare_spliced_batch(qs, gs, prm, sigs=sigs, lws=lws, W=W,
+                                L=32)
+    s_pl, e_pl, ops_pl = run_spliced_batch_udh(bp2, prm, engine="pallas")
+    for i in range(bp.B):
+        assert int(s_pl[i]) == int(s_ref[i])
+        assert tuple(e_pl[i]) == tuple(e_ref[i])
+        assert ops_pl[i] == ops_ref[i], f"problem {i}"
