@@ -175,9 +175,12 @@ def run_ours(corpus: str, qfile: str, lanes: int = 128,
     t0 = time.time()
     cli_main(["map", os.path.join(corpus, qfile), "-d", prefix,
               "-O", "4", "-o", outp, "--batch", str(batch),
-              "--lanes", str(lanes)])
+              "--lanes", str(lanes), "--metrics"])
     dt = time.time() - t0
-    return parse_ours_o4(open(outp).read()), dt
+    from spaln_tpu.utils.metrics import metrics
+    stages = {k: round(v, 2) for k, v in metrics.timings.items()}
+    counters = dict(metrics.counters)
+    return parse_ours_o4(open(outp).read()), dt, stages, counters
 
 
 def main(argv=None):
@@ -208,9 +211,13 @@ def main(argv=None):
            "ref_seconds": round(t_ref, 1),
            "ref_vs_truth": compare(ref, truth, names)}
     if not a.skip_ours:
-        ours, t_ours = run_ours(a.corpus, qfile, a.lanes, a.batch,
-                                platform=a.platform)
+        ours, t_ours, stages, counters = run_ours(
+            a.corpus, qfile, a.lanes, a.batch, platform=a.platform)
         rep["ours_seconds"] = round(t_ours, 1)
+        rep["platform"] = a.platform
+        rep["queries_per_sec"] = round(a.n_queries / t_ours, 3)
+        rep["stage_seconds"] = stages
+        rep["counters"] = counters
         rep["ours_vs_ref"] = compare(ours, ref, names)
         rep["ours_vs_truth"] = compare(ours, truth, names)
     out = a.out or os.path.join(a.corpus, "CORPUS_GATE.json")

@@ -563,8 +563,26 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 metrics.bump("jobs", len(part))
                 continue
             with stage("device_dp"):
-                row_h, rc_h, traces = run_spliced_batch(
-                    bp, ctx.prm, score_only=False)
+                traces = None
+                # production fast path (fwd2s1_simd.h forward+Vmf mode):
+                # full-plane trace forward on the Pallas kernel when the
+                # backend and problem shape allow; scan engine otherwise
+                import jax as _jax
+                if (_jax.default_backend() != "cpu" and mesh is None
+                        and not ctx.prm.dagp and bp.cip_all is None
+                        and not bp.flags.local):
+                    try:
+                        from ..ops.dp_spliced_pallas import \
+                            run_spliced_batch_pallas
+                        row_h, rc_h, traces = run_spliced_batch_pallas(
+                            bp, ctx.prm, score_only=False)
+                        metrics.bump("pallas_trace_jobs", len(part))
+                    except (ValueError, AssertionError):
+                        traces = None
+                if traces is None:
+                    row_h, rc_h, traces = run_spliced_batch(
+                        bp, ctx.prm, score_only=False)
+                    metrics.bump("scan_trace_jobs", len(part))
             metrics.bump("dp_cells",
                          bp.B * bp.n_slabs * bp.L * bp.W)
             with stage("traceback"):

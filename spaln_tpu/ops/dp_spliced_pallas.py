@@ -193,7 +193,7 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
 
 
 def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-                 interpret, emit_links=False):
+                 interpret, emit_links=False, emit_trace=False):
     """The Pallas kernel body: one CHUNK-step block of one slab sweep.
 
     emit_links: the multi-intermediate UDH forward (fwd2s1_simd.h mode
@@ -202,7 +202,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
     slab boundary, links ride the same selects as the values, and four
     extra emission streams (boundary-H/F, final-row, right-column links)
     feed the host backwalk (dp_spliced_udh).  Bit-identical to the scan
-    engine's emit_links mode by construction."""
+    engine's emit_links mode by construction.
+
+    emit_trace: the full-plane traceback forward (forward+Vmf mode of
+    the reference's table): per-step flags (winner state + gap-open
+    bits) and per-state junction planes stream to HBM as extra outputs;
+    the host traceback walks them exactly like the scan engine's."""
+    assert not (emit_links and emit_trace)
     _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
@@ -228,8 +234,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                ipb_ref,                          # (nbrow*GRP, 128) bits
                ecs_ref,                          # (1,1,CHUNK,SG) ops
                fcs_ref,                          # (1,1,CHUNK,3*GRP)
-               em_out,                           # (4, GRP, CHUNK) block
-               st_ref):                          # (NST, GRP, L) scratch
+               em_out,                           # (NEM, GRP, CHUNK) block
+               *refs):                           # [fl,spj outs,] scratch
+        if emit_trace:
+            fl_out, spj_out, st_ref = refs       # planes + scratch
+        else:
+            st_ref, = refs
         c = pl.program_id(1)
         m0 = sca_ref[0]
         lw0 = sca_ref[1]
@@ -425,9 +435,11 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 xcs.append(jnp.where(ok, cvs[l] + cps[l] + accb + jv,
                                      NEV))
                 oks.append(ok)
+            spj = []
             for k in range(nstate):
                 cur = state_vals[k]
                 closed = jnp.zeros((GRP, L), bool)
+                jnc_k = zero
                 for l in range(NCAND):
                     take = (((cms[l] >> 2) & 3) == k) & \
                         (xcs[l] >= cur) & oks[l]
@@ -436,7 +448,11 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                     if emit_links:
                         lk_states[k] = jnp.where(take, lkc[l],
                                                  lk_states[k])
+                    if emit_trace:
+                        jnc_k = jnp.where(take, (cms[l] >> 4) + 1,
+                                          jnc_k)
                 state_vals[k] = cur
+                spj.append(jnc_k)
                 psp = jnp.where(closed, psp | PSPB[k], psp)
                 ge = closed & (cur >= mx_val)
                 mx_val = jnp.where(ge, cur, mx_val)
@@ -444,6 +460,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 if emit_links:
                     lk_mx = jnp.where(ge, lk_states[k], lk_mx)
             h_out = mx_val
+            hdir = mx_k
 
             # ---- donor push (fwd2s1.cc:380-406)
             don_ok = isdon & internal_m & active & (n < Nb)
@@ -524,8 +541,16 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 lk_new = (lkh_c, lkh1, lk_states[2], lk_states[1])
                 return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
                         lk_new, lkc, w, em)
-            return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
-                    w, em)
+            carry_out = (h_out, h1, f_out, e1, psp, cvs, cms, cps,
+                         w, em)
+            if emit_trace:
+                # flag layout matches the scan engine: bits 0-2 winner
+                # state, 3 eopen, 4 fopen; 255 = inactive cell
+                flags = (hdir | (e_open.astype(jnp.int32) << 3)
+                         | (f_open.astype(jnp.int32) << 4))
+                flags = jnp.where(active, flags, 255)
+                return carry_out, (flags, spj)
+            return carry_out
 
         em0 = (enegv,) * NEM
         if emit_links:
@@ -548,9 +573,22 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             else:
                 ce = rse.reshape(SG, 1)
                 cf = rsf.reshape(3 * GRP, 1)
+            fls, spjs = [], []
             for d in range(UNROLL):
-                carry = step(t2u + d, ce[:, d:d + 1], cf[:, d:d + 1],
-                             carry)
+                out = step(t2u + d, ce[:, d:d + 1], cf[:, d:d + 1],
+                           carry)
+                if emit_trace:
+                    carry, (flags, spj) = out
+                    fls.append(flags)
+                    spjs.append(spj)
+                else:
+                    carry = out
+            if emit_trace:
+                # UNROLL consecutive trace planes stored as one block
+                fl_out[pl.ds(t2u, UNROLL)] = jnp.stack(fls, 0)
+                for k in range(nstate):
+                    spj_out[k, pl.ds(t2u, UNROLL)] = jnp.stack(
+                        [s_[k] for s_ in spjs], 0)
             return carry
 
         out = jax.lax.fori_loop(0, CHUNK // UNROLL, step_n, carry0)
@@ -582,12 +620,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
 
 @functools.lru_cache(maxsize=64)
 def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
-               interpret=False, emit_links=False):
+               interpret=False, emit_links=False, emit_trace=False):
     """Jitted pallas_call for one static geometry."""
     nbs = nbt * 128
     kernel, Tpad, n_chunks, NST, NEM = _make_kernel(
         L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-        interpret, emit_links=emit_links)
+        interpret, emit_links=emit_links, emit_trace=emit_trace)
     nblk = B // GRP
     SG = sop * GRP
     sop_c = sop
@@ -605,32 +643,50 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             return (i * nbt + bq // 128 + d, 0, 0)
         return pl.BlockSpec((1, SG, 128), imap, memory_space=pltpu.VMEM)
 
+    in_specs = [
+        bspec(L), bspec(L), bspec(L), bspec(L), bspec(L), bspec(L),
+        pl.BlockSpec((nclass, GRP, L), lambda i, c, s: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        wtile(0), wtile(1),
+        pl.BlockSpec((GRP, 128), lambda i, c, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, CHUNK, SG),
+                     lambda i, c, s: (i, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, CHUNK, 3 * GRP),
+                     lambda i, c, s: (i, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    em_spec = pl.BlockSpec((NEM, GRP, CHUNK), lambda i, c, s: (0, i, c),
+                           memory_space=pltpu.VMEM)
+    em_shape = jax.ShapeDtypeStruct((NEM, B, Tpad), jnp.int32)
+    if emit_trace:
+        out_specs = [
+            em_spec,
+            pl.BlockSpec((CHUNK, GRP, L), lambda i, c, s: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, CHUNK, GRP, L),
+                         lambda i, c, s: (0, c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            em_shape,
+            jax.ShapeDtypeStruct((Tpad, B, L), jnp.int32),
+            jax.ShapeDtypeStruct((3, Tpad, B, L), jnp.int32),
+        ]
+    else:
+        out_specs, out_shape = em_spec, em_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk, n_chunks),
-        in_specs=[
-            bspec(L), bspec(L), bspec(L), bspec(L), bspec(L), bspec(L),
-            pl.BlockSpec((nclass, GRP, L), lambda i, c, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            wtile(0), wtile(1),
-            pl.BlockSpec((GRP, 128), lambda i, c, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, SG),
-                         lambda i, c, s: (i, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, 3 * GRP),
-                         lambda i, c, s: (i, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((NEM, GRP, CHUNK),
-                               lambda i, c, s: (0, i, c),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((NST, GRP, L), jnp.int32)],
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NEM, B, Tpad), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -666,9 +722,13 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
                              CHUNK).transpose(1, 3, 4, 0, 2)
         fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, 3 * GRP)
 
-        em = call(
+        out = call(
             sca, dl, nb, mb, ec, colm, colm1, qp_slab,
             stk, stk, iph, ipb, ops_p, fl_p)
+        if emit_trace:
+            em, fl_pl, spj_pl = out
+        else:
+            em, fl_pl, spj_pl = out, None, None
         bh_v, bf_v, row_v, rc_v = em[0], em[1], em[2], em[3]
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
@@ -679,6 +739,8 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             # final-row, right-column — backwalk indexes them by t
             return (bnd_h, bnd_f, row_h, rc_h,
                     em[4], em[5], em[6], em[7])
+        if emit_trace:
+            return bnd_h, bnd_f, row_h, rc_h, fl_pl, spj_pl
         return bnd_h, bnd_f, row_h, rc_h
 
     return slab_step, Tpad
@@ -825,8 +887,13 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     emit_links: the UDH links forward — returns (row_h, rc_h, traces)
     with traces[s] = ((5 link streams), entry-boundary snapshot), the
     exact contract of run_spliced_batch(emit_links=True), so
-    dp_spliced_udh's backwalk + retrace consume it unchanged."""
-    assert score_only, "trace mode runs on the scan engine"
+    dp_spliced_udh's backwalk + retrace consume it unchanged.
+
+    score_only=False: the full-plane trace forward — traces[s] =
+    (flags (T, B, L) uint8, spj (T, B, L, 3) int32), the exact layout
+    collect_batch_results builds SliceTraces from."""
+    emit_trace = not score_only
+    assert not (emit_trace and emit_links)
     assert not prm.dagp, "double-affine not yet in the pallas kernel"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -838,7 +905,7 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     slab_step, Tpad = _slab_call(
         Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
         prep["nclass"], prep["sop"], prep["nbt"], prep["nbrow"],
-        interpret, emit_links=emit_links)
+        interpret, emit_links=emit_links, emit_trace=emit_trace)
 
     bnd_h = prep["bnd_h0"]
     bnd_f = prep["bnd_f0"]
@@ -869,10 +936,15 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
             zf2 = jnp.zeros((B, bp.T), jnp.int32)
             streams = tuple(y[:B, :bp.T] for y in out[4:]) + (zf2,)
             traces.append((streams, snap))
+        elif emit_trace:
+            fl_pl, spj_pl = out[4], out[5]
+            fl = fl_pl[:bp.T, :B].astype(jnp.uint8)
+            spj = jnp.transpose(spj_pl, (1, 2, 3, 0))[:bp.T, :B]
+            traces.append((fl, spj))
 
     if Bp != B:
         row_h = row_h[:B]
         rc_h = rc_h[:B]
     if block:
         np.asarray(row_h[:1, :1])
-    return row_h, rc_h, (traces if emit_links else None)
+    return row_h, rc_h, (traces if (emit_links or emit_trace) else None)

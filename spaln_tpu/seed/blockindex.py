@@ -254,26 +254,45 @@ class BlockIndex:
             return []
         cyc, blk, ws, ncyc = hs
         NB = self.n_blocks
-        # run gating: adjacent query position, same or +-1 block
-        key = np.sort(cyc * NB + blk)
-        run = np.zeros(len(blk), dtype=bool)
-        for dc in (-1, 1):
-            for db in (-1, 0, 1):
-                probe = (cyc + dc) * NB + blk + db
-                j = np.searchsorted(key, probe)
-                j = np.clip(j, 0, len(key) - 1)
-                run |= key[j] == probe
         half = ncyc // 2
-        left = cyc < half
-        bl = np.bincount(blk[run & left], weights=ws[run & left],
-                         minlength=NB)
-        br = np.bincount(blk[run & ~left], weights=ws[run & ~left],
-                         minlength=NB)
+        if ncyc * (NB + 2) <= (1 << 25):
+            # dense boolean gate (presence matrix + shifted ors), then
+            # per-hit gating by fancy index — run gating without the
+            # sorted-probe searchsorteds (~30x on typical geometries)
+            H = np.zeros((ncyc + 2, NB + 2), dtype=bool)
+            H[cyc + 1, blk + 1] = True
+            nb3 = H[:, :-2] | H[:, 1:-1] | H[:, 2:]      # +-1 block
+            gate = nb3[:-2] | nb3[2:]                    # +-1 position
+            run = gate[cyc, blk]
+            left = cyc < half
+            bl = np.bincount(blk[run & left], weights=ws[run & left],
+                             minlength=NB)
+            br = np.bincount(blk[run & ~left], weights=ws[run & ~left],
+                             minlength=NB)
+            run_cyc = np.zeros(ncyc + 1, dtype=bool)
+            run_cyc[cyc[run]] = True
+        else:
+            # sorted-probe fallback for huge query x block products
+            key = np.sort(cyc * NB + blk)
+            run = np.zeros(len(blk), dtype=bool)
+            for dc in (-1, 1):
+                for db in (-1, 0, 1):
+                    probe = (cyc + dc) * NB + blk + db
+                    j = np.searchsorted(key, probe)
+                    j = np.clip(j, 0, len(key) - 1)
+                    run |= key[j] == probe
+            left = cyc < half
+            bl = np.bincount(blk[run & left], weights=ws[run & left],
+                             minlength=NB)
+            br = np.bincount(blk[run & ~left], weights=ws[run & ~left],
+                             minlength=NB)
+            run_cyc = np.zeros(ncyc + 1, dtype=bool)
+            run_cyc[cyc[run]] = True
         # mmc: failed scan cycles per side, on the reference's
         # Nshift(=k)-step grid (nmmc role)
         step = max(self.k, 1)
         hitc = np.zeros(ncyc + 1, dtype=bool)
-        hitc[cyc[run]] = True
+        hitc[:len(run_cyc)] = run_cyc
         grid = np.arange(0, ncyc, step)
         gh = hitc[grid]
         mmc_l = int((~gh[grid < half]).sum())
@@ -308,20 +327,22 @@ class BlockIndex:
         for q_ in sig_r:
             if not any(a <= q_ <= b for a, b in cand):
                 cand.append((int(q_), int(q_)))
+        # extend bounds (not the score) across vote-positive neighbors
+        # (ExtBlock widening, blksrc.cc:2645-2661): nearest zero-vote
+        # block on each side, precomputed once by running extrema
+        idx = np.arange(NB)
+        zb = bsum <= 0
+        prev_zero = np.maximum.accumulate(np.where(zb, idx, -1))
+        next_zero = np.minimum.accumulate(np.where(zb, idx, NB)[::-1])[::-1]
         scored: list[tuple[float, int, int]] = []
         for lb0, rb0 in cand:
             sc = float(bl[lb0] + br[rb0]) if lb0 != rb0 \
                 else float(bsum[lb0])
-            # extend bounds (not the score) across vote-positive
-            # neighbors (ExtBlock widening, blksrc.cc:2645-2661)
-            lb, rb = lb0, rb0
-            z = max(lb - ext, 0)
-            while lb > z and bsum[lb - 1] > 0:
-                lb -= 1
-            z = min(rb + ext, NB - 1)
-            while rb < z and bsum[rb + 1] > 0:
-                rb += 1
-            scored.append((sc, lb, rb))
+            lb = max(int(prev_zero[lb0 - 1]) + 1, lb0 - ext, 0) \
+                if lb0 > 0 else 0
+            rb = min(int(next_zero[rb0 + 1]) - 1, rb0 + ext, NB - 1) \
+                if rb0 < NB - 1 else rb0
+            scored.append((sc, min(lb, lb0), max(rb, rb0)))
         scored.sort(key=lambda c: -c[0])
         passing = [c for c in scored if c[0] >= pair_thr]
         if not passing and scored:

@@ -226,3 +226,38 @@ def test_udh_pallas_links_bit_identity(cfg, prm, table_dir):
         assert int(s_pl[i]) == int(s_ref[i])
         assert tuple(e_pl[i]) == tuple(e_ref[i])
         assert ops_pl[i] == ops_ref[i], f"problem {i}"
+
+
+def test_pallas_trace_bit_identity(cfg, prm, table_dir):
+    """The Pallas full-plane trace forward (forward+Vmf mode) must give
+    the same planes the scan engine emits: identical scores, ends, and
+    traceback op streams."""
+    from spaln_tpu.ops.dp_spliced_pallas import run_spliced_batch_pallas
+    rng = np.random.default_rng(515)
+    specs = [((60, 80), (150,)), ((40, 90, 40), (100, 90)),
+             ((120, 50), (250,))]
+    qs, gs, sigs = [], [], []
+    for exons, introns in specs:
+        q, g = _gene(rng, exons, introns, mut=0.03)
+        qs.append(encode_dna(q))
+        gs.append(encode_dna(g))
+        sigs.append(build_splice_signals(gs[-1], cfg, table_dir))
+    W = 512
+    lws = [-8, -16, -4]
+    bp = prepare_spliced_batch(qs, gs, prm, sigs=sigs, lws=lws, W=W, L=32)
+    row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=False)
+    s1, e1, btr1 = collect_batch_results(bp, row_h, rc_h, traces, False,
+                                         prm=prm)
+    bp2 = prepare_spliced_batch(qs, gs, prm, sigs=sigs, lws=lws, W=W,
+                                L=32)
+    row2, rc2, tr2 = run_spliced_batch_pallas(bp2, prm, score_only=False)
+    s2, e2, btr2 = collect_batch_results(bp2, row2, rc2, tr2, False,
+                                         prm=prm)
+    for i in range(bp.B):
+        assert int(s2[i]) == int(s1[i])
+        assert tuple(e2[i]) == tuple(e1[i])
+        ops1 = traceback_spliced_scan(btr1[i], int(e1[i][0]),
+                                      int(e1[i][1]))
+        ops2 = traceback_spliced_scan(btr2[i], int(e2[i][0]),
+                                      int(e2[i][1]))
+        assert ops2 == ops1, f"problem {i}"
