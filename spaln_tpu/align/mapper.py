@@ -83,10 +83,60 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
     def _mark(qi, stage_name, detail=""):
         if triage is not None:
             triage.setdefault(qi, []).append((stage_name, detail))
-    # (qi, g0, g1, retry) work items; a failing query is skipped with a
-    # warning, never aborts the batch (spaln.cc:1104-1107 semantics)
+    # a failing query is skipped with a warning, never aborts the batch
+    # (spaln.cc:1104-1107 semantics)
     from ..utils.errors import report_skip
-    work = []
+
+    def _verify_candidate(qi, g0, g1):
+        """FindHsp-equivalent in-candidate verification
+        (blksrc.cc:2346-2545): run Wilip inside the vote window, widen
+        the window (ExtBlock role) while the best chain leaves a query
+        end uncovered at a window edge, and return the verified
+        (g0, g1, strand, chain) — or None when no chain survives.  DP
+        is only spent on verified candidates."""
+        q = queries[qi]
+        for _widen in range(3):
+            window = self.store.window(g0, g1)
+            cands = []
+            with stage("seed"):
+                if strands[qi] in ("auto", "+"):
+                    fwd = wilip(q, window, ipen=self.ctx.ipen,
+                                prm=self.ctx.prm,
+                                spaced=self.ctx.cfg.alg.crs > 0)
+                    if fwd:
+                        cands.append((fwd[0].score, "+", fwd[0]))
+                if strands[qi] in ("auto", "-"):
+                    rev = wilip(q, comrev(window), ipen=self.ctx.ipen,
+                                prm=self.ctx.prm,
+                                spaced=self.ctx.cfg.alg.crs > 0)
+                    if rev:
+                        cands.append((rev[0].score, "-", rev[0]))
+            if not cands:
+                return None
+            cands.sort(key=lambda c: -c[0])
+            score, st, chain = cands[0]
+            # chain coords are in window space; on '-' in rc-window
+            # space, so a left-edge overhang is a genome-right overhang
+            wlen = len(window)
+            q0, q1 = chain.q_span
+            c0, c1 = chain.g_span
+            if st == "-":
+                c0, c1 = wlen - c1, wlen - c0
+                q0, q1 = len(q) - q1, len(q) - q0
+            edge = max(len(q), 64)
+            grow_l = (maxgene // 2
+                      if (q0 > 15 and c0 < edge and g0 > 0) else 0)
+            grow_r = (maxgene // 2
+                      if (len(q) - q1 > 15 and wlen - c1 < edge
+                          and g1 < total) else 0)
+            if not (grow_l or grow_r):
+                return g0, g1, st, score, chain
+            g0 = max(g0 - grow_l, 0)
+            g1 = min(g1 + grow_r, total)
+        return g0, g1, st, score, chain
+
+    # phase A: block voting -> raw candidate windows per query
+    raw: list[list[tuple[int, int]]] = [[] for _ in queries]
     for qi, q in enumerate(queries):
         try:
             with stage("vote"):
@@ -108,42 +158,61 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             if any(not (g1 <= p0 or g0 >= p1) for p0, p1 in picked):
                 continue
             picked.append((g0, g1))
-            work.append([qi, g0, g1, 0])
             if len(picked) >= max_out * 3:
                 break
+        raw[qi] = picked
+
+    # phase B: FindHsp verification — chain every window, widen until
+    # covered, then dedup overlapping loci by chain score and apply the
+    # rising crit-score floor (critjscr, blksrc.cc:2532-2534) so DP is
+    # only paid for plausible loci
+    work = []
+    for qi, picked in enumerate(raw):
+        verified = []
+        for g0, g1 in picked:
+            try:
+                v = _verify_candidate(qi, g0, g1)
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except BaseException as exc:
+                report_skip(q_names[qi], exc, "seed")
+                _mark(qi, "seed-error", repr(exc))
+                continue
+            if v is None:
+                _mark(qi, "no-chain", f"({g0},{g1})")
+                continue
+            verified.append(v)
+        if not verified:
+            continue
+        verified.sort(key=lambda v: -v[3])
+        best = verified[0][3]
+        kept: list = []
+        for g0, g1, st, score, chain in verified:
+            if any(not (g1 <= k0 or g0 >= k1) for k0, k1, *_ in kept):
+                continue                      # locus dedup by chain score
+            if kept and score * 2 < best:
+                _mark(qi, "chain-floor", f"{score}<{best}/2")
+                continue
+            kept.append((g0, g1, st, score, chain))
+            if len(kept) >= max_out * 2:
+                break
+        for g0, g1, st, score, chain in kept:
+            work.append([qi, g0, g1, 0, st, chain])
+
     results: list[list[GeneStructure]] = [[] for _ in queries]
     for _round in range(3):
         if not work:
             break
         jobs, meta = [], []
-        for qi, g0, g1, retry in work:
+        for qi, g0, g1, retry, st, chain in work:
             try:
                 q = queries[qi]
                 window = self.store.window(g0, g1)
                 ci, _ = self.store.locate(g0)
-                # strand selection by chain score (geneorient, wln.cc:
-                # 1024); minus genes align in transcript orientation —
-                # original query vs reverse-complemented window — so the
-                # splice model applies exactly (see align_cdna)
-                cands = []
-                with stage("seed"):
-                    fwd = wilip(q, window, ipen=self.ctx.ipen,
-                                 prm=self.ctx.prm,
-                                 spaced=self.ctx.cfg.alg.crs > 0)
-                if strands[qi] in ("auto", "+") and fwd:
-                    cands.append((fwd[0].score, "+", window, fwd[0]))
-                if strands[qi] in ("auto", "-"):
-                    rc_w = comrev(window)
-                    rev = wilip(q, rc_w, ipen=self.ctx.ipen,
-                                prm=self.ctx.prm,
-                                spaced=self.ctx.cfg.alg.crs > 0)
-                    if rev:
-                        cands.append((rev[0].score, "-", rc_w, rev[0]))
-                if not cands:
-                    _mark(qi, "no-chain", f"({g0},{g1})")
-                    continue
-                cands.sort(key=lambda c: -c[0])
-                _, st, g_use, chain = cands[0]
+                # minus genes align in transcript orientation — original
+                # query vs reverse-complemented window — so the splice
+                # model applies exactly (see align_cdna)
+                g_use = comrev(window) if st == "-" else window
                 job = prepare_job(q, g_use, self.ctx, chain,
                                   q_name=q_names[qi],
                                   g_name=self.store.names[ci], strand=st,
@@ -184,9 +253,21 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                       if (len(q) - qhi > 8 and wlen - ghi < edge
                           and g1 < total) else 0)
             if (grow_l or grow_r) and retry < 2:
-                work.append([qi, max(g0 - grow_l, 0),
-                             min(g1 + grow_r, total), retry + 1])
-                continue
+                # window clipped the gene: widen and re-verify (the
+                # chain must be recomputed for the new window)
+                try:
+                    v = _verify_candidate(qi, max(g0 - grow_l, 0),
+                                          min(g1 + grow_r, total))
+                except (KeyboardInterrupt, SystemExit):
+                    raise
+                except BaseException as exc:
+                    report_skip(q_names[qi], exc, "seed")
+                    _mark(qi, "seed-error", repr(exc))
+                    v = None
+                if v is not None:
+                    n0, n1, st2, _, ch2 = v
+                    work.append([qi, n0, n1, retry + 1, st2, ch2])
+                    continue
             if gs.coverage(len(q)) < min_coverage:
                 _mark(qi, "coverage-filtered",
                       f"{gs.coverage(len(q)):.2f}")
