@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .params import DpFlags, NEVSEL
-from .dp_tron_ref import (TronDpParams, DEAD, DIAG, NEWD, VERT, SLA1, SLA2,
+from .dp_tron_ref import (TronDpParams, DEAD, RSRV, DIAG, NEWD, VERT, SLA1, SLA2,
                           VERL, HORI, HOR1, HOR2, HORL, SPIN, _IS_VERT,
                           DIR2NOD)
 from ..score.codepot import TronSignals
@@ -46,28 +46,32 @@ for _d, _k in DIR2NOD.items():
 
 
 def _insert_cand(cv, cj, cd, c3d, x, jnc, kdir, d3v, push):
-    """Masked insertion into (L, NCAND) sorted lists; ties displace
+    """Masked insertion into (..., NCAND) sorted lists; ties displace
     existing entries (H-engine `x >=` insertion, fwd2h1.cc:553-558)."""
-    pos = jnp.sum(cv > x[:, None], axis=1)
-    slot = jnp.arange(NCAND)[None, :]
-    here = (slot == pos[:, None]) & push[:, None]
-    shift = (slot > pos[:, None]) & push[:, None]
+    pos = jnp.sum(cv > x[..., None], axis=-1)
+    slot = jnp.arange(NCAND)
+    here = (slot == pos[..., None]) & push[..., None]
+    shift = (slot > pos[..., None]) & push[..., None]
 
     def place(arr, new):
-        shifted = jnp.concatenate([arr[:, :1], arr[:, :-1]], axis=1)
-        return jnp.where(here, new[:, None], jnp.where(shift, shifted, arr))
+        shifted = jnp.concatenate([arr[..., :1], arr[..., :-1]], axis=-1)
+        return jnp.where(here, new[..., None],
+                         jnp.where(shift, shifted, arr))
 
     return (place(cv, x), place(cj, jnc), place(cd, kdir), place(c3d, d3v))
 
 
 def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
                         ipen_tab, Mpad, pad_extra, flags: DpFlags,
-                        Npad: int | None = None):
+                        Npad: int | None = None, shift: int = 0):
     """Host stage: phase-split reversed operand arrays + query profiles.
 
     Lane n-values step by 3 per lane, so operands are stored reshaped as
     B3[k, p] = arr_padded[(Lp3-1-k)*3 + p]: the kernel reads value_i =
     arr[S - 3i] as the contiguous rows B3[k0 + i, p] with p = S' mod 3.
+    ``shift`` (= delta, this problem's band shift vs the batch-shared
+    band base) pre-bakes per-problem placement into the layout so every
+    kernel read uses a batch-invariant cursor.
     """
     M, N = len(a), len(bn)
     alpha = prm.qprof_mtx.shape[1]
@@ -76,6 +80,7 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
     qprof[M:] = prm.qprof_mtx[np.asarray(a[-1:], dtype=np.int64)]
 
     pad = (pad_extra // 2 // 3) * 3
+    assert shift <= pad - 8, "band shift exceeds operand pad"
     Nsz = Npad if Npad is not None else N
     Ltot = -(-(pad + Nsz + pad) // 3) * 3
     Lp3 = Ltot // 3
@@ -83,7 +88,8 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
     def b3(x, fill=0, width=None):
         shape = (Ltot,) if width is None else (Ltot, width)
         out = np.full(shape, fill, dtype=np.int32)
-        out[pad:pad + N] = x
+        lo = pad - shift
+        out[lo:lo + N] = x
         if width is None:
             return out.reshape(Lp3, 3)[::-1].copy()
         return out.reshape(Lp3, 3, width)[::-1].copy()
@@ -107,40 +113,53 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
 
 
 @functools.lru_cache(maxsize=64)
-def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
-               T, pad2, Lp3, emit_trace, dagp=False, lgop=0, lgep=0,
-               gw3l=0):
-    """lw, m0, M, N are traced; only the padded geometry recompiles."""
-    vm = jnp.asarray(_VERT_MASK)
-    nod_of = jnp.asarray(_NOD_OF)
+def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
+                     T, pad2, Lp3, PBn, TOTn, emit_trace, dagp=False,
+                     lgop=0, lgep=0, gw3l=0):
+    """Natively-batched tron wavefront slab (no vmap — a vmapped take
+    lowers to a scalar SMEM loop on this toolchain, PERF_NOTES.md).
+
+    All device indices are batch-invariant: per-problem band placement
+    (delta = lw_i - lw0) is pre-baked into the operand layout by
+    build_tron_operands(shift=) and into the boundary-array placement
+    (PBn - delta) by prepare_tron_batch; boundary writes stream out as
+    per-step emissions and are written back as contiguous windows at
+    batch-shared cursors after the scan (the dp_spliced_scan scheme).
+    m0, lw0 are traced; only the padded geometry recompiles."""
     n_nod = 5 if dagp else 3
 
-    def step(carry, t, *, qp0, qp1, ops, m0, lw, M, N, a_exgr):
-        (hh, hd, ff, ee, ed, ff2, fd2, ee2, ed2, cv, cj, cd, c3d,
-         bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h) = carry
-        # hh: (6, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
-        # ff: (3, L) F history; ee: (3, L) E queue vals; ed dirs
-        # ff2/fd2: (3, L) F2 val+dir history, ee2/ed2: E2 queue (dagp)
+    def step(carry, t, *, qp0, qp1, ops, bnd, m0, lw0, deltas, Ms, Ns,
+             a_exgr):
+        (hh, hd, ff, ee, ed, ff2, fd2, ee2, ed2, cv, cj, cd, c3d) = carry
+        # hh: (6, B, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
+        # ff: (3, B, L) F history; ee: (3, B, L) E queue vals; ed dirs
+        # ff2/fd2: F2 val+dir history, ee2/ed2: E2 queue (dagp)
+        # cv/cj/cd/c3d: 3-tuples (one per splice phase) of (B, L, NCAND)
         a_exgr = jnp.asarray(a_exgr, bool)
         lanes = jnp.arange(L)
-        m = m0 + lanes
-        c0 = 3 * m0 + lw - 1
-        n = (c0 + t) - 3 * lanes
+        m = m0 + lanes                              # (L,) shared
+        c0 = 3 * m0 + lw0 - 1                       # shared cursor base
+        n_s = (c0 + t) - 3 * lanes                  # (L,) shared col
+        n = n_s[None, :] + deltas[:, None]          # (B, L) real col
         # lane i's band offset: r = (lw-1) + t - 6i (the n-stagger is 3i,
-        # and r = n - 3m drops another 3i)
+        # and r = n - 3m drops another 3i); band-relative, so shared
         r_off = t - 6 * lanes
         started = r_off >= 0
         in_band = r_off < W
-        active = (started & in_band & (n >= 0) & (n <= N)
-                  & (m >= 1) & (m <= M))
+        active = ((started & in_band & (m >= 1))[None, :]
+                  & (n >= 0) & (n <= Ns[:, None])
+                  & (m[None, :] <= Ms[:, None]))
         first = r_off == 0
         q = t % 3
 
+        negrow = jnp.full((B, 1), NEV)
+
         def shift(v):                     # lane i <- lane i-1
-            return jnp.concatenate([jnp.full((1,), NEV), v[:-1]])
+            return jnp.concatenate([negrow, v[:, :-1]], axis=1)
 
         def shifti(v, fill=0):
-            return jnp.concatenate([jnp.full((1,), fill, v.dtype), v[:-1]])
+            f = jnp.full((B, 1), fill, v.dtype)
+            return jnp.concatenate([f, v[:, :-1]], axis=1)
 
         # ---- neighbor values from history (lane-shifted)
         up_h3 = shift(hh[2])              # (m-1, n)    H
@@ -158,32 +177,40 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         ld1, ld3 = hd[0], hd[2]
 
         # lane 0 boundary from previous slab / init row: values at
-        # (m0-1, n0), (m0-1, n0-1), (m0-1, n0-2), (m0-1, n0-3)
-        n0 = c0 + t
-        bl = jnp.clip(n0 - 3, 0, None)
-        bh4 = jax.lax.dynamic_slice_in_dim(bnd_h, bl, 4)
-        bd4 = jax.lax.dynamic_slice_in_dim(bnd_hd, bl, 4)
-        bf4 = jax.lax.dynamic_slice_in_dim(bnd_f, bl, 4)
-        okb = (n0 >= 3) & (n0 <= N)
-        up_h3 = up_h3.at[0].set(jnp.where(okb, bh4[3], NEV))
-        up_d3 = up_d3.at[0].set(jnp.where(okb, bd4[3], DEAD))
-        up_h4 = up_h4.at[0].set(jnp.where(okb & (n0 >= 1), bh4[2], NEV))
-        up_d4 = up_d4.at[0].set(jnp.where(okb, bd4[2], DEAD))
-        up_h5 = up_h5.at[0].set(jnp.where(okb & (n0 >= 2), bh4[1], NEV))
-        up_d5 = up_d5.at[0].set(jnp.where(okb, bd4[1], DEAD))
-        hq_v = hq_v.at[0].set(jnp.where(okb, bh4[0], NEV))
-        hq_d = hq_d.at[0].set(jnp.where(okb, bd4[0], DEAD))
-        up_f3 = up_f3.at[0].set(jnp.where(okb, bf4[3], NEV))
+        # (m0-1, n0), (m0-1, n0-1), (m0-1, n0-2), (m0-1, n0-3); read at
+        # the batch-shared (shifted) cursor
+        n0s = c0 + t
+        n0 = n0s + deltas                           # (B,) real col
+        bl = jnp.clip(n0s - 3 + PBn, 0, TOTn - 4)
+        bh4 = jax.lax.dynamic_slice(bnd["h"], (0, bl), (B, 4))
+        bd4 = jax.lax.dynamic_slice(bnd["hd"], (0, bl), (B, 4))
+        bf4 = jax.lax.dynamic_slice(bnd["f"], (0, bl), (B, 4))
+        okb = (n0 >= 3) & (n0 <= Ns)                # (B,)
+        lane0 = (lanes == 0)[None, :]
+
+        def l0(arr, val, fill):
+            return jnp.where(lane0, jnp.where(okb, val, fill)[:, None],
+                             arr)
+
+        up_h3 = l0(up_h3, bh4[:, 3], NEV)
+        up_d3 = l0(up_d3, bd4[:, 3], DEAD)
+        up_h4 = l0(up_h4, bh4[:, 2], NEV)
+        up_d4 = l0(up_d4, bd4[:, 2], DEAD)
+        up_h5 = l0(up_h5, bh4[:, 1], NEV)
+        up_d5 = l0(up_d5, bd4[:, 1], DEAD)
+        hq_v = l0(hq_v, bh4[:, 0], NEV)
+        hq_d = l0(hq_d, bd4[:, 0], DEAD)
+        up_f3 = l0(up_f3, bf4[:, 3], NEV)
         if dagp:
-            bf24 = jax.lax.dynamic_slice_in_dim(bnd_f2, bl, 4)
-            bfd24 = jax.lax.dynamic_slice_in_dim(bnd_f2d, bl, 4)
-            up_f23 = up_f23.at[0].set(jnp.where(okb, bf24[3], NEV))
-            up_fd23 = up_fd23.at[0].set(jnp.where(okb, bfd24[3], DEAD))
+            bf24 = jax.lax.dynamic_slice(bnd["f2"], (0, bl), (B, 4))
+            bfd24 = jax.lax.dynamic_slice(bnd["f2d"], (0, bl), (B, 4))
+            up_f23 = l0(up_f23, bf24[:, 3], NEV)
+            up_fd23 = l0(up_fd23, bfd24[:, 3], DEAD)
 
         # band-right edge: vertical sources invalid (r+1..r+3 > up)
-        at_top = r_off >= W - 1
-        at_top2 = r_off >= W - 2
-        at_top3 = r_off >= W - 3
+        at_top = (r_off >= W - 1)[None, :]
+        at_top2 = (r_off >= W - 2)[None, :]
+        at_top3 = (r_off >= W - 3)[None, :]
         up_h3 = jnp.where(at_top3, NEV, up_h3)
         up_f3 = jnp.where(at_top3, NEV, up_f3)
         up_f23 = jnp.where(at_top3, NEV, up_f23)
@@ -191,32 +218,37 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         up_h5 = jnp.where(at_top, NEV, up_h5)
 
         # lane (re)activation resets
-        eq = jnp.where(first[None, :], NEV, ee)
-        edq = jnp.where(first[None, :], 0, ed)
-        eq2 = jnp.where(first[None, :], NEV, ee2)
-        edq2 = jnp.where(first[None, :], 0, ed2)
-        cv = jnp.where(first[:, None, None], NEV, cv)
-        cj = jnp.where(first[:, None, None], 0, cj)
-        cd = jnp.where(first[:, None, None], 0, cd)
-        c3d = jnp.where(first[:, None, None], 0, c3d)
+        f1 = first[None, None, :]
+        eq = jnp.where(f1, NEV, ee)
+        edq = jnp.where(f1, 0, ed)
+        eq2 = jnp.where(f1, NEV, ee2)
+        edq2 = jnp.where(f1, 0, ed2)
+        fc = first[None, :, None]
+        cv = tuple(jnp.where(fc, NEV, x) for x in cv)
+        cj = tuple(jnp.where(fc, 0, x) for x in cj)
+        cd = tuple(jnp.where(fc, 0, x) for x in cd)
+        c3d = tuple(jnp.where(fc, 0, x) for x in c3d)
 
         # ---- phase-split reversed slices: value_i = arr[n_i + o] read as
         # rows B3[k0 + i, p] with S' = pad + c0 + t + o, p = S' mod 3
+        # (per-problem delta is baked into the layout, so S is shared)
         def sl(key, o):
-            S = pad2 + (c0 + t) + o
+            S = pad2 + n0s + o
             k0 = Lp3 - 1 - S // 3
             p = S % 3
-            blk = jax.lax.dynamic_slice(ops[key], (k0, 0), (L, 3))
-            return jnp.where(p == 0, blk[:, 0],
-                             jnp.where(p == 1, blk[:, 1], blk[:, 2]))
+            blk = jax.lax.dynamic_slice(ops[key], (0, k0, 0), (B, L, 3))
+            return jnp.where(p == 0, blk[:, :, 0],
+                             jnp.where(p == 1, blk[:, :, 1], blk[:, :, 2]))
 
         def sl16(key, o):
-            S = pad2 + (c0 + t) + o
+            S = pad2 + n0s + o
             k0 = Lp3 - 1 - S // 3
             p = S % 3
-            blk = jax.lax.dynamic_slice(ops[key], (k0, 0, 0), (L, 3, 16))
-            return jnp.where(p == 0, blk[:, 0, :],
-                             jnp.where(p == 1, blk[:, 1, :], blk[:, 2, :]))
+            blk = jax.lax.dynamic_slice(ops[key], (0, k0, 0, 0),
+                                        (B, L, 3, 16))
+            return jnp.where(p == 0, blk[:, :, 0, :],
+                             jnp.where(p == 1, blk[:, :, 1, :],
+                                       blk[:, :, 2, :]))
 
         bt_n2 = sl("rb_bt", -2)                  # btron[n-2]
         bt_n1p = sl("rb_bt", 1)                  # btron[n+1]
@@ -241,7 +273,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         joint_np1 = sl16("rb_joint", 1)
 
         # ================= recurrence (fwd2h1.cc:361-575) ================
-        score = jnp.take_along_axis(qp0, bt_n2[:, None], axis=1)[:, 0]
+        score = jnp.take_along_axis(qp0, bt_n2[..., None], axis=2)[..., 0]
         h_ok = n >= 3
         h_val = jnp.where(h_ok, hq_v + score + sigE_n2, NEV)
         h_dir = jnp.where(h_ok,
@@ -249,15 +281,20 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                                     | (hq_d == (DIAG | SPIN)),
                                     DIAG, NEWD),
                           DEAD)
-        mx_val, mx_k, mx_dir = h_val, jnp.zeros(L, I32), h_dir
+        mx_val, mx_k, mx_dir = h_val, jnp.zeros((B, L), I32), h_dir
+
+        def isvert(d):
+            # _IS_VERT = {VERT..VERL} = dirs 4..7 (dp_tron_ref.py:30-34)
+            dm = d & 15
+            return (dm >= VERT) & (dm <= VERL)
 
         # ---- vertical
         y = up_f3 + gep
-        x = up_h5 + jnp.where(vm[jnp.clip(up_d5, 0, 63)] == 1, ge1, gw1)
+        x = up_h5 + jnp.where(isvert(up_d5), ge1, gw1)
         f_val = jnp.where(x > y, x, y)
         f_dir = jnp.where(x > y, SLA2, VERT)
         f_open = x > y
-        x = up_h4 + jnp.where(vm[jnp.clip(up_d4, 0, 63)] == 1, ge2, gw2)
+        x = up_h4 + jnp.where(isvert(up_d4), ge2, gw2)
         t2_ = x > f_val
         f_val = jnp.where(t2_, x, f_val)
         f_dir = jnp.where(t2_, SLA1, f_dir)
@@ -278,9 +315,9 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
 
         # ---- long deletion F2 (dagp, fwd2h1.cc:413-425); extension
         # copies the prior dir (*f2 = f2[3]) so SPIN propagates
-        f2_val = jnp.full(L, NEV)
-        f2_dir = jnp.zeros(L, I32)
-        f2_open = jnp.zeros(L, bool)
+        f2_val = jnp.full((B, L), NEV)
+        f2_dir = jnp.zeros((B, L), I32)
+        f2_open = jnp.zeros((B, L), bool)
         if dagp:
             x = up_h3 + gw3l
             y = up_f23 + lgep
@@ -295,8 +332,8 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         # ---- horizontal (rotating queue slot q)
         ev = eq[q]
         edir = edq[q]
-        e_open = jnp.zeros(L, bool)
-        ok3 = r_off > 2
+        e_open = jnp.zeros((B, L), bool)
+        ok3 = (r_off > 2)[None, :]
         x = jnp.where(ok3, left3 + gw3, NEV)
         ev3 = ev + gep
         opened3 = ok3 & (x > ev3)
@@ -309,7 +346,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         # (before the 2/1-nt E1 updates), matching the scalar order
         ev2 = eq2[q]
         edir2 = edq2[q]
-        e2_open = jnp.zeros(L, bool)
+        e2_open = jnp.zeros((B, L), bool)
         if dagp:
             x2 = jnp.where(ok3, left3 + gw3l, NEV)
             ev23 = ev2 + lgep
@@ -323,7 +360,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             mx_val = jnp.where(ge2_, ev2, mx_val)
             mx_k = jnp.where(ge2_, 3, mx_k)
             mx_dir = jnp.where(ge2_, edir2, mx_dir)
-        ok2 = r_off > 1
+        ok2 = (r_off > 1)[None, :]
         x = jnp.where(ok2, left2 + gw2, NEV)
         t2e = x > ev
         ev = jnp.where(t2e, x, ev)
@@ -339,14 +376,14 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         mx_k = jnp.where(ge_, 1, mx_k)
         mx_dir = jnp.where(ge_, edir, mx_dir)
 
-        internal = (~a_exgr) | (m < M)
+        internal = (~a_exgr) | (m[None, :] < Ms[:, None])
         state_v = [h_val, ev, f_val, ev2, f2_val][:n_nod]
         state_d = [h_dir, edir, f_dir, edir2, f2_dir][:n_nod]
 
         # ---- acceptor closes over phases {-1, 0, +1}
-        spj_jnc = [jnp.zeros(L, I32) for _ in range(n_nod)]
-        spj_phs = [jnp.zeros(L, I32) for _ in range(n_nod)]
-        acc_any = internal & active & (n < N) & (phs3_n != -2)
+        spj_jnc = [jnp.zeros((B, L), I32) for _ in range(n_nod)]
+        spj_phs = [jnp.zeros((B, L), I32) for _ in range(n_nod)]
+        acc_any = internal & active & (n < Ns[:, None]) & (phs3_n != -2)
         for phs, accb_p, joint_p in ((-1, accb_np1, joint_np1),
                                      (0, accb_n, joint_n),
                                      (1, accb_n1, joint_n1)):
@@ -354,45 +391,45 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                             | (phs3_n == phs))
             nb = n - phs
             pi = phs + 1
-            ilen = nb[:, None] - cj[:, pi, :]
+            ilen = nb[..., None] - cj[pi]
             pen = jnp.take(ops["ipen"],
                            jnp.clip(ilen, 0, ops["ipen"].shape[0] - 1))
             # candidate c3d packs (dinc3[nb5] << 4) | dinc5[nb5]
-            cand_d5 = cd[:, pi, :] * 0 + (c3d[:, pi, :] & 15)
-            xc = (cv[:, pi, :] + pen + accb_p[:, None]
-                  + jnp.take_along_axis(joint_p, cand_d5, axis=1))
+            cand_d5 = c3d[pi] & 15
+            xc = (cv[pi] + pen + accb_p[..., None]
+                  + jnp.take_along_axis(joint_p, cand_d5, axis=2))
             # phase +-1 junction codon rescoring for dir-0 candidates
             if phs != 0:
-                w4 = jnp.clip(16 * ((c3d[:, pi, :] >> 4) & 15)
+                w4 = jnp.clip(16 * ((c3d[pi] >> 4) & 15)
                               + (d5_np1 if phs == -1
-                                 else d5_n1)[:, None], 0, 255)
+                                 else d5_n1)[..., None], 0, 255)
                 if phs == 1:
                     tr = jnp.take(ops["t1"], w4)
                     adj = jnp.take_along_axis(
-                        qp0, jnp.clip(tr, 0, 25), axis=1)
+                        qp0, jnp.clip(tr, 0, 25), axis=2)
                 else:
                     tr = jnp.take(ops["t2"], w4)
                     adj = jnp.take_along_axis(
-                        qp1, jnp.clip(tr, 0, 25), axis=1)
+                        qp1, jnp.clip(tr, 0, 25), axis=2)
                     bt_adj = jnp.take_along_axis(
-                        qp1, jnp.clip(bt_n1p[:, None], 0, 25), axis=1)
-                    adj = jnp.where((n[:, None] + 1) < N,
-                                    adj - bt_adj - sigE_n1p[:, None], 0)
-                xc = xc + jnp.where(cd[:, pi, :] == 0, adj, 0)
-            okc = (pm[:, None] & (ilen >= minl)
-                   & (cv[:, pi, :] > NEV // 2))
+                        qp1, jnp.clip(bt_n1p[..., None], 0, 25), axis=2)
+                    adj = jnp.where((n[..., None] + 1) < Ns[:, None, None],
+                                    adj - bt_adj - sigE_n1p[..., None], 0)
+                xc = xc + jnp.where(cd[pi] == 0, adj, 0)
+            okc = (pm[..., None] & (ilen >= minl)
+                   & (cv[pi] > NEV // 2))
             if phs == 1:
-                okc = okc & (cd[:, pi, :] != 2)
+                okc = okc & (cd[pi] != 2)
             xc = jnp.where(okc, xc, NEV)
             for k in range(n_nod):
                 cur = state_v[k]
                 jnc_k = spj_jnc[k]
                 php_k = spj_phs[k]
                 for l in range(NCAND):
-                    take = (cd[:, pi, l] == k) & (xc[:, l] > cur) \
-                        & okc[:, l]
-                    cur = jnp.where(take, xc[:, l], cur)
-                    jnc_k = jnp.where(take, cj[:, pi, l] + 1, jnc_k)
+                    take = (cd[pi][..., l] == k) & (xc[..., l] > cur) \
+                        & okc[..., l]
+                    cur = jnp.where(take, xc[..., l], cur)
+                    jnc_k = jnp.where(take, cj[pi][..., l] + 1, jnc_k)
                     php_k = jnp.where(take, phs, php_k)
                 state_v[k] = cur
                 spj_jnc[k] = jnc_k
@@ -415,8 +452,16 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         hd_out = mx_dir
 
         # ---- donor pushes over phases
-        don_any = internal & active & (n < N) & (phs5_n != -2)
-        hd_nod = nod_of[jnp.clip(mx_dir & 15, 0, 63)]
+        don_any = internal & active & (n < Ns[:, None]) & (phs5_n != -2)
+        dm_ = mx_dir & 15
+        # DIR2NOD as a compare chain (dp_tron_ref.py:37-38): dirs 0..1
+        # -> -1, 2..3 -> 0, 4..6 -> 2, 7 -> 4, 8..10 -> 1, 11 -> 3
+        hd_nod = jnp.where(dm_ <= RSRV, -1,
+                           jnp.where(dm_ <= NEWD, 0,
+                                     jnp.where(dm_ <= SLA2, 2,
+                                               jnp.where(dm_ == VERL, 4,
+                                                         jnp.where(dm_ <= HOR2,
+                                                                   1, 3)))))
         for phs, sig5_p in ((-1, sig5_np1), (0, sig5_n), (1, sig5_n1)):
             pm = don_any & (((phs5_n == 2) & (phs != 0))
                             | (phs5_n == phs))
@@ -424,6 +469,7 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             pi = phs + 1
             d3_p = (d3_np1, d3_n, d3_n1)[pi]
             d5_p = (d5_np1, d5_n, d5_n1)[pi]
+            cvp, cjp, cdp, c3p = cv[pi], cj[pi], cd[pi], c3d[pi]
             for k in range(n_nod):
                 crossspj = (phs == 1 and k == 0)
                 if crossspj:
@@ -446,13 +492,12 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                 # tail for junction re-coding, intron head for the joint
                 code = ((d3_p & 15) << 4) | (d5_p & 15)
                 cvp, cjp, cdp, c3p = _insert_cand(
-                    cv[:, pi, :], cj[:, pi, :], cd[:, pi, :],
-                    c3d[:, pi, :], x, nb,
-                    jnp.full(L, k, I32), code, elig)
-                cv = cv.at[:, pi, :].set(cvp)
-                cj = cj.at[:, pi, :].set(cjp)
-                cd = cd.at[:, pi, :].set(cdp)
-                c3d = c3d.at[:, pi, :].set(c3p)
+                    cvp, cjp, cdp, c3p, x, nb,
+                    jnp.full((B, L), k, I32), code, elig)
+            cv = cv[:pi] + (cvp,) + cv[pi + 1:]
+            cj = cj[:pi] + (cjp,) + cj[pi + 1:]
+            cd = cd[:pi] + (cdp,) + cd[pi + 1:]
+            c3d = c3d[:pi] + (c3p,) + c3d[pi + 1:]
 
         # ---- masked commit
         h_out = jnp.where(active, h_out, NEV)
@@ -465,34 +510,21 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         eq2 = eq2.at[q].set(jnp.where(active, ev2, eq2[q]))
         edq2 = edq2.at[q].set(jnp.where(active, edir2, edq2[q]))
 
-        # ---- boundary / result writes
+        # ---- boundary / result emissions (window-written post-scan at
+        # batch-shared cursors; row/rc assembled host-side).  NEV marks
+        # not-written so host assembly keeps the per-problem semantics.
         li = L - 1
-        nl = jnp.clip(n[li], 0, N + 1)
-        wl = active[li]
-        bnd_h = jax.lax.dynamic_update_slice_in_dim(
-            bnd_h, jnp.where(wl, h_out[li], bnd_h[nl])[None], nl, 0)
-        bnd_hd = jax.lax.dynamic_update_slice_in_dim(
-            bnd_hd, jnp.where(wl, hd_c[li], bnd_hd[nl])[None], nl, 0)
-        bnd_f = jax.lax.dynamic_update_slice_in_dim(
-            bnd_f, jnp.where(wl, f_out[li], bnd_f[nl])[None], nl, 0)
-        if dagp:
-            bnd_f2 = jax.lax.dynamic_update_slice_in_dim(
-                bnd_f2, jnp.where(wl, f2_out[li], bnd_f2[nl])[None], nl, 0)
-            bnd_f2d = jax.lax.dynamic_update_slice_in_dim(
-                bnd_f2d, jnp.where(wl, f2d_c[li],
-                                   bnd_f2d[nl])[None], nl, 0)
-        mi = jnp.clip(M - m0, 0, L - 1)
-        nr = jnp.clip(n[mi], 0, N + 1)
-        wr = (M - m0 >= 0) & (M - m0 < L) & active[mi]
-        row_h = jax.lax.dynamic_update_slice_in_dim(
-            row_h, jnp.where(wr, h_out[mi], row_h[nr])[None], nr, 0)
-        rcl = jnp.argmax(jnp.where(n == N, 1, 0))
-        wc = (n[rcl] == N) & active[rcl]
-        mc = jnp.clip(m[rcl], 0, row_h.shape[0] - 1)
-        rc_h = jax.lax.dynamic_update_slice_in_dim(
-            rc_h, jnp.where(wc, h_out[rcl], rc_h[jnp.clip(
-                mc, 0, rc_h.shape[0] - 1)])[None],
-            jnp.clip(mc, 0, rc_h.shape[0] - 1), 0)
+        wl = active[:, li]
+        ys_b = (h_out[:, li], hd_c[:, li], f_out[:, li],
+                f2_out[:, li], f2d_c[:, li], wl)
+        # final-row stream: lane of row M (per problem) via masked sum
+        mi = Ms - m0                                 # (B,) lane of row M
+        row_mask = (lanes[None, :] == mi[:, None]) & active
+        row_v = jnp.sum(jnp.where(row_mask, h_out - NEV, 0), axis=1) + NEV
+        # right-column stream: lane with n == N (per problem)
+        rc_mask = (n == Ns[:, None]) & active
+        rc_v = jnp.sum(jnp.where(rc_mask, h_out - NEV, 0), axis=1) + NEV
+        ys = ys_b + (row_v, rc_v)
 
         hh_n = jnp.concatenate([h_out[None], hh[:5]])
         hd_n = jnp.concatenate([hd_c[None], hd[:5]])
@@ -500,10 +532,9 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         ff2_n = jnp.concatenate([f2_out[None], ff2[:2]])
         fd2_n = jnp.concatenate([f2d_c[None], fd2[:2]])
         carry = (hh_n, hd_n, ff_n, eq, edq, ff2_n, fd2_n, eq2, edq2,
-                 cv, cj, cd, c3d,
-                 bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h)
+                 cv, cj, cd, c3d)
         if not emit_trace:
-            return carry, ()
+            return carry, ys
         # dirs fit 5 bits (<= HORL|SPIN = 27); winner node in bits 5-7
         fl_h = (jnp.clip(hd_out, 0, 31).astype(jnp.uint8)
                 | (mx_k.astype(jnp.uint8) << 5))
@@ -516,15 +547,45 @@ def _tron_scan(L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             e2_open, jnp.uint8(0x80), jnp.uint8(0))
         fl_f2 = (f2_dir & 31).astype(jnp.uint8) | jnp.where(
             f2_open, jnp.uint8(0x80), jnp.uint8(0))
-        spj_out = jnp.stack(spj_jnc, axis=1)
-        php_out = jnp.stack(spj_phs, axis=1).astype(jnp.int8)
-        return carry, (fl_h, fl_e, fl_f, spj_out, php_out, fl_e2, fl_f2)
+        spj_out = jnp.stack(spj_jnc, axis=-1)
+        php_out = jnp.stack(spj_phs, axis=-1).astype(jnp.int8)
+        return carry, ys + (fl_h, fl_e, fl_f, spj_out, php_out,
+                            fl_e2, fl_f2)
 
     @jax.jit
-    def run(carry0, qp0, qp1, ops, m0, lw, M, N, a_exgr):
-        f = functools.partial(step, qp0=qp0, qp1=qp1, ops=ops, m0=m0,
-                              lw=lw, M=M, N=N, a_exgr=a_exgr)
-        return jax.lax.scan(f, carry0, jnp.arange(T))
+    def run(qp0, qp1, ops, bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d,
+            m0, lw0, deltas, Ms, Ns, a_exgr):
+        from .dp_spliced_scan import _win_update
+        bnd = {"h": bnd_h, "hd": bnd_hd, "f": bnd_f,
+               "f2": bnd_f2, "f2d": bnd_f2d}
+        carry0 = (
+            jnp.full((6, B, L), NEV), jnp.zeros((6, B, L), I32),
+            jnp.full((3, B, L), NEV),
+            jnp.full((3, B, L), NEV), jnp.zeros((3, B, L), I32),
+            jnp.full((3, B, L), NEV), jnp.zeros((3, B, L), I32),
+            jnp.full((3, B, L), NEV), jnp.zeros((3, B, L), I32),
+            (jnp.full((B, L, NCAND), NEV),) * 3,
+            (jnp.zeros((B, L, NCAND), I32),) * 3,
+            (jnp.zeros((B, L, NCAND), I32),) * 3,
+            (jnp.zeros((B, L, NCAND), I32),) * 3)
+        f = functools.partial(step, qp0=qp0, qp1=qp1, ops=ops, bnd=bnd,
+                              m0=m0, lw0=lw0, deltas=deltas, Ms=Ms,
+                              Ns=Ns, a_exgr=a_exgr)
+        _, ys = jax.lax.scan(f, carry0, jnp.arange(T))
+        (bh, bhd, bf, bf2, bf2d, wl, row_v, rc_v) = ys[:8]
+        # write the last lane's boundary stream back as one contiguous
+        # window: position at step t is n_s[L-1] = c0 + t - 3(L-1)
+        c0 = 3 * m0 + lw0 - 1
+        ws = c0 - 3 * (L - 1)
+        wlT = wl.T
+        bnd_h = _win_update(bnd_h, bh.T, wlT, ws, PBn)
+        bnd_hd = _win_update(bnd_hd, bhd.T, wlT, ws, PBn)
+        bnd_f = _win_update(bnd_f, bf.T, wlT, ws, PBn)
+        if dagp:
+            bnd_f2 = _win_update(bnd_f2, bf2.T, wlT, ws, PBn)
+            bnd_f2d = _win_update(bnd_f2d, bf2d.T, wlT, ws, PBn)
+        return ((bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d),
+                (row_v, rc_v), ys[8:])
     return run
 
 
@@ -586,99 +647,226 @@ class TronTraceScan:
         return s, t, i
 
 
+@dataclass
+class TronBatchProblem:
+    """Batched tron operands (host prep separated from device execute).
+    Band placement deltas = lws - lw0 are pre-baked into the operand
+    layout and the boundary-array placement, so every device index is
+    batch-invariant (the dp_spliced_scan BatchProblem scheme)."""
+    ops: dict                  # (B, Lp3, 3[, 16]) stacked + shared tabs
+    qprof_all: object          # jnp (B, Mpad+1, alpha)
+    bnd0: tuple                # initial (B, TOTn) x5 (h, hd, f, f2, f2d)
+    Ms: list
+    Ns: list
+    lws: list
+    deltas: list
+    Ms_j: object
+    Ns_j: object
+    deltas_j: object
+    B: int
+    L: int
+    W: int
+    lw: int
+    Mpad: int
+    Ngeom: int
+    T: int
+    pad2: int
+    Lp3: int
+    PBn: int
+    TOTn: int
+    n_slabs: int
+    flags: DpFlags
+    sigs: list                 # host refs (sigT for end extraction)
+
+
+def prepare_tron_batch(queries: list, genomes: list, sigs: list,
+                       prm: TronDpParams, ipen_tab: np.ndarray,
+                       lws: list | None = None, W: int | None = None,
+                       flags: DpFlags | None = None,
+                       L: int = 64) -> TronBatchProblem:
+    """Host stage: pad B tron problems to a common geometry."""
+    flags = flags or DpFlags()
+    B = len(queries)
+    Ms = [len(q) for q in queries]
+    Ns = [len(g) for g in genomes]
+    if lws is None:
+        lws = [-3 * m for m in Ms]
+        W = max(n - l for n, l in zip(Ns, lws)) + 2
+    assert W is not None
+    lw0 = min(lws)
+    deltas = [l - lw0 for l in lws]
+    dmax = max(deltas)
+    dpad = -(-dmax // 384) * 384 if dmax else 0
+    n_slabs = (max(Ms) + L - 1) // L
+    Mpad = n_slabs * L
+    Ngeom = -(-max(Ns) // 384) * 384    # bucketed: reuse compilations
+    pad_extra = 2 * (L + W + 16 + dpad)
+    T = W + 6 * (L - 1)
+    PBn = 3 * Mpad + 3 * L + dpad + 16
+    TOTn = PBn + 3 * Mpad + Ngeom + T + 3 * L + 16
+
+    stacked: dict = {}
+    qprofs = []
+    pad = Lp3 = 0
+    for i in range(B):
+        od, qprof, pad, Lp3 = build_tron_operands(
+            np.asarray(queries[i]), np.asarray(genomes[i]), sigs[i], prm,
+            ipen_tab, Mpad, pad_extra, flags, Npad=Ngeom,
+            shift=deltas[i])
+        for k in ("rb_bt", "rb_sigE", "rb_sig5", "rb_accb", "rb_d5",
+                  "rb_d3", "rb_phs5", "rb_phs3", "rb_joint"):
+            stacked.setdefault(k, []).append(od[k])
+        qprofs.append(qprof)
+        shared = od                     # ipen/t1/t2 are batch-shared
+    ops = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+    # bucket the intron-penalty table length (values past the true
+    # length are never read: intron length <= N)
+    ipad = -(-len(shared["ipen"]) // 512) * 512
+    ops["ipen"] = jnp.asarray(np.pad(
+        shared["ipen"], (0, ipad - len(shared["ipen"])), mode="edge"))
+    ops["t1"] = jnp.asarray(shared["t1"])
+    ops["t2"] = jnp.asarray(shared["t2"])
+    qprof_all = jnp.asarray(np.stack(qprofs))
+
+    bnd_h = np.full((B, TOTn), NEVSEL, dtype=np.int32)
+    bnd_hd = np.full((B, TOTn), DEAD, dtype=np.int32)
+    for i in range(B):
+        bh0, bd0 = tron_init_row(sigs[i], prm, Ns[i], flags.a_exgl)
+        o = PBn - deltas[i]             # storage: PBn + n - delta
+        bnd_h[i, o:o + Ns[i] + 2] = bh0
+        bnd_hd[i, o:o + Ns[i] + 2] = bd0
+    bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
+    bnd0 = (jnp.asarray(bnd_h), jnp.asarray(bnd_hd), jnp.asarray(bnd_f),
+            jnp.asarray(bnd_f), jnp.zeros((B, TOTn), I32))
+    return TronBatchProblem(ops=ops, qprof_all=qprof_all, bnd0=bnd0,
+                            Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
+                            Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
+                            deltas_j=jnp.asarray(deltas),
+                            B=B, L=L, W=W, lw=lw0, Mpad=Mpad,
+                            Ngeom=Ngeom, T=T, pad2=pad, Lp3=Lp3,
+                            PBn=PBn, TOTn=TOTn, n_slabs=n_slabs,
+                            flags=flags, sigs=sigs)
+
+
+def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
+                   score_only: bool = False):
+    """Device stage: all slabs for the whole batch; host-side assembly
+    of the final-row / right-column result vectors.
+
+    Returns (row_np (B, Ngeom+2), rc_np (B, Mpad+2), traces) where
+    traces[s] is the slab's plane tuple ((T, B, L) arrays)."""
+    B, L, T = bp.B, bp.L, bp.T
+    run = _tron_scan_batch(B, L, bp.W, prm.gop, prm.gep, prm.gap_e1,
+                           prm.gap_e2, prm.gap_w1, prm.gap_w2,
+                           prm.gap_w3, prm.intron_minl, T, bp.pad2,
+                           bp.Lp3, bp.PBn, bp.TOTn,
+                           not score_only, dagp=prm.dagp, lgop=prm.lgop,
+                           lgep=prm.lgep, gw3l=prm.gap_w3l)
+    bnds = bp.bnd0
+    lw0 = jnp.asarray(bp.lw)
+    row_np = np.full((B, bp.Ngeom + 2), int(NEV), dtype=np.int64)
+    rc_np = np.full((B, bp.Mpad + 2), int(NEV), dtype=np.int64)
+    traces = []
+    for s in range(bp.n_slabs):
+        m0 = s * L + 1
+        qp0 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
+                                           axis=1)
+        qp1 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0, L, axis=1)
+        bnds, (row_v, rc_v), tr = run(
+            qp0, qp1, bp.ops, *bnds, m0, lw0, bp.deltas_j, bp.Ms_j,
+            bp.Ns_j, bp.flags.a_exgr)
+        if not score_only:
+            traces.append(tuple(np.asarray(y) for y in tr))
+        row_s = np.asarray(row_v)                    # (T, B)
+        rc_s = np.asarray(rc_v)
+        c0 = 3 * m0 + bp.lw - 1
+        for b in range(B):
+            M, N, d = bp.Ms[b], bp.Ns[b], bp.deltas[b]
+            li = M - m0
+            if 0 <= li < L:
+                # n at lane li, step t: c0 + t - 3*li + delta
+                nt0 = c0 - 3 * li + d
+                lo_t = max(0, -nt0)
+                hi_t = min(T, N + 1 - nt0)
+                if hi_t > lo_t:
+                    seg = row_s[lo_t:hi_t, b]
+                    w = seg != int(NEV)
+                    dst = row_np[b, nt0 + lo_t:nt0 + hi_t]
+                    dst[w] = seg[w]
+            iarr = np.arange(L)
+            tarr = (N - d - c0) + 3 * iarr
+            sel = (tarr >= 0) & (tarr < T) & (m0 + iarr <= M)
+            if sel.any():
+                vals = rc_s[tarr[sel], b]
+                w = vals != int(NEV)
+                rc_np[b, (m0 + iarr[sel])[w]] = vals[w]
+    return row_np, rc_np, traces
+
+
+def collect_tron_results(bp: TronBatchProblem, row_np, rc_np, traces,
+                         score_only: bool):
+    """Host stage: per-problem end extraction (lastH_ng semantics) and
+    per-problem TronTraceScan views of the batched planes."""
+    flags = bp.flags
+    out = []
+    for b in range(bp.B):
+        M, N, lw = bp.Ms[b], bp.Ns[b], bp.lws[b]
+        up = lw + bp.W - 2
+        row_b = row_np[b]
+        rc_b = rc_np[b]
+        sigT = bp.sigs[b].sigT
+        best_val, best_m, best_n = row_b[N], M, N
+        if flags.a_exgr:
+            for n in range(max(3 * M + lw - 1, 3), N + 1):
+                v = row_b[n]
+                if n - 3 >= 0 and 0 <= n - 2 < N and sigT[n - 2] > 0:
+                    vt = row_b[n - 3] + int(sigT[n - 2])
+                    if vt > v:
+                        v = vt
+                if v > best_val:
+                    best_val, best_m, best_n = v, M, n
+        if flags.b_exgr:
+            for r in range(N - 3 * M + 1, min(up, N) + 1):
+                if (N - r) % 3 == 0:
+                    mm = (N - r) // 3
+                    if 1 <= mm < M and rc_b[mm] > best_val:
+                        best_val, best_m, best_n = rc_b[mm], mm, N
+        tr = None
+        if not score_only:
+            tr = TronTraceScan(
+                fl_h=[t[0][:, b] for t in traces],
+                fl_e=[t[1][:, b] for t in traces],
+                fl_f=[t[2][:, b] for t in traces],
+                spj=[t[3][:, b] for t in traces],
+                php=[t[4][:, b] for t in traces],
+                L=bp.L, lw=lw, W=bp.W,
+                fl_e2=[t[5][:, b] for t in traces],
+                fl_f2=[t[6][:, b] for t in traces])
+            tr.row_h = row_b            # debug visibility
+            tr.rc_h = rc_b
+        out.append((int(best_val), int(best_m), int(best_n), tr))
+    return out
+
+
 def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                       prm: TronDpParams, ipen_tab: np.ndarray,
                       lw: int | None = None, up: int | None = None,
                       flags: DpFlags | None = None, L: int = 64,
                       score_only: bool = False):
-    """Run the tron wavefront for one problem."""
+    """Run the tron wavefront for one problem (batch-of-1 wrapper, so
+    the single-problem and batched paths cannot drift)."""
     flags = flags or DpFlags()
     M, N = len(a), len(bn)
     if lw is None:
         lw, up = -3 * M, N
     W = up - lw + 2
-    n_slabs = (M + L - 1) // L
-    Mpad = n_slabs * L
-    Ngeom = -(-N // 384) * 384          # bucketed: reuse compilations
-    pad_extra = 2 * (L + W + 16)
-    T = W + 6 * (L - 1)
-    opsd, qprof, pad, Lp3 = build_tron_operands(a, bn, sig, prm, ipen_tab,
-                                                Mpad, pad_extra, flags,
-                                                Npad=Ngeom)
-    # bucket the intron-penalty table length too (values past the true
-    # length are never read: intron length <= N)
-    ipad = -(-len(opsd["ipen"]) // 512) * 512
-    opsd["ipen"] = np.pad(opsd["ipen"], (0, ipad - len(opsd["ipen"])),
-                          mode="edge")
-    ops = {k: jnp.asarray(v) for k, v in opsd.items()}
-    run = _tron_scan(L, W, prm.gop, prm.gep, prm.gap_e1,
-                     prm.gap_e2, prm.gap_w1, prm.gap_w2, prm.gap_w3,
-                     prm.intron_minl, T, pad, Lp3,
-                     not score_only, dagp=prm.dagp, lgop=prm.lgop,
-                     lgep=prm.lgep, gw3l=prm.gap_w3l)
-    bh0, bd0 = tron_init_row(sig, prm, N, flags.a_exgl)
-    bh0 = np.pad(bh0, (0, Ngeom - N), constant_values=NEV)
-    bd0 = np.pad(bd0, (0, Ngeom - N), constant_values=DEAD)
-    bnd_h = jnp.asarray(bh0)
-    bnd_hd = jnp.asarray(bd0)
-    bnd_f = jnp.full(Ngeom + 2, NEV)
-    bnd_f2 = jnp.full(Ngeom + 2, NEV)
-    bnd_f2d = jnp.zeros(Ngeom + 2, I32)
-    row_h = jnp.full(Ngeom + 2, NEV)
-    rc_h = jnp.full(max(Mpad + 2, Ngeom + 2), NEV)
-    traces = []
-    for s in range(n_slabs):
-        m0 = s * L + 1
-        qp0 = jnp.asarray(qprof[m0 - 1:m0 - 1 + L])
-        qp1 = jnp.asarray(qprof[m0:m0 + L])
-        carry0 = (
-            jnp.full((6, L), NEV), jnp.zeros((6, L), I32),
-            jnp.full((3, L), NEV),
-            jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
-            jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
-            jnp.full((3, L), NEV), jnp.zeros((3, L), I32),
-            jnp.full((L, 3, NCAND), NEV),
-            jnp.zeros((L, 3, NCAND), I32),
-            jnp.zeros((L, 3, NCAND), I32),
-            jnp.zeros((L, 3, NCAND), I32),
-            bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h, rc_h)
-        carry, ys = run(carry0, qp0, qp1, ops, m0, lw, M, N, flags.a_exgr)
-        (bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d, row_h,
-         rc_h) = carry[13:20]
-        if not score_only:
-            traces.append(tuple(np.asarray(y) for y in ys))
-    row_np = np.asarray(row_h).astype(np.int64)
-    rc_np = np.asarray(rc_h).astype(np.int64)
-    sigT = sig.sigT
-    best_val, best_m, best_n = row_np[N], M, N
-    if flags.a_exgr:
-        for n in range(max(3 * M + lw - 1, 3), N + 1):
-            v = row_np[n]
-            if n - 3 >= 0 and 0 <= n - 2 < N and sigT[n - 2] > 0:
-                vt = row_np[n - 3] + int(sigT[n - 2])
-                if vt > v:
-                    v = vt
-            if v > best_val:
-                best_val, best_m, best_n = v, M, n
-    if flags.b_exgr:
-        for r in range(N - 3 * M + 1, min(up, N) + 1):
-            if (N - r) % 3 == 0:
-                mm = (N - r) // 3
-                if 1 <= mm < M and rc_np[mm] > best_val:
-                    best_val, best_m, best_n = rc_np[mm], mm, N
-    tr = None
-    if not score_only:
-        tr = TronTraceScan(fl_h=[t[0] for t in traces],
-                           fl_e=[t[1] for t in traces],
-                           fl_f=[t[2] for t in traces],
-                           spj=[t[3] for t in traces],
-                           php=[t[4] for t in traces],
-                           L=L, lw=lw, W=W,
-                           fl_e2=[t[5] for t in traces],
-                           fl_f2=[t[6] for t in traces])
-        tr.row_h = row_np      # debug visibility
-        tr.rc_h = rc_np
-    return int(best_val), best_m, best_n, tr
+    bp = prepare_tron_batch([np.asarray(a)], [np.asarray(bn)], [sig],
+                            prm, ipen_tab, lws=[lw], W=W, flags=flags,
+                            L=L)
+    row_np, rc_np, traces = run_tron_batch(bp, prm,
+                                           score_only=score_only)
+    res = collect_tron_results(bp, row_np, rc_np, traces, score_only)
+    return res[0]
 
 
 def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
