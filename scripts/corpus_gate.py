@@ -133,13 +133,48 @@ def compare(a: dict, b: dict, names) -> dict:
                 missing_a=missing_a, missing_b=missing_b)
 
 
-def run_reference(corpus: str, qfile: str, ref_bin: str) -> tuple:
+def make_protein_queries(corpus: str, n: int) -> tuple:
+    """Translate the longest forward ORF of each corpus cDNA into a
+    protein query set (the dictdisc.faa role, seqdb/Makefile:73-75)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from spaln_tpu.seq.codec import encode_dna, translate, decode_protein
+    from spaln_tpu.seq.utilseq import find_orfs
+    recs = _read_fasta(os.path.join(corpus, "corpus.cf"))
+    out = os.path.join(corpus, f"queries_{n}.faa")
+    names = []
+    with open(out, "w") as f:
+        for name, seq in recs:
+            if len(names) >= n:
+                break
+            codes = encode_dna(seq.upper())
+            orfs = [o for o in find_orfs(codes, min_len=150)
+                    if o[2] >= 0]               # forward frames only
+            if not orfs:
+                continue
+            s, e, _fr = max(orfs, key=lambda o: o[1] - o[0])
+            aa = decode_protein(translate(codes[s:e]))
+            aa = aa.rstrip("*")
+            if len(aa) < 50:
+                continue
+            names.append(_norm_qname(name))
+            f.write(f">{name}\n")
+            for i in range(0, len(aa), 60):
+                f.write(aa[i:i + 60] + "\n")
+    return out, names
+
+
+def run_reference(corpus: str, qfile: str, ref_bin: str,
+                  protein: bool = False) -> tuple:
     # without ALN_TAB the binary spins forever retrying table-file opens
     # (observed: 1 query burned 90 s of mostly-sys time; with the env
     # set the same query maps in 27 ms)
     env = dict(os.environ, ALN_TAB="/root/reference/table")
-    if not os.path.exists(os.path.join(corpus, "corpus_g.bkn")):
-        subprocess.run([ref_bin, "-W", "-KD", "corpus_g.gf"], cwd=corpus,
+    kind = "-KP" if protein else "-KD"
+    marker = os.path.join(corpus,
+                          "corpus_g.bkp" if protein else "corpus_g.bkn")
+    if not os.path.exists(marker):
+        subprocess.run([ref_bin, "-W", kind, "corpus_g.gf"], cwd=corpus,
                        check=True, capture_output=True, timeout=1800,
                        env=env)
     t0 = time.time()

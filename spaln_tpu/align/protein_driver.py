@@ -195,10 +195,29 @@ def _flip_coords(gs: GeneStructure, N: int) -> None:
     gs.introns.reverse()
 
 
-def _align_window_tron(q: np.ndarray, g: np.ndarray,
-                       ctx: ProteinAlignerContext, chain: Chain | None,
-                       sh: int, margin: int, lanes: int, q_name: str,
-                       g_name: str, strand: str) -> GeneStructure | None:
+@dataclass
+class TronJob:
+    """One protein x genomic-window DP problem, window/band already
+    restricted (the aa analog of driver.AlignJob)."""
+    q: np.ndarray
+    gw: np.ndarray
+    sig: object
+    lw: int
+    up: int
+    strand: str
+    lo: int                    # window offset inside the genome segment
+    g_total: int
+    q_name: str = ""
+    g_name: str = ""
+
+
+def prepare_tron_job(q: np.ndarray, g: np.ndarray,
+                     ctx: ProteinAlignerContext, chain: Chain | None,
+                     sh: int = 150, margin: int = 2000,
+                     q_name: str = "", g_name: str = "",
+                     strand: str = "+") -> TronJob | None:
+    """Window restriction + band geometry for one protein problem
+    (stripe31 role, aln2.cc:178-199)."""
     M = len(q)
     if chain is not None:
         g0, g1 = chain.g_span
@@ -232,22 +251,94 @@ def _align_window_tron(q: np.ndarray, g: np.ndarray,
     lw = max(lw - extra // 2, -3 * M)
     up = min(lw + Wb - 2, N)
     lw = max(up - Wb + 2, -3 * M)
-    score, em, en, tr = forward_tron_scan(q, gw, sig, ctx.prm,
-                                          ctx.ipen_tab, lw=lw, up=up,
-                                          L=lanes)
+    return TronJob(q=q, gw=gw, sig=sig, lw=lw, up=up, strand=strand,
+                   lo=lo, g_total=len(g), q_name=q_name, g_name=g_name)
+
+
+def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
+                     tr) -> GeneStructure | None:
     ops = traceback_tron_scan(tr, em, en)
-    gs = build_gene_structure_tron(ops, q, gw, score, sig=sig,
-                                   q_name=q_name, g_name=g_name,
-                                   strand=strand)
+    gs = build_gene_structure_tron(ops, job.q, job.gw, score,
+                                   sig=job.sig, q_name=job.q_name,
+                                   g_name=job.g_name, strand=job.strand)
     if gs is None:
         return None
     for e in gs.exons:
-        e.g_start += lo
-        e.g_end += lo
+        e.g_start += job.lo
+        e.g_end += job.lo
     for i in gs.introns:
-        i.g_start += lo
-        i.g_end += lo
+        i.g_start += job.lo
+        i.g_end += job.lo
     return gs
+
+
+TRON_PLANE_BUDGET = 1 << 30
+
+
+def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
+                      lanes: int = 64, max_batch: int = 32
+                      ) -> list[GeneStructure | None]:
+    """Run many protein jobs through the batched tron wavefront,
+    bucketed by padded geometry (the aa twin of driver.execute_jobs —
+    the reference's MasterWorker treats aa queries identically,
+    spaln.cc:1220-1468)."""
+    from ..ops.dp_tron_scan import (prepare_tron_batch, run_tron_batch,
+                                    collect_tron_results)
+    from ..utils.metrics import metrics, stage
+    results: list[GeneStructure | None] = [None] * len(jobs)
+    buckets: dict[tuple, list[int]] = {}
+    for i, job in enumerate(jobs):
+        if job is None:
+            continue
+        W = job.up - job.lw + 2
+        Mpad = _round_up(len(job.q), lanes)
+        buckets.setdefault((W, Mpad), []).append(i)
+    for (W, Mpad), idxs in buckets.items():
+        # full-plane traceback memory: ~T*L*20B per slab per problem
+        T = W + 6 * (lanes - 1)
+        n_slabs = max(Mpad // lanes, 1)
+        per = T * lanes * 20 * n_slabs
+        mb = max(1, min(max_batch, TRON_PLANE_BUDGET // max(per, 1)))
+        for c0 in range(0, len(idxs), mb):
+            part = idxs[c0:c0 + mb]
+            js = [jobs[i] for i in part]
+            with stage("prep"):
+                bp = prepare_tron_batch(
+                    [j.q for j in js], [j.gw for j in js],
+                    [j.sig for j in js], ctx.prm, ctx.ipen_tab,
+                    lws=[j.lw for j in js], W=W, L=lanes)
+            with stage("device_dp"):
+                row_np, rc_np, traces = run_tron_batch(bp, ctx.prm,
+                                                       score_only=False)
+            metrics.bump("tron_dp_cells", bp.B * bp.Mpad * bp.W)
+            with stage("traceback"):
+                res = collect_tron_results(bp, row_np, rc_np, traces,
+                                           False)
+                for bi, ji in enumerate(part):
+                    try:
+                        score, em, en, tr = res[bi]
+                        results[ji] = _finish_tron_job(jobs[ji], score,
+                                                       em, en, tr)
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except BaseException as exc:
+                        results[ji] = exc
+            metrics.bump("tron_jobs", len(part))
+    return results
+
+
+def _align_window_tron(q: np.ndarray, g: np.ndarray,
+                       ctx: ProteinAlignerContext, chain: Chain | None,
+                       sh: int, margin: int, lanes: int, q_name: str,
+                       g_name: str, strand: str) -> GeneStructure | None:
+    job = prepare_tron_job(q, g, ctx, chain, sh=sh, margin=margin,
+                           q_name=q_name, g_name=g_name, strand=strand)
+    if job is None:
+        return None
+    score, em, en, tr = forward_tron_scan(job.q, job.gw, job.sig,
+                                          ctx.prm, ctx.ipen_tab,
+                                          lw=job.lw, up=job.up, L=lanes)
+    return _finish_tron_job(job, score, em, en, tr)
 
 
 def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,

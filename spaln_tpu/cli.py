@@ -189,7 +189,26 @@ def cmd_map(args) -> int:
                       grd_path=(args.output or "run").rsplit(".", 1)[0])
     mapper = pmapper = None
     nt_batch: list = []            # (rec) pending cDNA queries
+    aa_batch: list = []            # (rec) pending protein queries
     bs = max(args.batch, 1)
+
+    def flush_aa():
+        nonlocal pmapper
+        if not aa_batch:
+            return
+        if pmapper is None:
+            from .align.protein_driver import ProteinAlignerContext
+            pmapper = ProteinGenomeMapper(
+                store, ProteinBlockIndex.load(args.genome_db),
+                ProteinAlignerContext.create(
+                    tables, y_args=["-y" + a for a in args.y_args]))
+        res = pmapper.map_queries([r.codes for r in aa_batch],
+                                  q_names=[r.name for r in aa_batch],
+                                  lanes=args.lanes,
+                                  max_out=args.max_out, max_batch=bs)
+        for rec, gs_list in zip(aa_batch, res):
+            sink.emit(gs_list, len(rec.codes))
+        aa_batch.clear()
 
     def flush_nt():
         nonlocal mapper
@@ -218,23 +237,16 @@ def cmd_map(args) -> int:
     for rec in iter_seqfile(args.queries):
         if rec.molc == PROTEIN:
             flush_nt()
-            if pmapper is None:
-                from .align.protein_driver import ProteinAlignerContext
-                pmapper = ProteinGenomeMapper(
-                    store, ProteinBlockIndex.load(args.genome_db),
-                    ProteinAlignerContext.create(
-                        tables, y_args=["-y" + a for a in args.y_args]))
-            from .utils.errors import guard_query
-            gs_list = guard_query(pmapper.map_query, rec.codes,
-                                  q_name=rec.name, lanes=args.lanes,
-                                  max_out=args.max_out,
-                                  name=rec.name, stage="map", fallback=[])
-            sink.emit(gs_list, len(rec.codes))
+            aa_batch.append(rec)
+            if len(aa_batch) >= 4 * bs:
+                flush_aa()
         else:
+            flush_aa()
             nt_batch.append(rec)
             if len(nt_batch) >= 4 * bs:
                 flush_nt()
     flush_nt()
+    flush_aa()
     sink.close()
     if args.output:
         out.close()

@@ -175,3 +175,40 @@ def test_protein_index_roundtrip(tmp_path, rng):
     assert idx2.k == idx.k
     assert (idx2.offsets == idx.offsets).all()
     assert (idx2.blocks == idx.blocks).all()
+
+
+def test_protein_map_queries_batched(pctx, rng):
+    """Batched aa mapping == singles (the bucketed execute_tron_jobs
+    path vs one-at-a-time), mixed strands and gene sizes."""
+    from spaln_tpu.align.mapper import ProteinGenomeMapper
+    from spaln_tpu.seed.blockindex import ProteinBlockIndex
+    from spaln_tpu.seq.fasta import SeqRecord
+    from spaln_tpu.seq.genome import GenomeStore
+    from spaln_tpu.seq.codec import decode_dna
+    from spaln_tpu.constants import DNA
+    contig = _mk(rng, 60000)
+    prots = []
+    pos = 5000
+    for gi in range(4):
+        prot, g, bounds = _gene(rng, (40 + 3 * gi, 35), (0,))
+        if gi % 2:
+            g = decode_dna(comrev(encode_dna(g)))
+        contig = contig[:pos] + g + contig[pos + len(g):]
+        prots.append(prot)
+        pos += len(g) + 8000
+    store = GenomeStore.from_records(
+        [SeqRecord("c1", encode_dna(contig), DNA)])
+    idx = ProteinBlockIndex.build(store)
+    mapper = ProteinGenomeMapper(store, idx, pctx)
+    batched = mapper.map_queries(prots, q_names=[f"p{i}" for i in
+                                                 range(len(prots))],
+                                 lanes=32, max_batch=4)
+    for gi, (prot, gs_list) in enumerate(zip(prots, batched)):
+        single = mapper.map_query(prot, q_name=f"p{gi}", lanes=32)
+        assert len(gs_list) == len(single) == 1
+        b, s = gs_list[0], single[0]
+        assert b.strand == s.strand == ("-" if gi % 2 else "+")
+        assert [(e.g_start, e.g_end) for e in b.exons] == \
+            [(e.g_start, e.g_end) for e in s.exons]
+        assert b.score == s.score
+        assert b.identity > 0.98
