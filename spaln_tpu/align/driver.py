@@ -8,6 +8,7 @@ only the DP runs on device (SURVEY.md section 7 stance).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -522,18 +523,30 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         per = T * lanes * 13 * n_slabs
         mb_full = max(1, PLANE_BYTES_BUDGET // max(per, 1))
         use_udh = n_slabs > 1 and mb_full < min(max_batch, len(idxs))
+        # SPALN_UDH=1 forces the O(T)-links path (remote-tunnel backends
+        # are often transfer-bound, not compute-bound); =0 forces planes
+        _udh_env = os.environ.get("SPALN_UDH")
+        if _udh_env is not None and n_slabs > 1:
+            use_udh = _udh_env == "1"
         mb = (min(max_batch, len(idxs)) if use_udh
               else min(max_batch, mb_full))
         for c0 in range(0, len(idxs), mb):
             part = idxs[c0:c0 + mb]
             js = [jobs[i] for i in part]
+            # pad the batch size onto the geometric ladder (and, when
+            # sharded, to a device-count multiple): every distinct B is
+            # a fresh trace/compile, and mapping runs produce ragged
+            # remainder batches (B=1,2,3,...) that otherwise each pay a
+            # 1-200 s compile/deserialize.  Padded problems re-run the
+            # last job; their results are discarded.
+            from ..ops.dp_spliced_scan import _geom_bucket
+            bpad = _geom_bucket(len(js))
             if mesh is not None:
-                # pad the batch to a device-count multiple so sharding
-                # never silently degrades to one device (padded problems
-                # re-run the last job; their results are discarded)
                 ndev = mesh.devices.size
-                while len(js) % ndev:
-                    js.append(js[-1])
+                while bpad % ndev:
+                    bpad += 1
+            while len(js) < bpad:
+                js.append(js[-1])
             with stage("prep"):
                 cips = ([j.cip for j in js]
                         if any(j.cip for j in js) else None)

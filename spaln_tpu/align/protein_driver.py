@@ -245,8 +245,12 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
             up = min(up + (3 * M - q1) + margin, N)
     else:
         lw, up = -3 * M, N
+    # geometric W ladder: every distinct W is a fresh compile (see
+    # driver.prepare_job)
     W = up - lw + 2
-    Wb = _round_up(W, 384)
+    Wb = 384
+    while Wb < W:
+        Wb = _round_up(Wb * 3 // 2, 384)
     extra = Wb - W
     lw = max(lw - extra // 2, -3 * M)
     up = min(lw + Wb - 2, N)
@@ -302,6 +306,10 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
         for c0 in range(0, len(idxs), mb):
             part = idxs[c0:c0 + mb]
             js = [jobs[i] for i in part]
+            # batch-size ladder: every distinct B is a fresh compile
+            from ..ops.dp_spliced_scan import _geom_bucket
+            while len(js) < _geom_bucket(len(part)):
+                js.append(js[-1])
             with stage("prep"):
                 bp = prepare_tron_batch(
                     [j.q for j in js], [j.gw for j in js],

@@ -177,6 +177,19 @@ def _insert_candidate(cv, x, do_push, *fields):
     return (place(cv, x),) + tuple(place(a, nw) for a, nw in fields)
 
 
+def _geom_bucket(x: int) -> int:
+    """Smallest member of the 1/2/3-scaled power-of-2 ladder
+    (1,2,3,4,6,8,12,16,...) >= x: <=33% padding, O(log) distinct
+    geometries instead of O(range)."""
+    x = max(int(x), 1)
+    b = 1
+    while True:
+        for m in (b, b + b // 2 if b > 1 else None):
+            if m is not None and m >= x:
+                return m
+        b *= 2
+
+
 def _pads(L, T, Npad, Mpad):
     """Left pad / total sizes for the n-indexed (boundary, final-row) and
     m-indexed (right-column) write-back arrays.  Windows are written at
@@ -776,10 +789,16 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
         lw, up = min(lws), max(lws) + W - 1
     deltas = [l - lw for l in lws]      # per-problem band shift >= 0
     dmax = max(deltas)
-    dpad = -(-dmax // 256) * 256 if dmax else 0   # bucketed pad
-    n_slabs = (Mmax + L - 1) // L
+    dpad = (_geom_bucket(-(-dmax // 256)) * 256 if dmax
+            else 0)                       # geometric bucket
+    # geometric geometry buckets: every distinct traced shape is a fresh
+    # XLA compile (30-200 s cold, ~1 s warm deserialize on this box) and
+    # a mapping run sweeps a wide spread of window lengths / query
+    # lengths — linear 256-step buckets produced dozens of compiles and
+    # dominated end-to-end wall clock (CORPUS_GATE stage_seconds)
+    n_slabs = _geom_bucket((Mmax + L - 1) // L)
     Mpad = n_slabs * L
-    Nmax = -(-Nmax // 256) * 256        # bucketed: reuse compilations
+    Nmax = _geom_bucket(-(-Nmax // 256)) * 256
     pad_extra = 2 * (L + W + 4 + dpad)
     T = W + 2 * (L - 1)
     PB, TOTn, PBm, TOTm = _pads(L, T, Nmax, Mpad)
@@ -961,12 +980,14 @@ def collect_batch_results(bp: BatchProblem, row_h, rc_h, traces,
         ends[i] = (bm, bn)
     if score_only:
         return scores, ends, None
+    # one transfer per plane (hoisted out of the per-problem loop)
+    fl_np = [np.asarray(ys[0]) for ys in traces]
+    sp_np = [np.asarray(ys[1]) for ys in traces]
     btraces = []
     for i in range(bp.B):
-        fl = [np.asarray(ys[0])[:, i] for ys in traces]
-        sp = [np.asarray(ys[1])[:, i] for ys in traces]
-        btraces.append(SliceTrace(flags=fl, spj=sp, L=bp.L, lw=bp.lws[i],
-                                  W=bp.W))
+        btraces.append(SliceTrace(flags=[f[:, i] for f in fl_np],
+                                  spj=[s[:, i] for s in sp_np],
+                                  L=bp.L, lw=bp.lws[i], W=bp.W))
     return scores, ends, btraces
 
 

@@ -696,10 +696,11 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
     lw0 = min(lws)
     deltas = [l - lw0 for l in lws]
     dmax = max(deltas)
-    dpad = -(-dmax // 384) * 384 if dmax else 0
-    n_slabs = (max(Ms) + L - 1) // L
+    from .dp_spliced_scan import _geom_bucket
+    dpad = _geom_bucket(-(-dmax // 384)) * 384 if dmax else 0
+    n_slabs = _geom_bucket((max(Ms) + L - 1) // L)
     Mpad = n_slabs * L
-    Ngeom = -(-max(Ns) // 384) * 384    # bucketed: reuse compilations
+    Ngeom = _geom_bucket(-(-max(Ns) // 384)) * 384   # geometric buckets
     pad_extra = 2 * (L + W + 16 + dpad)
     T = W + 6 * (L - 1)
     PBn = 3 * Mpad + 3 * L + dpad + 16
