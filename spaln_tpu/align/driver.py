@@ -599,15 +599,36 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
             metrics.bump("dp_cells",
                          bp.B * bp.n_slabs * bp.L * bp.W)
             with stage("traceback"):
-                scores, ends, btr = collect_batch_results(
-                    bp, row_h, rc_h, traces, False, prm=ctx.prm)
+                # device-side walk by default: shipping full trace
+                # planes to the host dominates on remote-tunnel
+                # backends; SPALN_DEV_TB=0 restores the host walk
+                dev_tb = os.environ.get("SPALN_DEV_TB", "1") == "1"
+                if dev_tb:
+                    from ..ops.dp_spliced_scan import \
+                        traceback_device_batch
+                    scores, ends, _ = collect_batch_results(
+                        bp, row_h, rc_h, None, True, prm=ctx.prm)
+                    try:
+                        ops_all = traceback_device_batch(bp, traces,
+                                                         ends)
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except BaseException:
+                        ops_all = None
+                        dev_tb = False
+                if not dev_tb:
+                    scores, ends, btr = collect_batch_results(
+                        bp, row_h, rc_h, traces, False, prm=ctx.prm)
                 for bi, ji in enumerate(part):
                     # per-job isolation: a traceback/extraction failure
                     # surfaces as an exception result, not an abort
                     try:
-                        ops = traceback_spliced_scan(btr[bi],
-                                                     int(ends[bi][0]),
-                                                     int(ends[bi][1]))
+                        if dev_tb:
+                            ops = ops_all[bi]
+                        else:
+                            ops = traceback_spliced_scan(
+                                btr[bi], int(ends[bi][0]),
+                                int(ends[bi][1]))
                         results[ji] = _finish_job(jobs[ji],
                                                   int(scores[bi]), ops,
                                                   prm=ctx.prm)

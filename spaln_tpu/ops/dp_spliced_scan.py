@@ -1110,6 +1110,105 @@ def traceback_spliced_scan(tr: SliceTrace, end_m: int, end_n: int,
     return traceback_spliced_strip(tr, end_m, end_n)[0]
 
 
+@functools.lru_cache(maxsize=64)
+def _tb_walker(S, T, B, L, NSPJ, IT):
+    """Device-side traceback: walk all B problems' paths through the
+    stacked trace planes in one jitted scan (the Vmf::traceback role,
+    vmf.h:26-59, but in HBM).  Replaces the host walk + full-plane
+    transfer: on remote-tunnel backends shipping (T, B, L, 1+4*NSPJ)
+    bytes per slab to the host dominated end-to-end mapping; the walker
+    moves only (IT, B, 4) op records."""
+
+    @jax.jit
+    def walk(FL, SPJ, m0v, n0v, lwv):
+        barr = jnp.arange(B)
+        bits = jnp.asarray([0, 8, 16, 32, 64], jnp.int32)
+
+        def step(carry, _):
+            m, n, st, done = carry
+            s = (m - 1) // L
+            i = (m - 1) % L
+            t = (n - m) - lwv - 1 + 2 * i
+            ok = ((~done) & (m >= 1) & (n >= 1) & (t >= 0) & (t < T)
+                  & (s >= 0) & (s < S))
+            sc = jnp.clip(s, 0, S - 1)
+            tc = jnp.clip(t, 0, T - 1)
+            ic = jnp.clip(i, 0, L - 1)
+            flat = ((sc * T + tc) * B + barr) * L + ic
+            fl = jnp.where(ok, jnp.take(FL, flat), 255)
+            stc = jnp.clip(st, 0, NSPJ - 1)
+            jnc_s = jnp.where(ok, jnp.take(SPJ, flat * NSPJ + stc), 0)
+            jnc_0 = jnp.where(ok, jnp.take(SPJ, flat * NSPJ), 0)
+            hd = fl & 7
+            is0 = st == 0
+            # state-0 stops: inactive cell / SWG local restart origin
+            dead = is0 & ((fl == 255) | ((fl & 0x80) != 0) | (hd > 4))
+            i_close0 = is0 & ~dead & (hd == 0) & (jnc_0 > 0)
+            diag = is0 & ~dead & (hd == 0) & (jnc_0 == 0)
+            trans = is0 & ~dead & (hd > 0) & (hd <= 4)
+            gsel = ~is0
+            i_close_g = gsel & (jnc_s > 0)
+            horiz = gsel & (jnc_s == 0) & ((st == 1) | (st == 3))
+            vert = gsel & (jnc_s == 0) & ((st == 2) | (st == 4))
+            opened = (fl & jnp.take(bits, jnp.clip(st, 0, 4))) != 0
+            i_close = i_close0 | i_close_g
+            jncv = jnp.where(is0, jnc_0, jnc_s)
+            kind = jnp.where(~ok | dead | trans, 0,
+                             jnp.where(i_close, 4,
+                                       jnp.where(diag, 1,
+                                                 jnp.where(horiz, 2,
+                                                           3))))
+            rec = (kind, m, n, jncv - 1)
+            n2 = jnp.where(i_close, jncv - 1,
+                           jnp.where(diag | horiz, n - 1, n))
+            m2 = jnp.where(diag | vert, m - 1, m)
+            st2 = jnp.where(trans, hd,
+                            jnp.where((horiz | vert) & opened, 0, st))
+            done2 = done | dead | (~ok) | (m2 < 1) | (n2 < 1)
+            return (m2, n2, st2, done2), rec
+
+        carry0 = (m0v, n0v, jnp.zeros(B, jnp.int32),
+                  (m0v < 1) | (n0v < 1))
+        _, recs = jax.lax.scan(step, carry0, None, length=IT)
+        return recs
+
+    return walk
+
+
+def traceback_device_batch(bp: BatchProblem, traces, ends) -> list:
+    """Walk every problem's traceback on device from its (end_m, end_n)
+    and return per-problem ascending op streams (the contract of
+    traceback_spliced_scan).  ``traces``[s] = (fl (T,B,L), spj
+    (T,B,L,NSPJ)) device arrays from either engine's trace mode."""
+    S = len(traces)
+    NSPJ = traces[0][1].shape[-1]
+    FL = jnp.reshape(jnp.stack([jnp.asarray(t[0], jnp.int32)
+                                for t in traces]), (-1,))
+    SPJ = jnp.reshape(jnp.stack([jnp.asarray(t[1], jnp.int32)
+                                 for t in traces]), (-1,))
+    IT = 2 * (bp.Mpad + bp.W) + 64
+    walk = _tb_walker(S, bp.T, bp.B, bp.L, NSPJ, IT)
+    m0v = jnp.asarray([int(e[0]) for e in ends], jnp.int32)
+    n0v = jnp.asarray([int(e[1]) for e in ends], jnp.int32)
+    recs = walk(FL, SPJ, m0v, n0v, jnp.asarray(bp.lws, jnp.int32))
+    k_np, m_np, n_np, x_np = (np.asarray(r) for r in recs)
+    out = []
+    for b in range(bp.B):
+        sel = np.flatnonzero(k_np[:, b])
+        ops = []
+        for j in sel:
+            k = k_np[j, b]
+            if k == 4:
+                ops.append(('I', int(m_np[j, b]), int(x_np[j, b]),
+                            int(n_np[j, b])))
+            else:
+                ops.append((('D', 'E', 'F')[k - 1], int(m_np[j, b]),
+                            int(n_np[j, b])))
+        ops.reverse()
+        out.append(ops)
+    return out
+
+
 def traceback_spliced_strip(tr: SliceTrace, m: int, n: int,
                             state: int = 0, m_stop: int = 0,
                             guard: int = 10_000_000):

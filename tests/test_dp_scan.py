@@ -203,3 +203,37 @@ def test_cip_bonus_applied(cfg, prm, table_dir, rng):
         return int(s[0])
 
     assert run2([{m: K for m in range(1, len(q) + 1)}]) == run2(None)
+
+
+def test_traceback_device_matches_host(cfg, prm, table_dir, rng):
+    """Device-side traceback walk == host walk over a mixed batch
+    (geometry spread: per-problem lws, lengths)."""
+    from spaln_tpu.ops.dp_spliced_scan import (
+        prepare_spliced_batch, run_spliced_batch, collect_batch_results,
+        traceback_spliced_scan, traceback_device_batch)
+    from spaln_tpu.score.splice import build_splice_signals
+    from spaln_tpu.score.tables import TableDir
+    from spaln_tpu.seq.codec import encode_dna
+    tables = table_dir
+    bases = np.array(list("ACGT"))
+    qs, gs, sigs, lws = [], [], [], []
+    for i in range(4):
+        e1 = "".join(rng.choice(bases, 50 + 10 * i))
+        e2 = "".join(rng.choice(bases, 60))
+        gtxt = (e1 + "GTAAGT" + "".join(rng.choice(bases, 120 + 30 * i))
+                + "TTACAG" + e2)
+        q, g = encode_dna(e1 + e2), encode_dna(gtxt)
+        qs.append(q)
+        gs.append(g)
+        sigs.append(build_splice_signals(g, cfg, tables))
+        lws.append(-len(q) + 2 * i)
+    W = max(len(g) - lw for g, lw in zip(gs, lws)) + 1
+    bp = prepare_spliced_batch(qs, gs, prm, sigs=sigs, lws=lws, W=W, L=32)
+    row_h, rc_h, traces = run_spliced_batch(bp, prm, score_only=False)
+    scores, ends, btr = collect_batch_results(bp, row_h, rc_h, traces,
+                                              False, prm=prm)
+    dev_ops = traceback_device_batch(bp, traces, ends)
+    for b in range(bp.B):
+        host_ops = traceback_spliced_scan(btr[b], int(ends[b][0]),
+                                          int(ends[b][1]))
+        assert host_ops == dev_ops[b]
