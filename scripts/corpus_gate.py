@@ -148,11 +148,10 @@ def make_protein_queries(corpus: str, n: int) -> tuple:
             if len(names) >= n:
                 break
             codes = encode_dna(seq.upper())
-            orfs = [o for o in find_orfs(codes, min_len=150)
-                    if o[2] >= 0]               # forward frames only
+            orfs = find_orfs(codes, min_len=150, both_strands=False)
             if not orfs:
                 continue
-            s, e, _fr = max(orfs, key=lambda o: o[1] - o[0])
+            s, e = max(orfs, key=lambda o: o[1] - o[0])[:2]
             aa = decode_protein(translate(codes[s:e]))
             aa = aa.rstrip("*")
             if len(aa) < 50:
@@ -186,7 +185,8 @@ def run_reference(corpus: str, qfile: str, ref_bin: str,
 
 
 def run_ours(corpus: str, qfile: str, lanes: int = 128,
-             batch: int = 16, platform: str = "cpu") -> tuple:
+             batch: int = 16, platform: str = "cpu",
+             protein: bool = False, passes: int = 1) -> tuple:
     import faulthandler
     import signal
     faulthandler.register(signal.SIGUSR1)     # kill -USR1 <pid> -> stack
@@ -206,15 +206,26 @@ def run_ours(corpus: str, qfile: str, lanes: int = 128,
     if not os.path.exists(prefix + ".bkn.npz"):
         cli_main(["index", os.path.join(corpus, "corpus_g.gf"),
                   "-p", prefix])
+    if protein and not os.path.exists(prefix + ".bkp.npz"):
+        cli_main(["index", os.path.join(corpus, "corpus_g.gf"),
+                  "-p", prefix, "-K", "P"])
     outp = os.path.join(corpus, "ours_o4.txt")
-    t0 = time.time()
-    cli_main(["map", os.path.join(corpus, qfile), "-d", prefix,
-              "-O", "4", "-o", outp, "--batch", str(batch),
-              "--lanes", str(lanes), "--metrics"])
-    dt = time.time() - t0
     from spaln_tpu.utils.metrics import metrics
-    stages = {k: round(v, 2) for k, v in metrics.timings.items()}
-    counters = dict(metrics.counters)
+    dt = stages = counters = None
+    for _pass in range(max(passes, 1)):
+        # pass 2+ measures the process-warm steady state: Mosaic kernel
+        # compiles are per-process (not served by the persistent XLA
+        # cache), so a fresh process conflates compile time with
+        # mapping throughput
+        metrics.timings.clear()
+        metrics.counters.clear()
+        t0 = time.time()
+        cli_main(["map", os.path.join(corpus, qfile), "-d", prefix,
+                  "-O", "4", "-o", outp, "--batch", str(batch),
+                  "--lanes", str(lanes), "--metrics"])
+        dt = time.time() - t0
+        stages = {k: round(v, 2) for k, v in metrics.timings.items()}
+        counters = dict(metrics.counters)
     return parse_ours_o4(open(outp).read()), dt, stages, counters
 
 
@@ -229,32 +240,51 @@ def main(argv=None):
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for our pipeline (cpu | axon)")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--passes", type=int, default=1,
+                help="mapping passes; the last pass's timing is\n"
+                     "reported (2 = process-warm steady state)")
+    ap.add_argument("--protein", action="store_true",
+                    help="protein-query gate: longest-ORF translations "
+                         "of the corpus cDNAs vs the reference -KP path "
+                         "(the dictdisc.faa recipe, seqdb/Makefile:73-75)")
     a = ap.parse_args(argv)
 
-    recs = _read_fasta(os.path.join(a.corpus, "corpus.cf"))[:a.n_queries]
-    names = [_norm_qname(n) for n, _ in recs]
-    qfile = f"queries_{a.n_queries}.cf"
-    with open(os.path.join(a.corpus, qfile), "w") as f:
-        for n, s in recs:
-            f.write(f">{n}\n")
-            for i in range(0, len(s), 60):
-                f.write(s[i:i + 60] + "\n")
+    if a.protein:
+        qpath, names = make_protein_queries(a.corpus, a.n_queries)
+        qfile = os.path.basename(qpath)
+    else:
+        recs = _read_fasta(os.path.join(a.corpus,
+                                        "corpus.cf"))[:a.n_queries]
+        names = [_norm_qname(n) for n, _ in recs]
+        qfile = f"queries_{a.n_queries}.cf"
+        with open(os.path.join(a.corpus, qfile), "w") as f:
+            for n, s in recs:
+                f.write(f">{n}\n")
+                for i in range(0, len(s), 60):
+                    f.write(s[i:i + 60] + "\n")
     truth = load_truth(os.path.join(a.corpus, "truth.jsonl"))
 
-    ref, t_ref = run_reference(a.corpus, qfile, a.ref_bin)
-    rep = {"n_queries": a.n_queries,
-           "ref_seconds": round(t_ref, 1),
-           "ref_vs_truth": compare(ref, truth, names)}
+    ref, t_ref = run_reference(a.corpus, qfile, a.ref_bin,
+                               protein=a.protein)
+    rep = {"n_queries": len(names),
+           "protein": a.protein,
+           "ref_seconds": round(t_ref, 1)}
+    if not a.protein:
+        # planted-exon truth is cDNA-exact; protein structures differ
+        # legitimately at UTR exons, so the truth diff is cDNA-only
+        rep["ref_vs_truth"] = compare(ref, truth, names)
     if not a.skip_ours:
         ours, t_ours, stages, counters = run_ours(
-            a.corpus, qfile, a.lanes, a.batch, platform=a.platform)
+            a.corpus, qfile, a.lanes, a.batch, platform=a.platform,
+            protein=a.protein, passes=a.passes)
         rep["ours_seconds"] = round(t_ours, 1)
         rep["platform"] = a.platform
-        rep["queries_per_sec"] = round(a.n_queries / t_ours, 3)
+        rep["queries_per_sec"] = round(len(names) / t_ours, 3)
         rep["stage_seconds"] = stages
         rep["counters"] = counters
         rep["ours_vs_ref"] = compare(ours, ref, names)
-        rep["ours_vs_truth"] = compare(ours, truth, names)
+        if not a.protein:
+            rep["ours_vs_truth"] = compare(ours, truth, names)
     out = a.out or os.path.join(a.corpus, "CORPUS_GATE.json")
     with open(out, "w") as f:
         json.dump(rep, f, indent=1)

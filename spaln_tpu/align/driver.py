@@ -654,8 +654,13 @@ def _shard_batch(bp, mesh):
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    from ..utils.metrics import metrics
     if bp.B % ndev != 0:
-        return bp                  # uneven batch: stay single-device
+        # unreachable in execute_jobs (batches are padded to a device
+        # multiple); counted so tests can assert nothing degraded
+        metrics.bump("unsharded_batches")
+        return bp
+    metrics.bump("sharded_batches")
     return dataclasses.replace(
         bp,
         ops={k: put(v, P(axis)) for k, v in bp.ops.items()},

@@ -1,10 +1,12 @@
 """Scalar reference engine for protein x translated-genome spliced DP.
 
 Faithful re-derivation of Aln2h1::forwardH_ng (fwd2h1.cc:294-617) +
-initH_ng/lastH_ng (141-293), single-affine (Noll=2) states:
+initH_ng/lastH_ng (141-293).  States:
   0 = H (diag, consumes 1 aa x 3 nt), 1 = E (genome insertion, rotating
   3-frame queue), 2 = F (aa deletion), with 1/2-nt frameshift moves into
-  both gap states (GapE1/E2 extend, GapW1/W2 open).
+  both gap states (GapE1/E2 extend, GapW1/W2 open); with double affine
+  (-yl3, prm.dagp) also 3 = E2 (HORL) / 4 = F2 (VERL) long-gap states
+  under LongGOP/GEP (fwd2h1.cc:413-448).
 
 Coordinates: m in aa (1..M), n in nt (1..N), band r = n - 3m in
 [lw-1, up].  The genome is given both as nt codes (splice signals) and

@@ -73,12 +73,20 @@ def test_map_queries_matches_singles(ctx, genome_and_queries):
 
 def test_map_queries_sharded_mesh(ctx, genome_and_queries):
     from jax.sharding import Mesh
+    from spaln_tpu.utils.metrics import metrics
     store, queries, positions = genome_and_queries
     idx = BlockIndex.build(store)
     mapper = GenomeMapper(store, idx, ctx)
     devs = np.array(jax.devices()[:2])
     mesh = Mesh(devs, ("dp",))
+    metrics.counters.pop("sharded_batches", None)
+    metrics.counters.pop("unsharded_batches", None)
     out = mapper.map_queries(queries, lanes=32, max_batch=8, mesh=mesh)
+    # every launch must actually have sharded over the mesh (batches
+    # are padded to a device multiple, so the single-device degrade
+    # path must never trigger)
+    assert metrics.counters.get("sharded_batches", 0) > 0
+    assert metrics.counters.get("unsharded_batches", 0) == 0
     ref = mapper.map_queries(queries, lanes=32, max_batch=8)
     for a, b in zip(out, ref):
         assert len(a) == len(b)
