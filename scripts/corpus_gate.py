@@ -285,6 +285,19 @@ def main(argv=None):
         rep["ours_vs_ref"] = compare(ours, ref, names)
         if not a.protein:
             rep["ours_vs_truth"] = compare(ours, truth, names)
+        # per-query triage of every disagreement (bounded): the raw
+        # structures, so divergences are classifiable without a re-run
+        mm = []
+        for q in names:
+            sa, sb = ours.get(q), ref.get(q)
+            if sa == sb:
+                continue
+            mm.append({"q": q, "ours": sa, "ref": sb,
+                       "truth": (list(truth[q]) if q in truth
+                                 else None)})
+            if len(mm) >= 50:
+                break
+        rep["mismatches"] = mm
     out = a.out or os.path.join(a.corpus, "CORPUS_GATE.json")
     with open(out, "w") as f:
         json.dump(rep, f, indent=1)

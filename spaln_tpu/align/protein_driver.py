@@ -55,8 +55,19 @@ class ProteinAlignerContext:
         prm = TronDpParams.build(cfg, sm.tron().mtx)
         ipen = IntronPenalty(cfg, PvsG)
         tab = ipen.penalty(np.arange(max_intron)).astype(np.int32)
+        # pad the seeding matrix to the full tron alphabet: 6-frame
+        # genome translations contain stop codons (TRM=25) and real
+        # queries may carry SEC/TRM2 — score them at the matrix minimum
+        # (a stop never extends an HSP; Simmtx covers 25 letters only)
+        from ..constants import TSIMD
+        pmtx = sm.mtx
+        if pmtx.shape[0] < TSIMD:
+            full = np.full((TSIMD, TSIMD), int(pmtx.min()),
+                           dtype=pmtx.dtype)
+            full[:pmtx.shape[0], :pmtx.shape[1]] = pmtx
+            pmtx = full
         return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen,
-                   ipen_tab=tab, pmtx=sm.mtx)
+                   ipen_tab=tab, pmtx=pmtx)
 
 
 # per-level protein seed parameters (wlprm tron rows, wln.cc:100-116)

@@ -68,10 +68,16 @@ int64_t kmer_csr(const int8_t* red, int64_t n, int32_t k, int32_t blklen,
     if (n < k) return 0;
     const int64_t npos = n - k + 1;
 
-    // serial scan building (word, block) pair stream per thread slice,
-    // deduped within a word by last-block memory (position-ordered)
+    // scan phase: each thread slices the genome and radix-buckets its
+    // (word, block) pairs by high word bits, so the merge phase can run
+    // one thread per word range with no synchronization (the reference
+    // harvests slices serially, blksrc.cc:1485; here both phases scale)
     if (nthreads < 1) nthreads = 1;
-    std::vector<std::vector<std::pair<int64_t,int32_t>>> parts(nthreads);
+    int nb = 1;
+    while (nb < 4 * nthreads && nb < 256 && (int64_t)nb < nwords) nb <<= 1;
+    const int bshift = 2 * k - __builtin_ctz(nb);
+    std::vector<std::vector<std::vector<std::pair<int64_t,int32_t>>>>
+        parts(nthreads);
     std::vector<std::thread> ths;
     int64_t chunk = (npos + nthreads - 1) / nthreads;
     for (int t = 0; t < nthreads; ++t) {
@@ -80,7 +86,8 @@ int64_t kmer_csr(const int8_t* red, int64_t n, int32_t k, int32_t blklen,
             int64_t hi = lo + chunk < npos ? lo + chunk : npos;
             if (lo >= hi) return;
             auto& out = parts[t];
-            out.reserve((hi - lo) / 2);
+            out.resize(nb);
+            for (auto& v : out) v.reserve((hi - lo) / (2 * nb) + 8);
             int64_t w = 0;
             int bad = k;            // bases until word valid again
             // warm up k-1 bases before lo
@@ -91,38 +98,53 @@ int64_t kmer_csr(const int8_t* red, int64_t n, int32_t k, int32_t blklen,
                 int64_t pos = p - k + 1;
                 if (pos < lo || pos >= hi) continue;
                 if (bad > 0) continue;
-                out.emplace_back(w, (int32_t)(pos / blklen));
+                out[w >> bshift].emplace_back(w, (int32_t)(pos / blklen));
             }
         });
     }
     for (auto& th : ths) th.join();
 
-    // merge, dedup via per-word last block (pairs are position-ordered
-    // within each part and parts are ordered)
-    std::vector<int32_t> last(nwords, -1);
-    int64_t total = 0;
-    if (!two_pass_fill) {
-        for (auto& part : parts)
-            for (auto& pb : part) {
-                if (last[pb.first] == pb.second) continue;
-                last[pb.first] = pb.second;
-                offsets[pb.first + 1]++;
-                ++total;
+    // merge phase: one thread per word-range bucket; per-word last-block
+    // dedup stays valid because every word lives in exactly one bucket
+    // and parts are visited in genome order
+    std::vector<int64_t> totals(nb, 0);
+    std::vector<std::thread> mths;
+    std::vector<int64_t> cursor;
+    if (two_pass_fill) {
+        cursor.resize(nwords);
+        for (int64_t i2 = 0; i2 < nwords; ++i2) cursor[i2] = offsets[i2];
+    }
+    for (int b0 = 0; b0 < nb; ++b0) {
+        mths.emplace_back([&, b0]() {
+            const int64_t wlo = (int64_t)b0 << bshift;
+            const int64_t whi = (int64_t)(b0 + 1) << bshift;
+            std::vector<int32_t> last(whi - wlo, -1);
+            int64_t tot = 0;
+            for (int t = 0; t < nthreads; ++t) {
+                if ((int)parts[t].size() <= b0) continue;
+                for (auto& pb : parts[t][b0]) {
+                    if (last[pb.first - wlo] == pb.second) continue;
+                    last[pb.first - wlo] = pb.second;
+                    if (two_pass_fill)
+                        blocks[cursor[pb.first]++] = pb.second;
+                    else
+                        offsets[pb.first + 1]++;
+                    ++tot;
+                }
             }
+            totals[b0] = tot;
+        });
+        if ((int)mths.size() >= nthreads) {
+            for (auto& th : mths) th.join();
+            mths.clear();
+        }
+    }
+    for (auto& th : mths) th.join();
+    int64_t total = 0;
+    for (int b0 = 0; b0 < nb; ++b0) total += totals[b0];
+    if (!two_pass_fill)
         for (int64_t i2 = 0; i2 < nwords; ++i2)
             offsets[i2 + 1] += offsets[i2];
-        return total;
-    }
-    // fill pass: offsets already prefix-summed by pass 1 caller
-    std::vector<int64_t> cursor(nwords);
-    for (int64_t i2 = 0; i2 < nwords; ++i2) cursor[i2] = offsets[i2];
-    for (auto& part : parts)
-        for (auto& pb : part) {
-            if (last[pb.first] == pb.second) continue;
-            last[pb.first] = pb.second;
-            blocks[cursor[pb.first]++] = pb.second;
-            ++total;
-        }
     return total;
 }
 
