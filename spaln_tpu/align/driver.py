@@ -582,7 +582,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 # backend and problem shape allow; scan engine otherwise
                 import jax as _jax
                 if (_jax.default_backend() != "cpu" and mesh is None
-                        and not ctx.prm.dagp and bp.cip_all is None
+                        and bp.cip_all is None
                         and not bp.flags.local):
                     try:
                         from ..ops.dp_spliced_pallas import \

@@ -193,7 +193,8 @@ def _build_stack_device(code8, don8, acc8, sig16, accb16, d5c8, j416,
 
 
 def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-                 interpret, emit_links=False, emit_trace=False):
+                 interpret, emit_links=False, emit_trace=False,
+                 dagp=False, lgop=0, lgep=0):
     """The Pallas kernel body: one CHUNK-step block of one slab sweep.
 
     emit_links: the multi-intermediate UDH forward (fwd2s1_simd.h mode
@@ -209,14 +210,23 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
     bits) and per-state junction planes stream to HBM as extra outputs;
     the host traceback walks them exactly like the scan engine's."""
     assert not (emit_links and emit_trace)
+    assert not (emit_links and dagp), \
+        "UDH-links + double affine rides the scan engine"
     _ablate = os.environ.get("SPALN_PALLAS_ABLATE", "")  # timing probes
     Tpad = -(-T // CHUNK) * CHUNK
     n_chunks = Tpad // CHUNK
-    nstate = 3                                   # H / E1 / F
-    GOPk = (0, 0, gop)                           # GOP[k//2] for k=0,1,2
-    PSPB = (4, 1, 8)                             # psp bits (aln.h:56-59)
-    NST = 5 + 3 * NCAND + ((4 + NCAND) if emit_links else 0)
-    NEM = 8 if emit_links else 4                 # emission planes
+    nstate = 5 if dagp else 3            # H / E1 / F [/ E2 / F2]
+    # GOP[k//2] of the scan engine, pre-indexed by k (aln.h hf order)
+    GOPk = (0, 0, gop, gop, lgop) if dagp else (0, 0, gop)
+    PSPB = (4, 1, 8, 2, 16)              # psp bits (aln.h:56-59)
+    # candidate metadata packs (n << MSH) | (k << 2) | d5cls; 5 states
+    # need 3 bits for k
+    MSH = 5 if dagp else 4
+    KM = 7 if dagp else 3
+    NST = ((7 if dagp else 5) + 3 * NCAND
+           + ((4 + NCAND) if emit_links else 0))
+    NEM = 8 if emit_links else (5 if dagp else 4)   # emission planes
+    NF = 4 if dagp else 3                # lane-0 fill rows
     nbt = nbs // 128
     SG = sop * GRP
     roll = ((lambda x, s, a: jnp.roll(x, s, a)) if interpret
@@ -233,7 +243,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                iph_ref,                          # (GRP, 128) ipen head
                ipb_ref,                          # (nbrow*GRP, 128) bits
                ecs_ref,                          # (1,1,CHUNK,SG) ops
-               fcs_ref,                          # (1,1,CHUNK,3*GRP)
+               fcs_ref,                          # (1,1,CHUNK,NF*GRP)
                em_out,                           # (NEM, GRP, CHUNK) block
                *refs):                           # [fl,spj outs,] scratch
         if emit_trace:
@@ -288,12 +298,21 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         f1 = ld(2, negv)
         e1 = ld(3, negv)
         psp = ld(4, zero)
-        cvs = [ld(5 + l, negv) for l in range(NCAND)]
-        cms = [ld(9 + l, zero) for l in range(NCAND)]   # cj<<4|k<<2|c5
-        cps = [ld(13 + l, zero) for l in range(NCAND)]
+        nfix = 5
+        if dagp:
+            f2 = ld(5, negv)
+            e2 = ld(6, negv)
+            nfix = 7
+        else:
+            f2 = e2 = None
+        cvs = [ld(nfix + l, negv) for l in range(NCAND)]
+        cms = [ld(nfix + NCAND + l, zero)
+               for l in range(NCAND)]              # cj<<MSH|k<<2|c5
+        cps = [ld(nfix + 2 * NCAND + l, zero) for l in range(NCAND)]
         if emit_links:
-            lk = [ld(17 + j, zero) for j in range(4)]   # h1/h2/f/e links
-            lkc = [ld(21 + l, zero) for l in range(NCAND)]
+            base = nfix + 3 * NCAND
+            lk = [ld(base + j, zero) for j in range(4)]  # h1/h2/f/e links
+            lkc = [ld(base + 4 + l, zero) for l in range(NCAND)]
         else:
             lk, lkc = None, None
 
@@ -302,10 +321,14 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             return jnp.where(lanes == 0, fill, y)
 
         def step(t2, ecol, fcol, carry):
+            f2 = e2 = None
             if emit_links:
                 (h1, h2, f1, e1, psp, cvs, cms, cps, lk, lkc, w,
                  em) = carry
                 lkh1, lkh2, lkf, lke = lk
+            elif dagp:
+                (h1, h2, f1, e1, f2, e2, psp, cvs, cms, cps, w,
+                 em) = carry
             else:
                 (h1, h2, f1, e1, psp, cvs, cms, cps, w,
                  em) = carry
@@ -339,10 +362,11 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                     score = score + jnp.where(b_code == k, qp[k], 0)
 
             # ---- slab-boundary fills: lane 0 of the rolled tile
-            fv = fcol.reshape(3, GRP, 1)
+            fv = fcol.reshape(NF, GRP, 1)
             up_h = shift_right(h1, fv[1])
             up_f = shift_right(f1, fv[2])
             diag_h = shift_right(h2, fv[0])
+            up_f2 = shift_right(f2, fv[3]) if dagp else None
             if emit_links:
                 # lane-0 sources sit ON the intermediate row: their link
                 # is their own (column, state) — pack_link(n0, st)
@@ -367,6 +391,9 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 psp = jnp.where(first, 0, psp)
                 cvs = [jnp.where(first, NEV, cc) for cc in cvs]
                 cms = [jnp.where(first, 0, cc) for cc in cms]
+                if dagp:
+                    up_f2 = jnp.where(at_top, NEV, up_f2)
+                    e2 = jnp.where(first, NEV, e2)
                 if emit_links:
                     # column-0 / band-edge init cells descend from col 0
                     lk_left = jnp.where((n == 1) | edge, 0, lkh1)
@@ -386,6 +413,15 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             if emit_links:
                 lkf = jnp.where(f_open, lk_up_h, lk_up_f)
                 lk_mx = jnp.where(gt, lkf, lk_mx)
+            # Vertical2 (F2, long gap, -yl3): strict > into the max
+            f2_open = f2_val = None
+            if dagp:
+                xo = up_h + lgop
+                f2_open = xo >= up_f2
+                f2_val = jnp.where(f2_open, xo, up_f2) + lgep
+                gt = f2_val > mx_val
+                mx_val = jnp.where(gt, f2_val, mx_val)
+                mx_k = jnp.where(gt, 4, mx_k)
             prev_psp = psp
             xo = left_h + gop
             e_open = xo >= e1
@@ -399,11 +435,23 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 lke = jnp.where(e_open, lk_left, lke)
                 lk_mx = jnp.where(ge, lke, lk_mx)
                 lk_states = [lk_diag, lke, lkf]
+            # Horizontal2 (E2, long gap)
+            e2_open = e2_val = None
+            if dagp:
+                xo = left_h + lgop
+                e2_open = xo >= e2
+                e2_val = jnp.where(e2_open, xo, e2) + lgep
+                psp = jnp.where(e2_open,
+                                jnp.where(prev_psp != 0, psp | 2, psp),
+                                psp | (prev_psp & 2))
+                ge = e2_val >= mx_val
+                mx_val = jnp.where(ge, e2_val, mx_val)
+                mx_k = jnp.where(ge, 3, mx_k)
 
             # ---- carried intron penalty (exact table; see module doc)
             ncp = []
             for l in range(NCAND):
-                ilen = n - (cms[l] >> 4)
+                ilen = n - (cms[l] >> MSH)
                 if _ablate == "noipen":
                     ncp.append(cps[l])
                     continue
@@ -424,10 +472,10 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             acc_ok = isacc & internal_m & active & (n < Nb)
             if _ablate == "noclose":
                 acc_ok = acc_ok & False
-            state_vals = [h_val, e_val, f_val]
+            state_vals = [h_val, e_val, f_val, e2_val, f2_val][:nstate]
             xcs, oks = [], []
             for l in range(NCAND):
-                ilen = n - (cms[l] >> 4)
+                ilen = n - (cms[l] >> MSH)
                 jv = zero
                 for cc in range(ncls):
                     jv = jv + jnp.where((cms[l] & 3) == cc, j4[cc], 0)
@@ -441,7 +489,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 closed = jnp.zeros((GRP, L), bool)
                 jnc_k = zero
                 for l in range(NCAND):
-                    take = (((cms[l] >> 2) & 3) == k) & \
+                    take = (((cms[l] >> 2) & KM) == k) & \
                         (xcs[l] >= cur) & oks[l]
                     cur = jnp.where(take, xcs[l], cur)
                     closed = closed | take
@@ -449,7 +497,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                         lk_states[k] = jnp.where(take, lkc[l],
                                                  lk_states[k])
                     if emit_trace:
-                        jnc_k = jnp.where(take, (cms[l] >> 4) + 1,
+                        jnc_k = jnp.where(take, (cms[l] >> MSH) + 1,
                                           jnc_k)
                 state_vals[k] = cur
                 spj.append(jnc_k)
@@ -476,7 +524,7 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 x = fvk + sig5
                 pos = ((cvs[0] >= x).astype(jnp.int32)
                        + (cvs[1] >= x) + (cvs[2] >= x) + (cvs[3] >= x))
-                meta = (n << 4) | (k << 2) | d5cls
+                meta = (n << MSH) | (k << 2) | d5cls
                 ncv, ncm, ncp, ncl = [], [], [], []
                 for j in range(NCAND):
                     ins = (pos == j) & elig
@@ -500,6 +548,9 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             h_out = jnp.where(active, h_out, NEV)
             f_out = jnp.where(active, state_vals[2], NEV)
             e1 = jnp.where(active, state_vals[1], e1)
+            if dagp:
+                f2_out = jnp.where(active, state_vals[4], NEV)
+                e2 = jnp.where(active, state_vals[3], e2)
 
             # ---- emissions into lane t2 (one shared mask; row/rc are
             # single lane-gathers, not masked cross-lane reductions)
@@ -518,6 +569,10 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 erow = jnp.where(lane_sel, row_v, erow)
                 erc = jnp.where(lane_sel, rc_v, erc)
                 em4 = (ebh, ebf, erow, erc)
+                if dagp:
+                    ebf2 = em[4]
+                    ebf2 = jnp.where(lane_sel, f2_out[:, L - 1:L], ebf2)
+                    em4 = em4 + (ebf2,)
                 if emit_links:
                     lbh, lbf, lrow, lrc = em[4:]
                     lbh = jnp.where(lane_sel, lkh_c[:, L - 1:L], lbh)
@@ -541,13 +596,21 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
                 lk_new = (lkh_c, lkh1, lk_states[2], lk_states[1])
                 return (h_out, h1, f_out, e1, psp, cvs, cms, cps,
                         lk_new, lkc, w, em)
-            carry_out = (h_out, h1, f_out, e1, psp, cvs, cms, cps,
-                         w, em)
+            if dagp:
+                carry_out = (h_out, h1, f_out, e1, f2_out, e2, psp,
+                             cvs, cms, cps, w, em)
+            else:
+                carry_out = (h_out, h1, f_out, e1, psp, cvs, cms, cps,
+                             w, em)
             if emit_trace:
                 # flag layout matches the scan engine: bits 0-2 winner
-                # state, 3 eopen, 4 fopen; 255 = inactive cell
+                # state, 3 eopen, 4 fopen, 5 e2open, 6 f2open; 255 =
+                # inactive cell
                 flags = (hdir | (e_open.astype(jnp.int32) << 3)
                          | (f_open.astype(jnp.int32) << 4))
+                if dagp:
+                    flags = (flags | (e2_open.astype(jnp.int32) << 5)
+                             | (f2_open.astype(jnp.int32) << 6))
                 flags = jnp.where(active, flags, 255)
                 return carry_out, (flags, spj)
             return carry_out
@@ -556,6 +619,9 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         if emit_links:
             carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps,
                       tuple(lk), lkc, w_init, em0)
+        elif dagp:
+            carry0 = (h1, h2, f1, e1, f2, e2, psp, cvs, cms, cps,
+                      w_init, em0)
         else:
             carry0 = (h1, h2, f1, e1, psp, cvs, cms, cps, w_init, em0)
 
@@ -566,13 +632,13 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             # one lane->sublane relayout serves UNROLL steps
             t2u = u * UNROLL
             rse = ecs_ref[0, 0, pl.ds(t2u, UNROLL)]    # (UNROLL, SG)
-            rsf = fcs_ref[0, 0, pl.ds(t2u, UNROLL)]    # (UNROLL, 3*GRP)
+            rsf = fcs_ref[0, 0, pl.ds(t2u, UNROLL)]    # (UNROLL, NF*GRP)
             if UNROLL > 1:
                 ce = rse.reshape(UNROLL, SG).T
-                cf = rsf.reshape(UNROLL, 3 * GRP).T
+                cf = rsf.reshape(UNROLL, NF * GRP).T
             else:
                 ce = rse.reshape(SG, 1)
-                cf = rsf.reshape(3 * GRP, 1)
+                cf = rsf.reshape(NF * GRP, 1)
             fls, spjs = [], []
             for d in range(UNROLL):
                 out = step(t2u + d, ce[:, d:d + 1], cf[:, d:d + 1],
@@ -592,8 +658,12 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
             return carry
 
         out = jax.lax.fori_loop(0, CHUNK // UNROLL, step_n, carry0)
+        f2 = e2 = None
         if emit_links:
             (h1, h2, f1, e1, psp, cvs, cms, cps, lk, lkc, _w,
+             em) = out
+        elif dagp:
+            (h1, h2, f1, e1, f2, e2, psp, cvs, cms, cps, _w,
              em) = out
         else:
             (h1, h2, f1, e1, psp, cvs, cms, cps, _w,
@@ -604,15 +674,21 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
         st_ref[2] = f1
         st_ref[3] = e1
         st_ref[4] = psp
+        nfix = 5
+        if dagp:
+            st_ref[5] = f2
+            st_ref[6] = e2
+            nfix = 7
         for l in range(NCAND):
-            st_ref[5 + l] = cvs[l]
-            st_ref[9 + l] = cms[l]
-            st_ref[13 + l] = cps[l]
+            st_ref[nfix + l] = cvs[l]
+            st_ref[nfix + NCAND + l] = cms[l]
+            st_ref[nfix + 2 * NCAND + l] = cps[l]
         if emit_links:
+            base = nfix + 3 * NCAND
             for j in range(4):
-                st_ref[17 + j] = lk[j]
+                st_ref[base + j] = lk[j]
             for l in range(NCAND):
-                st_ref[21 + l] = lkc[l]
+                st_ref[base + 4 + l] = lkc[l]
         em_out[:] = jnp.stack(em, axis=0)
 
     return kernel, Tpad, n_chunks, NST, NEM
@@ -620,15 +696,19 @@ def _make_kernel(L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
 
 @functools.lru_cache(maxsize=64)
 def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
-               interpret=False, emit_links=False, emit_trace=False):
+               interpret=False, emit_links=False, emit_trace=False,
+               dagp=False, lgop=0, lgep=0):
     """Jitted pallas_call for one static geometry."""
     nbs = nbt * 128
     kernel, Tpad, n_chunks, NST, NEM = _make_kernel(
         L, W, T, gop, gep, llmt, ncls, nclass, sop, nbs, nbrow,
-        interpret, emit_links=emit_links, emit_trace=emit_trace)
+        interpret, emit_links=emit_links, emit_trace=emit_trace,
+        dagp=dagp, lgop=lgop, lgep=lgep)
     nblk = B // GRP
     SG = sop * GRP
     sop_c = sop
+    nstate = 5 if dagp else 3
+    NF = 4 if dagp else 3
 
     def bspec(*shape):
         return pl.BlockSpec((GRP,) + shape,
@@ -654,7 +734,7 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         pl.BlockSpec((1, 1, CHUNK, SG),
                      lambda i, c, s: (i, c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, CHUNK, 3 * GRP),
+        pl.BlockSpec((1, 1, CHUNK, NF * GRP),
                      lambda i, c, s: (i, c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -666,14 +746,14 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             em_spec,
             pl.BlockSpec((CHUNK, GRP, L), lambda i, c, s: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, CHUNK, GRP, L),
+            pl.BlockSpec((nstate, CHUNK, GRP, L),
                          lambda i, c, s: (0, c, i, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
             em_shape,
             jax.ShapeDtypeStruct((Tpad, B, L), jnp.int32),
-            jax.ShapeDtypeStruct((3, Tpad, B, L), jnp.int32),
+            jax.ShapeDtypeStruct((nstate, Tpad, B, L), jnp.int32),
         ]
     else:
         out_specs, out_shape = em_spec, em_shape
@@ -695,9 +775,10 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
 
     @jax.jit
     def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, rflat,
-                  iph, ipb, r0s, n0_base, ns, bnd_h, bnd_f, row_h, rc_h,
+                  iph, ipb, r0s, n0_base, ns, bnd_h, bnd_f, bnd_f2,
+                  row_h, rc_h,
                   wstart, cb0, cr0, cc0, wl, wr, wc, PBn, PBm):
-        # boundary fill streams: diag / up_h / up_f per step, chunked
+        # boundary fill streams: diag / up_h / up_f [/ up_f2], chunked
         ts = jnp.arange(Tpad, dtype=jnp.int32)
         n0t = n0_base[:, None] + ts[None, :]     # (B, Tpad)
         oku = n0t <= ns[:, None] + 1
@@ -708,7 +789,12 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         diag = jnp.where(okd, wh[:, :Tpad], NEV)
         uph = jnp.where(oku, wh[:, 1:], NEV)
         upf = jnp.where(oku, wf[:, 1:], NEV)
-        fills = jnp.stack([diag, uph, upf], 0)   # (3, B, Tpad)
+        frows = [diag, uph, upf]
+        if dagp:
+            wf2 = jax.lax.dynamic_slice(bnd_f2, (0, wstart),
+                                        (Bfull, Tpad + 1))
+            frows.append(jnp.where(oku, wf2[:, 1:], NEV))
+        fills = jnp.stack(frows, 0)              # (NF, B, Tpad)
 
         # time-major entering-columns + fills block (see kernel doc):
         # ecs[i, c, u, :SG] = reversed-stack column r0s + c*CHUNK + u of
@@ -718,9 +804,9 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         ops_p = ecs_ops.reshape(sop_c, nblk, GRP, n_chunks,
                                 CHUNK).transpose(1, 3, 4, 0, 2)
         ops_p = ops_p.reshape(nblk, n_chunks, CHUNK, SG)
-        fl_p = fills.reshape(3, nblk, GRP, n_chunks,
+        fl_p = fills.reshape(NF, nblk, GRP, n_chunks,
                              CHUNK).transpose(1, 3, 4, 0, 2)
-        fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, 3 * GRP)
+        fl_p = fl_p.reshape(nblk, n_chunks, CHUNK, NF * GRP)
 
         out = call(
             sca, dl, nb, mb, ec, colm, colm1, qp_slab,
@@ -732,16 +818,18 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
         bh_v, bf_v, row_v, rc_v = em[0], em[1], em[2], em[3]
         bnd_h = _win_update(bnd_h, bh_v, wl, cb0, PBn)
         bnd_f = _win_update(bnd_f, bf_v, wl, cb0, PBn)
+        if dagp:
+            bnd_f2 = _win_update(bnd_f2, em[4], wl, cb0, PBn)
         row_h = _win_update(row_h, row_v, wr, cr0, PBn)
         rc_h = _win_update(rc_h, rc_v, wc, cc0, PBm)
         if emit_links:
             # raw per-step link streams (B, Tpad): boundary-H/F,
             # final-row, right-column — backwalk indexes them by t
-            return (bnd_h, bnd_f, row_h, rc_h,
+            return (bnd_h, bnd_f, bnd_f2, row_h, rc_h,
                     em[4], em[5], em[6], em[7])
         if emit_trace:
-            return bnd_h, bnd_f, row_h, rc_h, fl_pl, spj_pl
-        return bnd_h, bnd_f, row_h, rc_h
+            return bnd_h, bnd_f, bnd_f2, row_h, rc_h, fl_pl, spj_pl
+        return bnd_h, bnd_f, bnd_f2, row_h, rc_h
 
     return slab_step, Tpad
 
@@ -894,7 +982,8 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     collect_batch_results builds SliceTraces from."""
     emit_trace = not score_only
     assert not (emit_trace and emit_links)
-    assert not prm.dagp, "double-affine not yet in the pallas kernel"
+    assert not (emit_links and prm.dagp), \
+        "UDH-links + double affine rides the scan engine"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, L = bp.B, bp.L
@@ -905,11 +994,17 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     slab_step, Tpad = _slab_call(
         Bp, L, bp.W, bp.T, prm.gop, prm.gep, prm.intron_llmt, bp.ncls,
         prep["nclass"], prep["sop"], prep["nbt"], prep["nbrow"],
-        interpret, emit_links=emit_links, emit_trace=emit_trace)
+        interpret, emit_links=emit_links, emit_trace=emit_trace,
+        dagp=prm.dagp, lgop=prm.lgop, lgep=prm.lgep)
 
     bnd_h = prep["bnd_h0"]
     bnd_f = prep["bnd_f0"]
-    bnd_f2 = bp.bnd_f20                   # untouched: single-affine
+    if prm.dagp:
+        bnd_f2 = jnp.concatenate(
+            [bp.bnd_f20, jnp.full((Bp - B, bp.bnd_f20.shape[1]), NEV)]
+        ) if Bp != B else bp.bnd_f20
+    else:
+        bnd_f2 = bp.bnd_f20               # untouched: single-affine
     row_h = jnp.full((Bp, prep["TOTn"]), NEV)
     rc_h = jnp.full((Bp, prep["TOTm"]), NEV)
 
@@ -921,23 +1016,23 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
             p0 = snap_pos(bp, s)
             snap = (bnd_h[:B, p0:p0 + bp.T + 2],
                     bnd_f[:B, p0:p0 + bp.T + 2],
-                    bnd_f2[:, p0:p0 + bp.T + 2])
+                    bnd_f2[:B, p0:p0 + bp.T + 2])
         qp_slab = jax.lax.dynamic_slice(
             qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
         out = slab_step(
             sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
             sl["colm"], sl["colm1"], qp_slab, prep["stk"],
             prep["rflat"], prep["iph"], prep["ipb"], sl["r0s"],
-            sl["n0_base"], prep["ns"], bnd_h, bnd_f, row_h, rc_h,
-            sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
+            sl["n0_base"], prep["ns"], bnd_h, bnd_f, bnd_f2, row_h,
+            rc_h, sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
             sl["wl"], sl["wr"], sl["wc"], PBn, PBm)
-        bnd_h, bnd_f, row_h, rc_h = out[:4]
+        bnd_h, bnd_f, bnd_f2, row_h, rc_h = out[:5]
         if emit_links:
             zf2 = jnp.zeros((B, bp.T), jnp.int32)
-            streams = tuple(y[:B, :bp.T] for y in out[4:]) + (zf2,)
+            streams = tuple(y[:B, :bp.T] for y in out[5:]) + (zf2,)
             traces.append((streams, snap))
         elif emit_trace:
-            fl_pl, spj_pl = out[4], out[5]
+            fl_pl, spj_pl = out[5], out[6]
             fl = fl_pl[:bp.T, :B].astype(jnp.uint8)
             spj = jnp.transpose(spj_pl, (1, 2, 3, 0))[:bp.T, :B]
             traces.append((fl, spj))

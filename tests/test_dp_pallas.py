@@ -108,3 +108,38 @@ def test_ipen_tiles_reconstruct_dense_table(ctx):
         run -= int(isb[n])
         rec[n] = run
     np.testing.assert_array_equal(rec, dense)
+
+
+def test_pallas_dagp_matches_scan(ctx):
+    """Double affine (-yl3, Noll=3): Pallas == scan, score-only AND
+    full-plane trace mode (fwd2s1_simd.h:65-349 supports Noll=3
+    throughout; so must the kernel)."""
+    import dataclasses
+    from spaln_tpu.ops.dp_spliced_scan import (traceback_spliced_scan,
+                                               traceback_device_batch)
+    cfg, prm, tables = ctx
+    prm = dataclasses.replace(prm, dagp=True, lgop=prm.gop // 2,
+                              lgep=prm.gep // 3)
+    queries, genomes, sigs = _spliced_problems(cfg, tables, 4, 40, 60,
+                                               seed=3)
+    W = 192
+    lw = -(W // 2)
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
+                               lw=lw, up=lw + W - 1, L=16)
+    row_s, rc_s, tr_s = run_spliced_batch(bp, prm, score_only=False)
+    s_scan, e_scan, btr = collect_batch_results(bp, row_s, rc_s, tr_s,
+                                                False, prm=prm)
+    row_p, rc_p, tr_p = run_spliced_batch_pallas(bp, prm,
+                                                 score_only=False,
+                                                 interpret=True)
+    s_pal, e_pal, _ = collect_batch_results(bp, row_p, rc_p, None,
+                                            True, prm=prm)
+    np.testing.assert_array_equal(s_pal, s_scan)
+    np.testing.assert_array_equal(e_pal, e_scan)
+    assert (s_scan > 0).all()
+    # trace planes -> identical op streams (5-state walk)
+    ops_p = traceback_device_batch(bp, tr_p, e_scan)
+    for b in range(bp.B):
+        host_ops = traceback_spliced_scan(btr[b], int(e_scan[b][0]),
+                                          int(e_scan[b][1]))
+        assert host_ops == ops_p[b]
