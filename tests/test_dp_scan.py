@@ -205,7 +205,7 @@ def test_cip_bonus_applied(cfg, prm, table_dir, rng):
     assert run2([{m: K for m in range(1, len(q) + 1)}]) == run2(None)
 
 
-def test_traceback_device_matches_host(cfg, prm, table_dir, rng):
+def test_traceback_device_matches_host(cfg, prm, table_dir):
     """Device-side traceback walk == host walk over a mixed batch
     (geometry spread: per-problem lws, lengths)."""
     from spaln_tpu.ops.dp_spliced_scan import (
@@ -215,6 +215,9 @@ def test_traceback_device_matches_host(cfg, prm, table_dir, rng):
     from spaln_tpu.score.tables import TableDir
     from spaln_tpu.seq.codec import encode_dna
     tables = table_dir
+    # private generator: the shared session rng fixture's stream is
+    # order-coupled across tests
+    rng = np.random.default_rng(1234)
     bases = np.array(list("ACGT"))
     qs, gs, sigs, lws = [], [], [], []
     for i in range(4):

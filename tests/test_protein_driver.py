@@ -177,7 +177,7 @@ def test_protein_index_roundtrip(tmp_path, rng):
     assert (idx2.blocks == idx.blocks).all()
 
 
-def test_protein_map_queries_batched(pctx, rng):
+def test_protein_map_queries_batched(pctx):
     """Batched aa mapping == singles (the bucketed execute_tron_jobs
     path vs one-at-a-time), mixed strands and gene sizes."""
     from spaln_tpu.align.mapper import ProteinGenomeMapper
@@ -186,6 +186,7 @@ def test_protein_map_queries_batched(pctx, rng):
     from spaln_tpu.seq.genome import GenomeStore
     from spaln_tpu.seq.codec import decode_dna
     from spaln_tpu.constants import DNA
+    rng = np.random.default_rng(777)
     contig = _mk(rng, 60000)
     prots = []
     pos = 5000
