@@ -16,6 +16,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# large-batch kernel config: at the bench geometry (B=256) the
+# GRP32/U2 split-block tiling measures ~17% faster than the GRP16
+# mapping default (PERF_NOTES round-4 sweep: 3.79 vs 3.25 GCUPS same
+# session); mapping keeps GRP16 because its batches pad to GRP
+os.environ.setdefault("SPALN_PALLAS_GRP", "32")
+
 import numpy as np
 
 
