@@ -167,11 +167,58 @@ def trim_terminal_microexons(exons: list[Exon], introns: list[Intron],
         introns.pop()
 
 
+def reclassify_introns(ops: list, sig: SpliceSignals, prm) -> list:
+    """Intron-vs-gap re-decision at reporting (skl_rngS_ng,
+    fwd2s1.cc:497-534): each horizontal run the DP spliced is re-judged
+    as  iscr + GapPenalty(insert - intlen)  vs  GapPenalty(insert);
+    when the ordinary-gap path wins the intron is demoted to genome
+    insertions, merging the flanking exons.
+
+    iscr = sig5[n5] + IntronPenalty(len) + sig53(n5, n3) — the same
+    junction composition the DP's acceptor close applied
+    (spjscr, codepot.cc:74-77)."""
+    n_ops = len(ops)
+    out = list(ops)
+    i = 0
+    while i < n_ops:
+        if out[i][0] not in ('E', 'I'):
+            i += 1
+            continue
+        j = i
+        insert = 0
+        intr = []
+        while j < n_ops and out[j][0] in ('E', 'I'):
+            if out[j][0] == 'E':
+                insert += 1                   # cDNA E ops are 1 nt each
+            else:
+                intr.append(j)
+                insert += out[j][3] - out[j][2]
+            j += 1
+        interior = (i > 0 and j < n_ops)
+        if interior and len(intr) == 1:
+            _, m, n5, n3 = out[intr[0]]
+            intlen = n3 - n5
+            iscr = (int(sig.sig5[n5])
+                    + int(prm.intron_table(intlen + 2)[intlen])
+                    + int(sig.sig53_ie53(n5, n3)))
+            x = prm.gap_penalty(insert)
+            xi = iscr + prm.gap_penalty(insert - intlen)
+            if xi < x:
+                out[intr[0]:intr[0] + 1] = [('E', m, n)
+                                            for n in range(n5 + 1, n3 + 1)]
+                n_ops = len(out)
+                j = i
+                continue                      # re-scan the merged run
+        i = j
+    return out
+
+
 def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
                          score: int, sig: SpliceSignals | None = None,
                          q_name: str = "", g_name: str = "",
                          strand: str = "+",
-                         aa_pair: bool = False) -> GeneStructure | None:
+                         aa_pair: bool = False,
+                         prm=None) -> GeneStructure | None:
     """Convert a traceback op stream (from traceback_spliced_*) into exon /
     intron records with per-exon stats.
 
@@ -180,6 +227,8 @@ def build_gene_structure(ops: list, a: np.ndarray, b: np.ndarray,
     """
     if not ops:
         return None
+    if sig is not None and prm is not None:
+        ops = reclassify_introns(ops, sig, prm)
     exons: list[Exon] = []
     introns: list[Intron] = []
     cur: Exon | None = None

@@ -86,6 +86,30 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
     # a failing query is skipped with a warning, never aborts the batch
     # (spaln.cc:1104-1107 semantics)
     from ..utils.errors import report_skip
+    from ..seed.wilip import WindowTable
+
+    # window word tables are reused across strands (the query flips
+    # instead of the 26kb window), widen rounds, and queries voting
+    # into the same locus (Wlp keeps its lookup table per target,
+    # wln.cc:253-350)
+    wt_cache: dict[tuple, WindowTable] = {}
+    rc_cache: dict[int, np.ndarray] = {}
+
+    def _wtab(g0, g1):
+        wt = wt_cache.get((g0, g1))
+        if wt is None:
+            if len(wt_cache) > 256:
+                wt_cache.clear()
+            wt = WindowTable(self.store.window(g0, g1))
+            wt_cache[(g0, g1)] = wt
+        return wt
+
+    def _rc_q(qi):
+        rq = rc_cache.get(qi)
+        if rq is None:
+            rq = comrev(queries[qi])
+            rc_cache[qi] = rq
+        return rq
 
     def _verify_candidate(qi, g0, g1, hint=None):
         """FindHsp-equivalent in-candidate verification
@@ -106,12 +130,14 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
         order = [st for st in order
                  if strands[qi] == "auto" or strands[qi] == st]
         for _widen in range(3):
-            window = self.store.window(g0, g1)
+            wt = _wtab(g0, g1)
+            window = wt.g
             cands = []
             with stage("seed"):
                 for st in order:
-                    g_use = comrev(window) if st == "-" else window
-                    ch = wilip(q, g_use, ipen=self.ctx.ipen,
+                    ch = wilip(_rc_q(qi) if st == "-" else q,
+                               wtab=wt, mirror=(st == "-"),
+                               ipen=self.ctx.ipen,
                                prm=self.ctx.prm,
                                spaced=self.ctx.cfg.alg.crs > 0)
                     if ch:

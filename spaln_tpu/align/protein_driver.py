@@ -40,10 +40,13 @@ class ProteinAlignerContext:
     ipen: IntronPenalty
     ipen_tab: np.ndarray
     pmtx: np.ndarray              # protein (aa x aa) matrix for seeding
+    # protein gene mapping runs Smith-Waterman local by default (the
+    # reference recipe maps with -LS, seqdb/Makefile:69-75)
+    flags: DpFlags = None
 
     @classmethod
     def create(cls, tables: TableDir, cfg: Config | None = None,
-               max_intron: int = 200_000,
+               max_intron: int = 200_000, local: bool = True,
                y_args: list | None = None) -> "ProteinAlignerContext":
         from ..config import apply_y_args
         cfg = cfg or Config()
@@ -67,7 +70,8 @@ class ProteinAlignerContext:
             full[:pmtx.shape[0], :pmtx.shape[1]] = pmtx
             pmtx = full
         return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen,
-                   ipen_tab=tab, pmtx=pmtx)
+                   ipen_tab=tab, pmtx=pmtx,
+                   flags=DpFlags(local=local))
 
 
 # per-level protein seed parameters (wlprm tron rows, wln.cc:100-116)
@@ -222,6 +226,50 @@ class TronJob:
     g_name: str = ""
 
 
+SPLICE_MASK_EDGE = 9          # nt kept splice-eligible at anchor edges
+END_NOREC_NT = 45             # no_rec end-gap bound (interpolateH wlmt*3)
+
+
+def _mask_splice_sites(sig: TronSignals, chain: Chain, lo: int, N: int,
+                       minl: int, q_nt: int) -> TronSignals:
+    """Chain-derived splice eligibility (the seededH_ng/interpolateH
+    decision tree, fwd2h1.cc:3022-3135, applied as a signal mask):
+
+    - anchor (HSP) interiors take the diagonal verbatim — no junctions
+      (seededH_ng consumes wjxt runs without DP, fwd2h1.cc:3220-3243);
+    - between adjacent anchors with dgap < IntronPrm.minl the reference
+      runs ordinary un-spliced alignment (fwd2h1.cc:3083-3091) — the
+      whole inter-anchor stretch is masked;
+    - small end gaps (<= wlmt*3) extend diagonally via cds5end/cds3end
+      (no new junctions); larger end gaps keep splice freedom (the
+      recursive-seeding / lspH fallbacks can splice).
+    """
+    import dataclasses
+    phs5 = sig.phs5.copy()
+    phs3 = sig.phs3.copy()
+    allow = np.ones(N, dtype=bool)
+    hs = chain.hsps
+    E = SPLICE_MASK_EDGE
+    for h in hs:
+        a0, a1 = h.jy - lo + E, h.jy - lo + h.jlen - E
+        if a1 > a0:
+            allow[max(a0, 0):max(a1, 0)] = False
+    for h1, h2 in zip(hs, hs[1:]):
+        dgap = (h2.jy - h1.ry) - (h2.jx - h1.rx)
+        if dgap < minl:
+            a0, a1 = h1.ry - lo - E, h2.jy - lo + E
+            if a1 > a0:
+                allow[max(a0, 0):max(a1, 0)] = False
+    # end regions: diagonal-only when the uncovered query end is small
+    if hs[0].jx <= END_NOREC_NT:
+        allow[:max(hs[0].jy - lo - E, 0)] = False
+    if q_nt - hs[-1].rx <= END_NOREC_NT:
+        allow[max(hs[-1].ry - lo + E, 0):] = False
+    phs5[~allow] = -2
+    phs3[~allow] = -2
+    return dataclasses.replace(sig, phs5=phs5, phs3=phs3)
+
+
 def prepare_tron_job(q: np.ndarray, g: np.ndarray,
                      ctx: ProteinAlignerContext, chain: Chain | None,
                      sh: int = 150, margin: int = 2000,
@@ -243,6 +291,9 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
     if N < 3 or M == 0:
         return None
     sig = build_tron_signals(gw, ctx.cfg, ctx.tables)
+    if chain is not None and chain.hsps:
+        sig = _mask_splice_sites(sig, chain, lo, N,
+                                 ctx.prm.intron_minl, 3 * M)
     if chain is not None:
         diags = [h.diag - lo for h in chain.hsps]
         lw = max(min(diags) - 3 * sh, -3 * M)
@@ -271,11 +322,13 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
 
 
 def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
-                     tr) -> GeneStructure | None:
+                     tr, ctx: "ProteinAlignerContext"
+                     ) -> GeneStructure | None:
     ops = traceback_tron_scan(tr, em, en)
     gs = build_gene_structure_tron(ops, job.q, job.gw, score,
                                    sig=job.sig, q_name=job.q_name,
-                                   g_name=job.g_name, strand=job.strand)
+                                   g_name=job.g_name, strand=job.strand,
+                                   prm=ctx.prm, ipen_tab=ctx.ipen_tab)
     if gs is None:
         return None
     for e in gs.exons:
@@ -325,7 +378,8 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
                 bp = prepare_tron_batch(
                     [j.q for j in js], [j.gw for j in js],
                     [j.sig for j in js], ctx.prm, ctx.ipen_tab,
-                    lws=[j.lw for j in js], W=W, L=lanes)
+                    lws=[j.lw for j in js], W=W, L=lanes,
+                    flags=ctx.flags)
             with stage("device_dp"):
                 row_np, rc_np, traces = run_tron_batch(bp, ctx.prm,
                                                        score_only=False)
@@ -337,7 +391,7 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
                     try:
                         score, em, en, tr = res[bi]
                         results[ji] = _finish_tron_job(jobs[ji], score,
-                                                       em, en, tr)
+                                                       em, en, tr, ctx)
                     except (KeyboardInterrupt, SystemExit):
                         raise
                     except BaseException as exc:
@@ -356,14 +410,130 @@ def _align_window_tron(q: np.ndarray, g: np.ndarray,
         return None
     score, em, en, tr = forward_tron_scan(job.q, job.gw, job.sig,
                                           ctx.prm, ctx.ipen_tab,
-                                          lw=job.lw, up=job.up, L=lanes)
-    return _finish_tron_job(job, score, em, en, tr)
+                                          lw=job.lw, up=job.up, L=lanes,
+                                          flags=ctx.flags)
+    return _finish_tron_job(job, score, em, en, tr, ctx)
+
+
+def reclassify_introns_tron(ops: list, sig: TronSignals,
+                            prm: TronDpParams,
+                            ipen_tab: np.ndarray) -> list:
+    """Intron-vs-gap re-decision at reporting (skl_rngH_ng,
+    fwd2h1.cc:699-735): each horizontal run that the DP spliced is
+    re-judged as  iscr + GapPenalty3(insert - intlen)  vs
+    GapPenalty3(insert); when the ordinary-gap path wins, the intron is
+    demoted to a genome insertion so the flanking exons merge.
+
+    iscr = sig5 + spjscr = sig5[n5] + IntronPenalty(len) + sig53(n5,n3)
+    (codepot.cc:74-77).  Only phase-0 junctions are re-judged: the
+    +-1 ops carry a junction-codon rescoring baked into the DP score
+    that a post-hoc gap conversion cannot unwind exactly.
+    """
+    n_ops = len(ops)
+    out = list(ops)
+    i = 0
+    while i < n_ops:
+        if out[i][0] not in ('E', 'I'):
+            i += 1
+            continue
+        j = i
+        insert = 0
+        intr = []                       # positions of 'I' ops in the run
+        while j < n_ops and out[j][0] in ('E', 'I'):
+            if out[j][0] == 'E':
+                insert += out[j][3]
+            else:
+                intr.append(j)
+                insert += out[j][3] - out[j][2]
+            j += 1
+        # interior runs only: a terminal run has no bracketing match
+        interior = (i > 0 and j < n_ops)
+        if interior and len(intr) == 1 and out[intr[0]][4] == 0:
+            _, m, n5, n3, _phs = out[intr[0]]
+            intlen = n3 - n5
+            iscr = (int(sig.sig5[n5]) + int(ipen_tab[intlen])
+                    + int(sig.sig53_ie53(n5, n3)))
+            x = prm.gap_penalty3(insert)
+            xi = iscr + prm.gap_penalty3(insert - intlen)
+            if xi < x:
+                out[intr[0]] = ('E', m, n3, intlen)
+        i = j
+    return out
+
+
+def snap_cds_ends(exons: list, a: np.ndarray, bn: np.ndarray,
+                  sig: TronSignals, prm: TronDpParams) -> None:
+    """Anchor the CDS ends at start/stop codons (cds5end/cds3end,
+    fwd2h1.cc:2331-2396), in place.
+
+    5': walk codon steps upstream of the first exon, accumulating
+    sigE + aa-match (or BasicGEP once the query is exhausted); take the
+    best boundary that lands on a positive TransInit signal within the
+    Vthr score-drop budget.  3': symmetric walk downstream to a positive
+    TransTerm signal, placing the boundary past the stop codon."""
+    N = len(bn)
+    tr_a = None
+
+    def tr(m):
+        return prm.qprof_mtx[int(a[m])]
+
+    # ------------------------------------------------------ 5' (cds5end)
+    e0 = exons[0]
+    x, y = e0.q_start, e0.g_start
+    scr = maxscr = 0
+    best = None
+    while y - 3 >= 0:
+        sS = int(sig.sigS[y + 1]) if y + 1 < N else 0
+        if sS > 0:
+            scr += sS
+        if scr > maxscr:
+            maxscr = scr
+            best = (x, y)
+        if sS > 0 or scr + prm.vthr < 0:
+            break
+        p = y - 3                        # candidate upstream codon
+        scr += int(sig.sigE[p + 1]) if p + 1 < N else 0
+        if x > 0:
+            x -= 1
+            scr += int(tr(x)[int(sig.btron[p + 1])])
+        else:
+            scr += prm.gep
+        y -= 3
+    if maxscr > 0 and best is not None and best != (e0.q_start,
+                                                   e0.g_start):
+        e0.q_start, e0.g_start = best
+    # ------------------------------------------------------ 3' (cds3end)
+    el = exons[-1]
+    x, y = el.q_end, el.g_end
+    scr = maxscr = 0
+    best = None
+    M = len(a)
+    while y + 3 <= N:
+        sT = int(sig.sigT[y + 1]) if y + 1 < N else 0
+        if sT > 0:
+            scr += sT
+        else:
+            scr += (int(sig.sigE[y + 1]) if y + 1 < N else 0) + prm.gep
+        if scr > maxscr:
+            maxscr = scr
+            best = (x, y + 3)
+        if sT > 0 or scr + prm.vthr < 0:
+            break
+        if x < M:
+            scr += int(tr(x)[int(sig.btron[y + 1])])
+            x += 1
+        y += 3
+    if maxscr > 0 and best is not None:
+        el.q_end, el.g_end = best
 
 
 def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
                               score: int, sig: TronSignals | None = None,
                               q_name: str = "", g_name: str = "",
-                              strand: str = "+") -> GeneStructure | None:
+                              strand: str = "+",
+                              prm: TronDpParams | None = None,
+                              ipen_tab: np.ndarray | None = None
+                              ) -> GeneStructure | None:
     """Traceback op stream from the tron engine -> exon/intron records
     (skl_rngH_ng role, fwd2h1.cc:619-900).
 
@@ -374,6 +544,8 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
     """
     if not ops:
         return None
+    if sig is not None and prm is not None and ipen_tab is not None:
+        ops = reclassify_introns_tron(ops, sig, prm, ipen_tab)
     btron = sig.btron if sig is not None else None
 
     def tr_same(m: int, aa_g: int) -> bool:
@@ -491,6 +663,12 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
         return None
     from .gene import AlnView, trim_terminal_microexons
     trim_terminal_microexons(exons, introns, min_q=4, max_loose=7)
+    if sig is not None and prm is not None:
+        # CDS start/stop-codon anchoring (cds5end/cds3end).  Exon stats
+        # keep the DP-path counts; the snapped boundary codons are
+        # signal-driven extensions (the reference writes bare SKL
+        # records for them too, fwd2h1.cc:2352-2357).
+        snap_cds_ends(exons, a, bn, sig, prm)
     for i, intr in enumerate(introns):
         if i + 1 < len(exons):
             exons[i + 1].sig3 = intr.sig3

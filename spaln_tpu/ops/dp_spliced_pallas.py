@@ -773,7 +773,6 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             vmem_limit_bytes=128 * 1024 * 1024),
     )
 
-    @jax.jit
     def slab_step(sca, dl, nb, mb, ec, colm, colm1, qp_slab, stk, rflat,
                   iph, ipb, r0s, n0_base, ns, bnd_h, bnd_f, bnd_f2,
                   row_h, rc_h,
@@ -831,7 +830,9 @@ def _slab_call(B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt, nbrow,
             return bnd_h, bnd_f, bnd_f2, row_h, rc_h, fl_pl, spj_pl
         return bnd_h, bnd_f, bnd_f2, row_h, rc_h
 
-    return slab_step, Tpad
+    jitted = jax.jit(slab_step)
+    jitted.raw = slab_step
+    return jitted, Tpad
 
 
 def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
@@ -1043,3 +1044,186 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
     if block:
         np.asarray(row_h[:1, :1])
     return row_h, rc_h, (traces if (emit_links or emit_trace) else None)
+
+
+# ---------------------------------------------------------------- fused
+@functools.lru_cache(maxsize=64)
+def _fused_call(Bp, B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt,
+                nbrow, interpret, dagp, lgop, lgep, n_slabs, Nmax, Mpad,
+                a_exgl, a_exgr, b_exgl, b_exgr, PBn_, PBm_, IT):
+    """One jitted program for a whole geometry bucket: all trace-forward
+    slabs + lastS end extraction + the device traceback walk.  On a
+    remote-tunnel backend every jitted call pays a fixed dispatch/fetch
+    floor (PERF_NOTES.md fact 1); the per-slab launch structure made the
+    warm gate's device stage launch-bound (~3 MCUPS effective vs 3.3
+    GCUPS kernel, VERDICT r4 weak #2).  Fusing the bucket into a single
+    dispatch + a single packed fetch removes that floor."""
+    from .dp_spliced_scan import _tb_walker
+    slab_jit, Tpad = _slab_call(Bp, L, W, T, gop, gep, llmt, ncls,
+                                nclass, sop, nbt, nbrow, interpret,
+                                emit_links=False, emit_trace=True,
+                                dagp=dagp, lgop=lgop, lgep=lgep)
+    body = slab_jit.raw
+    NSPJ = 5 if dagp else 3
+    walk = _tb_walker(n_slabs, T, B, L, NSPJ, IT).raw
+    I32 = jnp.int32
+
+    @jax.jit
+    def go(slabs, shared, qp, bnd_h, bnd_f, bnd_f2, row_h, rc_h,
+           ro_v, co_v, Ms_j, Ns_j, lws_j):
+        FLs, SPJs = [], []
+        for s in range(n_slabs):
+            a = slabs[s]
+            qp_slab = jax.lax.dynamic_slice(
+                qp, (0, 0, a["m0i"]), (nclass, Bp, L))
+            out = body(a["sca"], shared["dl"], shared["nb"],
+                       shared["mb"], shared["ec"], a["colm"], a["colm1"],
+                       qp_slab, shared["stk"], shared["rflat"],
+                       shared["iph"], shared["ipb"], a["r0s"],
+                       a["n0_base"], shared["ns"], bnd_h, bnd_f, bnd_f2,
+                       row_h, rc_h, a["wstart"], a["cb0"], a["cr0"],
+                       a["cc0"], a["wl"], a["wr"], a["wc"], PBn_, PBm_)
+            bnd_h, bnd_f, bnd_f2, row_h, rc_h = out[:5]
+            fl_pl, spj_pl = out[5], out[6]
+            FLs.append(fl_pl[:T, :B].astype(I32))
+            SPJs.append(jnp.transpose(spj_pl, (1, 2, 3, 0))[:T, :B]
+                        .astype(I32))
+        # ---- lastS_ng end extraction (collect_batch_results semantics)
+        NEVj = jnp.asarray(NEV, I32)
+        iota_n = jnp.arange(Nmax + 2, dtype=I32)
+        row_g = jnp.take_along_axis(
+            row_h[:B], ro_v[:, None] + iota_n[None, :], axis=1)
+        bv = jnp.take_along_axis(row_g, Ns_j[:, None],
+                                 axis=1)[:, 0].astype(I32)
+        bm = Ms_j.astype(I32)
+        bn = Ns_j.astype(I32)
+
+        def col_pen(mm):
+            if b_exgl:
+                return jnp.zeros_like(mm)
+            return (gop + gep * mm).astype(I32)
+
+        if a_exgr:
+            n_first = jnp.maximum(Ms_j + lws_j, 0).astype(I32)
+            c1 = lws_j >= -Ms_j
+            v = jnp.where(c1, col_pen(-lws_j),
+                          jnp.where(n_first == 0, col_pen(Ms_j), NEVj))
+            upd = v > bv
+            bv = jnp.where(upd, v, bv)
+            bm = jnp.where(upd, Ms_j.astype(I32), bm)
+            bn = jnp.where(upd, jnp.where(c1, n_first, 0), bn)
+            n_lo = jnp.maximum(n_first, 1)
+            mseg = ((iota_n[None, :] >= n_lo[:, None])
+                    & (iota_n[None, :] < Ns_j[:, None]))
+            segv = jnp.where(mseg, row_g, NEVj)
+            smax = jnp.max(segv, axis=1).astype(I32)
+            sarg = jnp.argmax(segv, axis=1).astype(I32)
+            upd = smax > bv
+            bv = jnp.where(upd, smax, bv)
+            bm = jnp.where(upd, Ms_j.astype(I32), bm)
+            bn = jnp.where(upd, sarg, bn)
+        if b_exgr:
+            iota_m = jnp.arange(Mpad + 2, dtype=I32)
+            rc_g = jnp.take_along_axis(
+                rc_h[:B], co_v[:, None] + iota_m[None, :], axis=1)
+            up_v = lws_j + (W - 1)
+            corner = jnp.maximum(Ns_j - up_v, 0) == 0
+            vc = (jnp.zeros_like(Ns_j) if a_exgl
+                  else (gop + gep * Ns_j)).astype(I32)
+            v = jnp.where(corner, vc, NEVj)
+            upd = v > bv
+            bv = jnp.where(upd, v, bv)
+            bm = jnp.where(upd, 0, bm)
+            bn = jnp.where(upd, Ns_j.astype(I32), bn)
+            m_lo = jnp.maximum(Ns_j - up_v, 1)
+            mseg = ((iota_m[None, :] >= m_lo[:, None])
+                    & (iota_m[None, :] < Ms_j[:, None]))
+            segv = jnp.where(mseg, rc_g, NEVj)
+            smax = jnp.max(segv, axis=1).astype(I32)
+            sarg = jnp.argmax(segv, axis=1).astype(I32)
+            upd = smax > bv
+            bv = jnp.where(upd, smax, bv)
+            bm = jnp.where(upd, sarg, bm)
+            bn = jnp.where(upd, Ns_j.astype(I32), bn)
+        # ---- device traceback walk
+        FL = jnp.reshape(jnp.stack(FLs), (-1,))
+        SPJ = jnp.reshape(jnp.stack(SPJs), (-1,))
+        recs = walk(FL, SPJ, bm, bn, lws_j.astype(I32))
+        packed = jnp.concatenate(
+            [jnp.stack([r.astype(I32) for r in recs]).reshape(4 * IT, B),
+             bv[None], bm[None], bn[None]], axis=0)
+        return packed
+    return go
+
+
+def run_bucket_fused(bp: BatchProblem, prm: DpParams):
+    """Fused production path for one bucket: returns (scores, ends,
+    ops_all) with exactly the collect_batch_results +
+    traceback_device_batch contract, in one device dispatch and one
+    packed fetch."""
+    from .dp_spliced_scan import _pads, _row_pos, _rc_pos
+    B, L = bp.B, bp.L
+    Bp = -(-B // GRP) * GRP
+    interpret = jax.default_backend() == "cpu"
+    prep = _prepare_device(bp, Bp, bp.ipen_key)
+    flags = bp.flags
+    IT = 2 * (bp.Mpad + bp.W) + 64
+    go = _fused_call(Bp, B, L, bp.W, bp.T, prm.gop, prm.gep,
+                     prm.intron_llmt, bp.ncls, prep["nclass"],
+                     prep["sop"], prep["nbt"], prep["nbrow"], interpret,
+                     prm.dagp, prm.lgop, prm.lgep, bp.n_slabs, bp.Nmax,
+                     bp.Mpad, flags.a_exgl, flags.a_exgr, flags.b_exgl,
+                     flags.b_exgr, prep["PBn"], prep["PBm"], IT)
+    slab_args = [dict(sca=sl["sca"], colm=sl["colm"], colm1=sl["colm1"],
+                      n0_base=sl["n0_base"], r0s=sl["r0s"],
+                      wstart=sl["wstart"], cb0=sl["cb0"], cr0=sl["cr0"],
+                      cc0=sl["cc0"], wl=sl["wl"], wr=sl["wr"],
+                      wc=sl["wc"], m0i=sl["m0"] - 1)
+                 for sl in prep["slabs"]]
+    shared = dict(dl=prep["dl"], nb=prep["nb"], mb=prep["mb"],
+                  ec=prep["ec"], stk=prep["stk"], rflat=prep["rflat"],
+                  iph=prep["iph"], ipb=prep["ipb"], ns=prep["ns"])
+    PB, _, PBm2, _ = _pads(bp.L, bp.T, bp.Nmax, bp.Mpad)
+    ro_v = np.array([_row_pos(PB, bp.L, 0, bp.deltas[i],
+                              (bp.Ms[i] - 1) % bp.L)
+                     for i in range(B)], np.int32)
+    co_v = np.array([_rc_pos(PBm2, bp.Nmax, 0, bp.deltas[i], bp.Ns[i])
+                     for i in range(B)], np.int32)
+    TOTn, TOTm = prep["TOTn"], prep["TOTm"]
+    bnd_h = prep["bnd_h0"]
+    bnd_f = prep["bnd_f0"]
+    if prm.dagp:
+        bnd_f2 = jnp.concatenate(
+            [bp.bnd_f20, jnp.full((Bp - B, bp.bnd_f20.shape[1]), NEV)]
+        ) if Bp != B else bp.bnd_f20
+    else:
+        bnd_f2 = bp.bnd_f20
+    row_h = jnp.full((Bp, TOTn), NEV)
+    rc_h = jnp.full((Bp, TOTm), NEV)
+    packed = np.asarray(go(
+        slab_args, shared, prep["qp"], bnd_h, bnd_f, bnd_f2, row_h,
+        rc_h, jnp.asarray(ro_v), jnp.asarray(co_v),
+        jnp.asarray(bp.Ms, np.int32), jnp.asarray(bp.Ns, np.int32),
+        jnp.asarray(bp.lws, np.int32)))
+    k_np = packed[0:IT]
+    m_np = packed[IT:2 * IT]
+    n_np = packed[2 * IT:3 * IT]
+    x_np = packed[3 * IT:4 * IT]
+    scores = packed[4 * IT].astype(np.int64)
+    ends = [(int(packed[4 * IT + 1, b]), int(packed[4 * IT + 2, b]))
+            for b in range(B)]
+    ops_all = []
+    for b in range(B):
+        sel = np.flatnonzero(k_np[:, b])
+        ops = []
+        for j in sel:
+            k = k_np[j, b]
+            if k == 4:
+                ops.append(('I', int(m_np[j, b]), int(x_np[j, b]),
+                            int(n_np[j, b])))
+            else:
+                ops.append((('D', 'E', 'F')[k - 1], int(m_np[j, b]),
+                            int(n_np[j, b])))
+        ops.reverse()
+        ops_all.append(ops)
+    return scores, ends, ops_all

@@ -1119,7 +1119,6 @@ def _tb_walker(S, T, B, L, NSPJ, IT):
     bytes per slab to the host dominated end-to-end mapping; the walker
     moves only (IT, B, 4) op records."""
 
-    @jax.jit
     def walk(FL, SPJ, m0v, n0v, lwv):
         barr = jnp.arange(B)
         bits = jnp.asarray([0, 8, 16, 32, 64], jnp.int32)
@@ -1172,6 +1171,9 @@ def _tb_walker(S, T, B, L, NSPJ, IT):
         _, recs = jax.lax.scan(step, carry0, None, length=IT)
         return recs
 
+    raw = walk
+    walk = jax.jit(walk)
+    walk.raw = raw
     return walk
 
 

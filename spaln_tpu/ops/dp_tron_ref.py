@@ -55,6 +55,8 @@ class TronDpParams:
     dagp: bool = False
     lgop: int = 0                  # LongGOP
     lgep: int = 0                  # LongGEP
+    codonk1: int = 1 << 30         # long-gap switch (aln2.cc:114)
+    vthr: int = 350                # Vthr = alprm.thr * Vab (aln2.cc:105)
 
     @property
     def gap_e1(self) -> int:
@@ -89,7 +91,20 @@ class TronDpParams:
         return cls(qprof_mtx=tron_mtx, gop=gop, gep=gep,
                    extra_gop=-int(cfg.aln2.x * vab),
                    intron_minl=cfg.intron.minl, scale=cfg.aln.scale,
-                   dagp=cfg.aln.ls >= 3, lgop=lgop, lgep=lgep)
+                   dagp=cfg.aln.ls >= 3, lgop=lgop, lgep=lgep,
+                   codonk1=(3 * int(cfg.aln.k1) if cfg.aln.ls >= 3
+                            else 1 << 30),
+                   vthr=int(cfg.aln.thr * vab))
+
+    def gap_penalty3(self, i: int) -> int:
+        """PwdB::GapPenalty3 (aln2.cc:41-52): affine gap cost over i nt
+        with frameshift end costs and the long-gap regime past codonk1."""
+        if i <= 0:
+            return 0
+        x = (self.gap_e1, self.gap_e2)[i % 3 - 1] if i % 3 else 0
+        if i > self.codonk1:
+            return x + self.lgop + (i // 3) * self.lgep
+        return x + self.gop + (i // 3) * self.gep
 
 
 @dataclass
@@ -123,6 +138,12 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
         lw, up = -3 * M, N
     W = up - lw + 6
     off = -lw + 2
+    # Smith-Waterman local mode (-LS, algmode.lcl & 16; fwd2h1.cc:62,
+    # 306-307): LocalL restarts at non-positive cells, LocalR tracks the
+    # best mid-matrix diagonal improvement as the alignment end.
+    local_l = flags.local and flags.a_exgl and flags.b_exgl
+    local_r = flags.local and flags.a_exgr and flags.b_exgr
+    loc_best = (NEVSEL, M, N)            # maxh (fwd2h1.cc:305)
 
     dagp = prm.dagp
     n_nod = 5 if dagp else 3
@@ -388,6 +409,22 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                 Hd[r] = mx_dir
             # dirs fit 5 bits (<= HORL | SPIN = 27); winner node in 5-7
             tb.hdir[m, r] = (Hd[r] & 0x1F) | (mx_k << 5)
+            # Local mode (fwd2h1.cc:514-526): track maxh on improving
+            # diagonal wins; clamp non-positive cells to a fresh start
+            if flags.local:
+                if mx_k == 0 and H[r] > hq_val:
+                    start_case = (local_l and hq_dir == DEAD
+                                  and not (Hd[r] & SPIN))
+                    if (not start_case and local_r
+                            and H[r] > loc_best[0]):
+                        loc_best = (int(H[r]), m, n)
+                if local_l and H[r] <= 0:
+                    H[r] = 0
+                    Hd[r] = DEAD
+                    tb.hdir[m, r] = 0
+                    tb.spj[0, m, r] = 0      # stale close would mislead
+                    if mx_k == 0:
+                        mx_val, mx_dir = 0, DEAD
 
             # ---------------- donor pushes
             if internal and 0 <= n < N and phs5[n] != -2:
@@ -435,6 +472,10 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
         del e_val
 
     # ------------------------------------------------------------- last row
+    # LocalR: a mid-matrix best end wins unless it sits on the last row
+    # (fwd2h1.cc:608-613)
+    if local_r and loc_best[0] > NEVSEL and loc_best[1] != M:
+        return int(loc_best[0]), loc_best[1], loc_best[2], tb
     r9 = N - 3 * M
     best_val, best_m, best_n = H[r9 + off], M, N
     if flags.a_exgr:

@@ -115,7 +115,8 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
 @functools.lru_cache(maxsize=64)
 def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                      T, pad2, Lp3, PBn, TOTn, emit_trace, dagp=False,
-                     lgop=0, lgep=0, gw3l=0):
+                     lgop=0, lgep=0, gw3l=0, local_l=False,
+                     local_r=False):
     """Natively-batched tron wavefront slab (no vmap — a vmapped take
     lowers to a scalar SMEM loop on this toolchain, PERF_NOTES.md).
 
@@ -450,6 +451,29 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         # ---- winner into H
         h_out = mx_val
         hd_out = mx_dir
+        mx_k_tr = mx_k
+
+        # ---- Local mode (fwd2h1.cc:514-526): LocalR tracks improving
+        # diagonal wins as alignment-end candidates; LocalL clamps
+        # non-positive cells to a fresh local start (val 0, dir DEAD)
+        loc_val = loc_lane = None
+        if local_r:
+            y_gt = (mx_k == 0) & (h_out > hq_v)
+            start_case = (hq_d == DEAD) & ((hd_out & SPIN) == 0)
+            lmax_ok = active & y_gt & (~start_case if local_l
+                                       else jnp.bool_(True))
+            lv = jnp.where(lmax_ok, h_out, NEV)
+            loc_val = jnp.max(lv, axis=1)
+            loc_lane = jnp.argmax(lv, axis=1).astype(I32)
+        if local_l:
+            clamp = active & (h_out <= 0)
+            h_out = jnp.where(clamp, 0, h_out)
+            hd_out = jnp.where(clamp, DEAD, hd_out).astype(I32)
+            mx_k_tr = jnp.where(clamp, 0, mx_k)
+            spj_jnc[0] = jnp.where(clamp, 0, spj_jnc[0])
+            clamp0 = clamp & (mx_k == 0)
+            mx_val = jnp.where(clamp0, 0, mx_val)
+            mx_dir = jnp.where(clamp0, DEAD, mx_dir).astype(I32)
 
         # ---- donor pushes over phases
         don_any = internal & active & (n < Ns[:, None]) & (phs5_n != -2)
@@ -525,6 +549,8 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         rc_mask = (n == Ns[:, None]) & active
         rc_v = jnp.sum(jnp.where(rc_mask, h_out - NEV, 0), axis=1) + NEV
         ys = ys_b + (row_v, rc_v)
+        if local_r:
+            ys = ys + (loc_val, loc_lane)
 
         hh_n = jnp.concatenate([h_out[None], hh[:5]])
         hd_n = jnp.concatenate([hd_c[None], hd[:5]])
@@ -537,7 +563,7 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             return carry, ys
         # dirs fit 5 bits (<= HORL|SPIN = 27); winner node in bits 5-7
         fl_h = (jnp.clip(hd_out, 0, 31).astype(jnp.uint8)
-                | (mx_k.astype(jnp.uint8) << 5))
+                | (mx_k_tr.astype(jnp.uint8) << 5))
         fl_h = jnp.where(active, fl_h, jnp.uint8(255))
         fl_e = (edir & 31).astype(jnp.uint8) | jnp.where(
             e_open, jnp.uint8(0x80), jnp.uint8(0))
@@ -573,6 +599,11 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                               Ns=Ns, a_exgr=a_exgr)
         _, ys = jax.lax.scan(f, carry0, jnp.arange(T))
         (bh, bhd, bf, bf2, bf2d, wl, row_v, rc_v) = ys[:8]
+        n_extra = 8
+        loc = ()
+        if local_r:
+            loc = ys[8:10]
+            n_extra = 10
         # write the last lane's boundary stream back as one contiguous
         # window: position at step t is n_s[L-1] = c0 + t - 3(L-1)
         c0 = 3 * m0 + lw0 - 1
@@ -585,7 +616,7 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             bnd_f2 = _win_update(bnd_f2, bf2.T, wlT, ws, PBn)
             bnd_f2d = _win_update(bnd_f2d, bf2d.T, wlT, ws, PBn)
         return ((bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d),
-                (row_v, rc_v), ys[8:])
+                (row_v, rc_v) + loc, ys[n_extra:])
     return run
 
 
@@ -757,29 +788,55 @@ def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
     Returns (row_np (B, Ngeom+2), rc_np (B, Mpad+2), traces) where
     traces[s] is the slab's plane tuple ((T, B, L) arrays)."""
     B, L, T = bp.B, bp.L, bp.T
+    flags = bp.flags
+    local_l = flags.local and flags.a_exgl and flags.b_exgl
+    local_r = flags.local and flags.a_exgr and flags.b_exgr
     run = _tron_scan_batch(B, L, bp.W, prm.gop, prm.gep, prm.gap_e1,
                            prm.gap_e2, prm.gap_w1, prm.gap_w2,
                            prm.gap_w3, prm.intron_minl, T, bp.pad2,
                            bp.Lp3, bp.PBn, bp.TOTn,
                            not score_only, dagp=prm.dagp, lgop=prm.lgop,
-                           lgep=prm.lgep, gw3l=prm.gap_w3l)
+                           lgep=prm.lgep, gw3l=prm.gap_w3l,
+                           local_l=local_l, local_r=local_r)
     bnds = bp.bnd0
     lw0 = jnp.asarray(bp.lw)
     row_np = np.full((B, bp.Ngeom + 2), int(NEV), dtype=np.int64)
     rc_np = np.full((B, bp.Mpad + 2), int(NEV), dtype=np.int64)
+    # best local end per problem: (val, m, n), first-encountered max in
+    # (m asc, n asc) order (the scalar maxh scan order)
+    bp.loc_best = [(int(NEV), 0, 0)] * B
     traces = []
     for s in range(bp.n_slabs):
         m0 = s * L + 1
         qp0 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
                                            axis=1)
         qp1 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0, L, axis=1)
-        bnds, (row_v, rc_v), tr = run(
+        bnds, emis, tr = run(
             qp0, qp1, bp.ops, *bnds, m0, lw0, bp.deltas_j, bp.Ms_j,
             bp.Ns_j, bp.flags.a_exgr)
+        row_v, rc_v = emis[0], emis[1]
         if not score_only:
             traces.append(tuple(np.asarray(y) for y in tr))
         row_s = np.asarray(row_v)                    # (T, B)
         rc_s = np.asarray(rc_v)
+        if local_r:
+            lv_s = np.asarray(emis[2])               # (T, B)
+            ll_s = np.asarray(emis[3])
+            c0s = 3 * m0 + bp.lw - 1
+            for b in range(B):
+                cand_t = np.nonzero(lv_s[:, b] > int(NEV))[0]
+                if not len(cand_t):
+                    continue
+                best = bp.loc_best[b]
+                vals = lv_s[cand_t, b]
+                lanes_b = ll_s[cand_t, b]
+                ms = m0 + lanes_b
+                ns = c0s + cand_t - 3 * lanes_b + bp.deltas[b]
+                order = np.lexsort((ns, ms, -vals))
+                v0, m_, n_ = (int(vals[order[0]]), int(ms[order[0]]),
+                              int(ns[order[0]]))
+                if v0 > best[0]:
+                    bp.loc_best[b] = (v0, m_, n_)
         c0 = 3 * m0 + bp.lw - 1
         for b in range(B):
             M, N, d = bp.Ms[b], bp.Ns[b], bp.deltas[b]
@@ -809,6 +866,7 @@ def collect_tron_results(bp: TronBatchProblem, row_np, rc_np, traces,
     """Host stage: per-problem end extraction (lastH_ng semantics) and
     per-problem TronTraceScan views of the batched planes."""
     flags = bp.flags
+    local_r = flags.local and flags.a_exgr and flags.b_exgr
     out = []
     for b in range(bp.B):
         M, N, lw = bp.Ms[b], bp.Ns[b], bp.lws[b]
@@ -816,6 +874,26 @@ def collect_tron_results(bp: TronBatchProblem, row_np, rc_np, traces,
         row_b = row_np[b]
         rc_b = rc_np[b]
         sigT = bp.sigs[b].sigT
+        if local_r:
+            # LocalR: mid-matrix best end wins unless on the last row
+            # (fwd2h1.cc:608-613)
+            lv, lm, ln = getattr(bp, "loc_best", [(int(NEV), 0, 0)] * bp.B)[b]
+            if lv > int(NEV) and lm != M:
+                tr = None
+                if not score_only:
+                    tr = TronTraceScan(
+                        fl_h=[t[0][:, b] for t in traces],
+                        fl_e=[t[1][:, b] for t in traces],
+                        fl_f=[t[2][:, b] for t in traces],
+                        spj=[t[3][:, b] for t in traces],
+                        php=[t[4][:, b] for t in traces],
+                        L=bp.L, lw=lw, W=bp.W,
+                        fl_e2=[t[5][:, b] for t in traces],
+                        fl_f2=[t[6][:, b] for t in traces])
+                    tr.row_h = row_b
+                    tr.rc_h = rc_b
+                out.append((lv, lm, ln, tr))
+                continue
         best_val, best_m, best_n = row_b[N], M, N
         if flags.a_exgr:
             for n in range(max(3 * M + lw - 1, 3), N + 1):

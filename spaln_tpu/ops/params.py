@@ -43,6 +43,7 @@ class DpParams:
     intron_llmt: int = 20
     ipen: IntronPenalty | None = None
     scale: int = 10
+    codonk1: int = 1 << 30       # long-gap switch (aln2.cc:114)
 
     @classmethod
     def build(cls, cfg: Config, simmtx: Simmtx, dvsp: int = CvsG,
@@ -60,11 +61,17 @@ class DpParams:
         return cls(qprof_mtx=simmtx.mtx, gop=gop, gep=gep,
                    lgop=lgop, lgep=lgep, dagp=cfg.aln.ls >= 3,
                    intron_llmt=cfg.intron.llmt, ipen=ipen,
-                   scale=cfg.aln.scale)
+                   scale=cfg.aln.scale,
+                   codonk1=(int(cfg.aln.k1) if cfg.aln.ls >= 3
+                            else 1 << 30))
 
     def gap_penalty(self, k: int) -> int:
-        if k == 0:
+        """PwdB::GapPenalty (aln.h:276-279): affine, long-gap regime
+        past codonk1 when double affine is configured."""
+        if k <= 0:
             return 0
+        if k > self.codonk1:
+            return self.lgop + k * self.lgep
         return self.gop + k * self.gep
 
     def intron_table(self, max_len: int) -> np.ndarray:

@@ -129,17 +129,50 @@ TOOMANY_PER_WORD = 64
 MAX_HSPS = 1024
 
 
-def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
+class WindowTable:
+    """Per-window word tables, built once and probed by query words
+    (the role of Wlp's per-target lookup kept for the whole query,
+    wln.cc:253-350).  Reused across strands (the query flips instead of
+    the window), across ExtBlock widen rounds that land on the same
+    range, and across queries voting into the same locus."""
+
+    def __init__(self, g: np.ndarray):
+        self.g = np.asarray(g)
+        self.rg = NT_REDUCE4[self.g.astype(np.int64)]
+        self._levels: dict[tuple, tuple] = {}
+
+    def level(self, level: int, spaced: bool):
+        """(gv_sorted, gpos_sorted) for the level's seed geometry."""
+        ent = self._levels.get((level, spaced))
+        if ent is None:
+            prm = NT_LEVELS[min(level, 2)]
+            k = prm["k"]
+            pattern = (WLN_DEF_BITPAT[k]
+                       if spaced and k < len(WLN_DEF_BITPAT)
+                       else None)
+            gw, gok = _kmer_words(self.rg, k, pattern)
+            gpos = np.nonzero(gok)[0]
+            gv = gw[gpos]
+            order = np.argsort(gv, kind="stable")
+            ent = (gv[order], gpos[order])
+            self._levels[(level, spaced)] = ent
+        return ent
+
+
+def find_hsps(q: np.ndarray, g: np.ndarray | None = None, level: int = 1,
               match: int = 20, mismatch: int = -60,
               max_gap_in_run: int | None = None,
               min_score: int | None = None,
               mtx: np.ndarray | None = None,
-              spaced: bool = False) -> list[Hsp]:
+              spaced: bool = False,
+              wtab: WindowTable | None = None) -> list[Hsp]:
     """K-mer seed pairs -> diagonal runs -> scored HSPs (vectorized).
 
     mtx: substitution matrix for run evaluation (Wlp::eval, wln.cc:358);
     falls back to flat match/mismatch when absent.  spaced: use the
-    level's WlnDefBitPat spaced seed (cross-species sensitivity)."""
+    level's WlnDefBitPat spaced seed (cross-species sensitivity).
+    wtab: prebuilt window word table (probed with the query words —
+    the same pair set as the direct formulation, at Q log G probes)."""
     prm = NT_LEVELS[min(level, 2)]
     k = prm["k"]
     pattern = WLN_DEF_BITPAT[k] if spaced and k < len(WLN_DEF_BITPAT) \
@@ -147,35 +180,39 @@ def find_hsps(q: np.ndarray, g: np.ndarray, level: int = 1,
     thr = (min_score if min_score is not None else prm["thr"] * 10)
     merge_gap = max_gap_in_run if max_gap_in_run is not None else 3 * k
     rq = NT_REDUCE4[np.asarray(q, dtype=np.int64)]
-    rg = NT_REDUCE4[np.asarray(g, dtype=np.int64)]
+    if wtab is None:
+        wtab = WindowTable(g)
+    g = wtab.g
+    rg = wtab.rg
     qw, qok = _kmer_words(rq, k, pattern)
-    gw, gok = _kmer_words(rg, k, pattern)
-    if not len(qw) or not len(gw):
+    if not len(qw):
+        return []
+    gv_sorted, gpos_sorted = wtab.level(level, pattern is not None)
+    if not len(gv_sorted):
         return []
     qpos = np.nonzero(qok)[0]
     qv = qw[qpos]
-    order = np.argsort(qv, kind="stable")
-    qv_sorted, qpos_sorted = qv[order], qpos[order]
-    gpos = np.nonzero(gok)[0]
-    gv = gw[gpos]
-    lo = np.searchsorted(qv_sorted, gv, side="left")
-    hi = np.searchsorted(qv_sorted, gv, side="right")
-    cnt = hi - lo
+    lo = np.searchsorted(gv_sorted, qv, side="left")
+    hi = np.searchsorted(gv_sorted, qv, side="right")
+    cnt = hi - lo                          # per-query-position cg
     # abundance caps: a word occurring cq times in the query and cg
     # times in the window generates cq*cg seed pairs; low-complexity
     # words (poly-A/AT runs) explode quadratically with no sensitivity
-    # gain, so cap both the per-position fan-out and the per-word total
-    has = (cnt > 0) & (cnt <= TOOMANY_PER_WORD)
+    # gain.  Same pair set as the historical window-probes-query
+    # formulation: keep iff cq <= CAP and cq*cg <= CAP^2.
+    has = cnt > 0
     if has.any():
-        _, inv, cg = np.unique(gv, return_inverse=True,
+        _, inv, cq = np.unique(qv, return_inverse=True,
                                return_counts=True)
-        has &= cnt * cg[inv] <= TOOMANY_PER_WORD * TOOMANY_PER_WORD
+        cq_pos = cq[inv]
+        has &= ((cq_pos <= TOOMANY_PER_WORD)
+                & (cnt * cq_pos <= TOOMANY_PER_WORD * TOOMANY_PER_WORD))
     if not has.any():
         return []
-    g_rep = np.repeat(gpos[has], cnt[has])
+    q_rep = np.repeat(qpos[has], cnt[has])
     idx = _ragged_arange(lo[has].astype(np.int64),
                          cnt[has].astype(np.int64))
-    q_rep = qpos_sorted[idx]
+    g_rep = gpos_sorted[idx]
     diag = g_rep.astype(np.int64) - q_rep
     order = np.lexsort((g_rep, diag))
     dd, gg, qq = diag[order], g_rep[order], q_rep[order]
@@ -290,27 +327,47 @@ def chain_hsps(hsps: list[Hsp], ipen=None, gop: int = -80, gep: int = -30,
     return chains
 
 
-def wilip(q: np.ndarray, g: np.ndarray, level: int = 1, ipen=None,
-          prm=None, spaced: bool = False, **kw) -> list[Chain]:
+def mirror_hsps(hsps: list[Hsp], M: int, N: int) -> list[Hsp]:
+    """Map HSPs of (revcomp(q) x window) into (q x revcomp(window))
+    coordinates: an exact match is strand-symmetric, so the minus-strand
+    seed pass flips the short query instead of the long window and
+    mirrors the results (jx' = M - rx, jy' = N - ry)."""
+    return [Hsp(jx=M - h.rx, jy=N - h.ry, jlen=h.jlen, nid=h.nid,
+                jscr=h.jscr) for h in hsps]
+
+
+def wilip(q: np.ndarray, g: np.ndarray | None = None, level: int = 1,
+          ipen=None, prm=None, spaced: bool = False,
+          wtab: WindowTable | None = None,
+          mirror: bool = False, **kw) -> list[Chain]:
     """HSP search + chaining at one level; retries coarser levels if the
     finer one finds nothing (the -Q level recursion entry).
 
     prm: DpParams — supplies the substitution matrix for HSP evaluation
     and the gap costs for chain links (replacing the flat defaults).
     spaced: spaced seeds at every level, falling back to the contiguous
-    seed at the coarsest level (cross-species mode)."""
+    seed at the coarsest level (cross-species mode).
+    wtab: prebuilt window table; mirror: q is the revcomp query probed
+    against the forward window — chains come out in (q x rc-window)
+    coordinates (see mirror_hsps)."""
     if prm is not None:
         kw.setdefault("gop", prm.gop)
         kw.setdefault("gep", prm.gep)
     mtx = prm.qprof_mtx if prm is not None else None
+    N = len(wtab.g if wtab is not None else g)
+
+    def _find(lv, sp):
+        hsps = find_hsps(q, g, lv, mtx=mtx, spaced=sp, wtab=wtab)
+        if mirror:
+            hsps = mirror_hsps(hsps, len(q), N)
+        return hsps
+
     for lv in range(level, 3):
-        hsps = find_hsps(q, g, lv, mtx=mtx, spaced=spaced)
-        chains = chain_hsps(hsps, ipen=ipen, **kw)
+        chains = chain_hsps(_find(lv, spaced), ipen=ipen, **kw)
         if chains:
             return chains
     if spaced:
-        hsps = find_hsps(q, g, 2, mtx=mtx, spaced=False)
-        chains = chain_hsps(hsps, ipen=ipen, **kw)
+        chains = chain_hsps(_find(2, False), ipen=ipen, **kw)
         if chains:
             return chains
     return []

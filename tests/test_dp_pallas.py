@@ -143,3 +143,26 @@ def test_pallas_dagp_matches_scan(ctx):
         host_ops = traceback_spliced_scan(btr[b], int(e_scan[b][0]),
                                           int(e_scan[b][1]))
         assert host_ops == ops_p[b]
+
+
+def test_fused_bucket_matches_unfused(ctx):
+    """run_bucket_fused (one-dispatch slabs+ends+walk) == the per-slab
+    trace path + host end extraction + device traceback, bit-exact."""
+    from spaln_tpu.ops.dp_spliced_pallas import run_bucket_fused
+    from spaln_tpu.ops.dp_spliced_scan import traceback_spliced_scan
+    cfg, prm, tables = ctx
+    queries, genomes, sigs = _spliced_problems(cfg, tables, 3, 40, 60,
+                                               seed=5)
+    lw = -96
+    bp = prepare_spliced_batch(queries, genomes, prm, sigs=sigs,
+                               lw=lw, up=lw + 192 - 1, L=16)
+    row_s, rc_s, traces = run_spliced_batch(bp, prm, score_only=False)
+    s_ref, e_ref, btr = collect_batch_results(bp, row_s, rc_s, traces,
+                                              False, prm=prm)
+    scores, ends, ops_all = run_bucket_fused(bp, prm)
+    assert list(scores) == list(s_ref)
+    for b in range(3):
+        assert ends[b] == (int(e_ref[b][0]), int(e_ref[b][1]))
+        ops_ref = traceback_spliced_scan(btr[b], int(e_ref[b][0]),
+                                         int(e_ref[b][1]))
+        assert ops_all[b] == ops_ref

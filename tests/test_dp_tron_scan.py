@@ -41,12 +41,13 @@ def _bt(aa):
     return "".join(_CODON[int(x)] for x in aa)
 
 
-def _cmp(prot, genome, cfg, prm, ipen_tab, table_dir, L):
+def _cmp(prot, genome, cfg, prm, ipen_tab, table_dir, L, flags=None):
     gc = encode_dna(genome)
     sig = build_tron_signals(gc, cfg, table_dir)
-    s_r, em_r, en_r, tb_r = forward_tron_ref(prot, gc, sig, prm, ipen_tab)
+    s_r, em_r, en_r, tb_r = forward_tron_ref(prot, gc, sig, prm, ipen_tab,
+                                             flags=flags)
     s_j, em_j, en_j, tr_j = forward_tron_scan(prot, gc, sig, prm, ipen_tab,
-                                              L=L)
+                                              L=L, flags=flags)
     assert (s_j, em_j, en_j) == (s_r, em_r, en_r)
     ops_r = traceback_tron_ref(tb_r, em_r, en_r)
     ops_j = traceback_tron_scan(tr_j, em_j, en_j)
@@ -102,6 +103,61 @@ def test_tron_scan_divergent(cfg, prm, ipen_tab, table_dir, rng):
     g = "".join(e1) + intron + _bt(aa2)
     prot = np.concatenate([aa1, aa2]).astype(np.int8)
     _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8)
+
+
+# ------------------------------------------------------------- local
+def test_tron_scan_local_basic(cfg, prm, ipen_tab, table_dir, rng):
+    """SW local (-LS): scan == oracle on score, end, and path."""
+    from spaln_tpu.ops.params import DpFlags
+    aa = rng.choice(AA_CODES, 30).astype(np.int8)
+    g = ("".join(rng.choice(list("ACGT"), 40)) + _bt(aa)
+         + "".join(rng.choice(list("ACGT"), 40)))
+    _cmp(aa, g, cfg, prm, ipen_tab, table_dir, L=8,
+         flags=DpFlags(local=True))
+
+
+def test_tron_scan_local_trims_junk_tail(cfg, prm, ipen_tab, table_dir,
+                                         rng):
+    """A query whose tail has no genomic support ends mid-matrix under
+    LocalR instead of being dragged to the last row (fwd2h1.cc:608)."""
+    from spaln_tpu.ops.params import DpFlags
+    aa_core = rng.choice(AA_CODES, 40)
+    aa_junk = rng.choice(AA_CODES, 15)
+    prot = np.concatenate([aa_core, aa_junk]).astype(np.int8)
+    g = _bt(aa_core) + "".join(rng.choice(list("ACGT"), 30))
+    ops = _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=16,
+               flags=DpFlags(local=True))
+    last_m = max(o[1] for o in ops if o[0] == 'D')
+    assert last_m <= 42                      # junk tail not aligned
+
+
+def test_tron_scan_local_intron(cfg, prm, ipen_tab, table_dir, rng):
+    """Local mode with a real intron, multi-slab."""
+    from spaln_tpu.ops.params import DpFlags
+    aa1 = rng.choice(AA_CODES, 35)
+    aa2 = rng.choice(AA_CODES, 42)
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 200)) + "TTTCTAG"
+    g = ("".join(rng.choice(list("ACGT"), 30)) + _bt(aa1) + intron
+         + _bt(aa2) + "".join(rng.choice(list("ACGT"), 25)))
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    ops = _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8,
+               flags=DpFlags(local=True))
+    assert len([o for o in ops if o[0] == 'I']) == 1
+
+
+def test_tron_scan_local_divergent(cfg, prm, ipen_tab, table_dir, rng):
+    """Local mode with mutated codons (negative-run clamp exercised)."""
+    from spaln_tpu.ops.params import DpFlags
+    aa1 = rng.choice(AA_CODES, 25)
+    aa2 = rng.choice(AA_CODES, 30)
+    e1 = list(_bt(aa1))
+    for i in range(2, len(e1), 9):
+        e1[i] = rng.choice(list("ACGT"))
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 120)) + "TTTTTAG"
+    g = "".join(e1) + intron + _bt(aa2)
+    prot = np.concatenate([aa1, aa2]).astype(np.int8)
+    _cmp(prot, g, cfg, prm, ipen_tab, table_dir, L=8,
+         flags=DpFlags(local=True))
 
 
 # ------------------------------------------------------------- dagp
