@@ -108,7 +108,10 @@ def main():
     # block_until_ready alone does not guarantee completion on
     # remote-tunnel backends, so timings below are honest wall-clock
     run(bp, prm, score_only=True)
-    iters = int(os.environ.get("BENCH_ITERS", 3))
+    # tunnel variance on this backend measured +-15% between sessions
+    # (r4 3.33 vs 3.79 same config): N >= 5 repeats, report the median
+    # AND the spread so a single noisy session can't move the headline
+    iters = int(os.environ.get("BENCH_ITERS", 7))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -121,11 +124,15 @@ def main():
 
     cells = B * bp.n_slabs * L * bp.W
     gcups = cells / dt / 1e9
+    g_of = lambda t: cells / t / 1e9
     print(json.dumps({
         "metric": "spliced_dp_gcups_per_chip",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 5.0, 3),
+        "repeats": iters,
+        "spread_gcups": [round(g_of(times[-1]), 3),
+                         round(g_of(times[0]), 3)],
     }))
 
 

@@ -186,7 +186,8 @@ def run_reference(corpus: str, qfile: str, ref_bin: str,
 
 def run_ours(corpus: str, qfile: str, lanes: int = 128,
              batch: int = 16, platform: str = "cpu",
-             protein: bool = False, passes: int = 1) -> tuple:
+             protein: bool = False, passes: int = 1,
+             chunk: int = 0) -> tuple:
     import faulthandler
     import signal
     faulthandler.register(signal.SIGUSR1)     # kill -USR1 <pid> -> stack
@@ -212,6 +213,43 @@ def run_ours(corpus: str, qfile: str, lanes: int = 128,
     outp = os.path.join(corpus, "ours_o4.txt")
     from spaln_tpu.utils.metrics import metrics
     dt = stages = counters = None
+    if chunk > 0:
+        # checkpointed run: map `chunk` queries at a time, each chunk's
+        # output committed to disk with a done-marker, so a tunnel hang
+        # kills at most one chunk and the rerun resumes (the round-4
+        # 2,000-query run died whole to a single 30-min hang)
+        recs = _read_fasta(os.path.join(corpus, qfile))
+        ckdir = os.path.join(corpus, f"ck_{os.path.basename(qfile)}")
+        os.makedirs(ckdir, exist_ok=True)
+        t_sum = 0.0
+        stages = {}
+        counters = {}
+        for c0 in range(0, len(recs), chunk):
+            part = os.path.join(ckdir, f"part_{c0:06d}.txt")
+            if os.path.exists(part + ".done"):
+                continue
+            qpart = os.path.join(ckdir, f"q_{c0:06d}.fa")
+            with open(qpart, "w") as f:
+                for n, s in recs[c0:c0 + chunk]:
+                    f.write(f">{n}\n{s}\n")
+            metrics.timings.clear()
+            metrics.counters.clear()
+            t0 = time.time()
+            cli_main(["map", qpart, "-d", prefix, "-O", "4", "-o", part,
+                      "--batch", str(batch), "--lanes", str(lanes),
+                      "--metrics"])
+            t_sum += time.time() - t0
+            for k, v in metrics.timings.items():
+                stages[k] = round(stages.get(k, 0) + v, 2)
+            for k, v in metrics.counters.items():
+                counters[k] = counters.get(k, 0) + v
+            with open(part + ".done", "w") as f:
+                f.write("ok\n")
+        text = ""
+        for c0 in range(0, len(recs), chunk):
+            with open(os.path.join(ckdir, f"part_{c0:06d}.txt")) as f:
+                text += f.read()
+        return parse_ours_o4(text), t_sum, stages, counters
     for _pass in range(max(passes, 1)):
         # pass 2+ measures the process-warm steady state: Mosaic kernel
         # compiles are per-process (not served by the persistent XLA
@@ -240,6 +278,9 @@ def main(argv=None):
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for our pipeline (cpu | axon)")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="checkpointed mapping in chunks of N queries "
+                         "(resume-safe on a flaky tunnel); 0 = one run")
     ap.add_argument("--passes", type=int, default=1,
                 help="mapping passes; the last pass's timing is\n"
                      "reported (2 = process-warm steady state)")
@@ -276,7 +317,7 @@ def main(argv=None):
     if not a.skip_ours:
         ours, t_ours, stages, counters = run_ours(
             a.corpus, qfile, a.lanes, a.batch, platform=a.platform,
-            protein=a.protein, passes=a.passes)
+            protein=a.protein, passes=a.passes, chunk=a.chunk)
         rep["ours_seconds"] = round(t_ours, 1)
         rep["platform"] = a.platform
         rep["queries_per_sec"] = round(len(names) / t_ours, 3)

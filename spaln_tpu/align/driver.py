@@ -36,12 +36,14 @@ class AlignerContext:
     tables: TableDir
     prm: DpParams
     ipen: IntronPenalty
+    flags: "DpFlags" = None        # end-gap mode (-L; default lcl 15)
 
     @classmethod
     def create(cls, tables: TableDir, cfg: Config | None = None,
-               dvsp: int = CvsG,
+               dvsp: int = CvsG, local: bool = False,
                y_args: list | None = None) -> "AlignerContext":
         from ..config import apply_y_args
+        from ..ops.params import DpFlags
         cfg = cfg or Config()
         # species AlnParam file re-fed as -y args (readargs role)
         cfg = apply_y_args(cfg, tables.alnparam_args())
@@ -52,7 +54,8 @@ class AlignerContext:
         sm = Simmtx.dna(match=cfg.aln.smn_match,
                         mismatch=cfg.aln.smn_mismatch)
         prm = DpParams.build(cfg, sm, dvsp, ipen=ipen)
-        return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen)
+        return cls(cfg=cfg, tables=tables, prm=prm, ipen=ipen,
+                   flags=DpFlags(local=local))
 
 
 def align_cdna(query: np.ndarray, genome: np.ndarray, ctx: AlignerContext,
@@ -553,7 +556,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 bp = prepare_spliced_batch(
                     [j.q for j in js], [j.gw for j in js], ctx.prm,
                     sigs=[j.sig for j in js], lws=[j.lw for j in js],
-                    W=W, L=lanes, cips=cips)
+                    W=W, L=lanes, cips=cips, flags=ctx.flags)
                 if mesh is not None:
                     bp = _shard_batch(bp, mesh)
             if use_udh:
@@ -582,6 +585,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
             # launch structure
             if (_jax.default_backend() != "cpu" and mesh is None
                     and bp.cip_all is None and not bp.flags.local
+                    and os.environ.get("SPALN_ENGINE", "") != "scan"
                     and os.environ.get("SPALN_FUSE", "1") == "1"
                     and os.environ.get("SPALN_DEV_TB", "1") == "1"):
                 fused = None
@@ -618,6 +622,7 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                 # backend and problem shape allow; scan engine otherwise
                 if (_jax.default_backend() != "cpu" and mesh is None
                         and bp.cip_all is None
+                        and os.environ.get("SPALN_ENGINE", "") != "scan"
                         and not bp.flags.local):
                     try:
                         from ..ops.dp_spliced_pallas import \

@@ -46,9 +46,12 @@ class ProteinAlignerContext:
 
     @classmethod
     def create(cls, tables: TableDir, cfg: Config | None = None,
-               max_intron: int = 200_000, local: bool = True,
+               max_intron: int = 200_000, local: bool | None = None,
                y_args: list | None = None) -> "ProteinAlignerContext":
+        import os
         from ..config import apply_y_args
+        if local is None:
+            local = os.environ.get("SPALN_PROT_LOCAL", "1") == "1"
         cfg = cfg or Config()
         cfg = apply_y_args(cfg, tables.alnparam_args())
         if y_args:

@@ -32,6 +32,58 @@ from .seq.genome import GenomeStore
 from .constants import DNA
 
 
+def _ktoi(s: str) -> int:
+    """Parse a size with k/M/G suffix (the reference's ktoi/ktol)."""
+    s = s.strip()
+    mult = 1
+    if s and s[-1] in "kKmMgG":
+        mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _lcl_local(args, default: bool = False) -> bool:
+    """-L value -> SW-local flag (spaln.cc:361-379: S/16 = local)."""
+    v = getattr(args, "lcl", None)
+    if v is None:
+        return default
+    if v.isdigit():
+        return bool(int(v) & 16)
+    return v.upper().startswith("S")
+
+
+def _seed_level(args) -> int:
+    """-Q level -> starting Wilip seed level (algmode.qck depth:
+    deeper recursion budget starts at the finest seed)."""
+    q = getattr(args, "qlevel", 7) & 3
+    return {3: 0, 2: 1, 1: 2, 0: 2}[q]
+
+
+def _apply_engine_opts(args) -> None:
+    """-A/-V/-G wiring: engine force + memory/segment budgets."""
+    import os
+    eng = getattr(args, "engine", None)
+    if eng:
+        os.environ["SPALN_ENGINE"] = {1: "scan", 2: "pallas",
+                                      3: "udh"}.get(eng, "")
+        if eng == 3:
+            os.environ["SPALN_UDH"] = "1"
+        elif eng == 1:
+            os.environ["SPALN_FUSE"] = "0"
+    if getattr(args, "vmf_budget", None):
+        from .align import driver as _drv
+        _drv.PLANE_BYTES_BUDGET = _ktoi(args.vmf_budget)
+    if getattr(args, "g_segment", None):
+        from .align import segment as _seg
+        _seg.G_SEGMENT = _ktoi(args.g_segment)
+    # -u/-v/-w are readalprm letters spelled as their own flags
+    for flag, letter in (("u_pen", "u"), ("v_pen", "v"),
+                         ("w_band", "w")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            args.y_args.append(f"{letter}{v}")
+
+
 class OutputSink:
     """Multi-format writer (AlnOutModes role, aln.h:312-333): one pass
     over results feeds every requested -O form; -O12 shards collect in
@@ -115,13 +167,17 @@ def cmd_align(args) -> int:
     recs = list(iter_seqfile(args.queries))
     need_p = any(r.molc == PROTEIN for r in recs)
     need_n = any(r.molc != PROTEIN for r in recs)
+    _apply_engine_opts(args)
     ya = ["-y" + a for a in args.y_args]
     if need_p:
         from .align.protein_driver import (ProteinAlignerContext,
                                            align_protein)
-        pctx = ProteinAlignerContext.create(tables, y_args=ya)
+        pctx = ProteinAlignerContext.create(
+            tables, y_args=ya,
+            local=(_lcl_local(args) if args.lcl is not None else None))
     if need_n:
-        ctx = AlignerContext.create(tables, y_args=ya)
+        ctx = AlignerContext.create(tables, y_args=ya,
+                                    local=_lcl_local(args))
     for grec in genome_recs:
         if len(grec.codes) > G_SEGMENT:
             # long genomic query: chunked annotation with seam stitching
@@ -177,6 +233,7 @@ def cmd_map(args) -> int:
     from .constants import PROTEIN
     from .seed.blockindex import BlockIndex, ProteinBlockIndex
     from .align.mapper import GenomeMapper, ProteinGenomeMapper
+    _apply_engine_opts(args)
     store = GenomeStore.load(args.genome_db)
     tables = TableDir(find_table_dir(args.table_dir), species=args.species)
     out = open(args.output, "w") if args.output else sys.stdout
@@ -201,7 +258,9 @@ def cmd_map(args) -> int:
             pmapper = ProteinGenomeMapper(
                 store, ProteinBlockIndex.load(args.genome_db),
                 ProteinAlignerContext.create(
-                    tables, y_args=["-y" + a for a in args.y_args]))
+                    tables, y_args=["-y" + a for a in args.y_args],
+                    local=(_lcl_local(args) if args.lcl is not None
+                           else None)))
         res = pmapper.map_queries([r.codes for r in aa_batch],
                                   q_names=[r.name for r in aa_batch],
                                   lanes=args.lanes,
@@ -218,7 +277,8 @@ def cmd_map(args) -> int:
             mapper = GenomeMapper(
                 store, BlockIndex.load(args.genome_db),
                 AlignerContext.create(
-                    tables, y_args=["-y" + a for a in args.y_args]))
+                    tables, y_args=["-y" + a for a in args.y_args],
+                    local=_lcl_local(args)))
         # -yJ: queries carrying SigII junction records (;B/;b) get the
         # conserved-intron-position bonus SpbFact*num at those rows
         spb = mapper.ctx.cfg.aln2.spb * mapper.ctx.cfg.aln.scale
@@ -576,6 +636,35 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-y", dest="y_args", action="append", default=[],
                         help="alignment parameter (readalprm letters), "
                              "e.g. -y w150 -y 'I\"20 800 ...\"'")
+        sp.add_argument("-L", dest="lcl", default=None,
+                        help="end-gap mode (spaln -L): S = Smith-"
+                             "Waterman local; digits = algmode.lcl "
+                             "bitmask (16 = local); default 15 "
+                             "(semi-global; protein mapping defaults "
+                             "to local, the reference recipe)")
+        sp.add_argument("-Q", dest="qlevel", type=int, default=7,
+                        help="algorithm level (spaln -Q): q&3 = seed "
+                             "recursion depth, q>>2 = use block index")
+        sp.add_argument("-A", dest="engine", type=int, default=None,
+                        help="engine select (spaln -A role): 1 scan, "
+                             "2 pallas/fused, 3 linear-space UDH; "
+                             "default auto")
+        sp.add_argument("-V", dest="vmf_budget", default=None,
+                        help="traceback-plane memory budget with k/M/G "
+                             "suffix (MaxVmfSpace role, vmf.h:26-28)")
+        sp.add_argument("-G", dest="g_segment", default=None,
+                        help="genomic segment length with k/M suffix "
+                             "(g_segment chunking)")
+        sp.add_argument("-u", dest="u_pen", default=None,
+                        help="gap-extension penalty (alprm.u)")
+        sp.add_argument("-v", dest="v_pen", default=None,
+                        help="gap-open penalty (alprm.v)")
+        sp.add_argument("-w", dest="w_band", default=None,
+                        help="band width sh (alprm.sh)")
+        sp.add_argument("-p", dest="p_flags", action="append",
+                        default=[],
+                        help="output subflags; q (quiet) accepted for "
+                             "reference command-line compatibility")
 
     sp = sub.add_parser("align", help="align queries to genomic segments")
     sp.add_argument("genomic")
