@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from spaln_tpu.seed.wilip import find_hsps, chain_hsps, wilip  # noqa: E402
+from spaln_tpu.seed.wilip import wilip  # noqa: E402
 
 rng = np.random.default_rng(7)
 

@@ -1,14 +1,13 @@
-"""Profile the REAL seed phase (vote + FindHsp verify) on corpus data.
+"""Profile the seed phase (vote + chain) on corpus data.
 
-Reproduces exactly what _map_queries_batched's phases A+B pay per
-query, with cProfile attribution, so seed-stage optimizations target
-the in-situ geometry (real maxgene windows, both strands, widen
-rounds) instead of synthetic guesses.
+Approximates what _map_queries_batched's phases A+B pay per query
+(no ExtBlock widen rounds; stops at the first strand that chains),
+with cProfile attribution, so seed-stage optimizations target realistic
+geometry (real maxgene windows) instead of synthetic guesses.
 """
 from __future__ import annotations
 
 import cProfile
-import json
 import os
 import pstats
 import sys
@@ -21,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from spaln_tpu.seq.genome import GenomeStore                 # noqa: E402
 from spaln_tpu.seed.blockindex import BlockIndex             # noqa: E402
-from spaln_tpu.seq.codec import encode_dna, comrev           # noqa: E402
+from spaln_tpu.seq.codec import comrev           # noqa: E402
 from spaln_tpu.seq.fasta import read_fasta                   # noqa: E402
 from spaln_tpu.seed.wilip import wilip                       # noqa: E402
 from spaln_tpu.align.driver import AlignerContext            # noqa: E402
