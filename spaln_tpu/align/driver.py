@@ -566,6 +566,8 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                         bp, ctx.prm)
                 metrics.bump("dp_cells",
                              bp.B * bp.n_slabs * bp.L * bp.W)
+                metrics.bump("dp_cells_real",
+                             len(part) * bp.n_slabs * bp.L * bp.W)
                 with stage("traceback"):
                     for bi, ji in enumerate(part):
                         try:
@@ -638,6 +640,8 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
                     metrics.bump("scan_trace_jobs", len(part))
             metrics.bump("dp_cells",
                          bp.B * bp.n_slabs * bp.L * bp.W)
+            metrics.bump("dp_cells_real",
+                         len(part) * bp.n_slabs * bp.L * bp.W)
             with stage("traceback"):
                 # device-side walk by default: shipping full trace
                 # planes to the host dominates on remote-tunnel

@@ -15,7 +15,7 @@ import numpy as np
 
 from .. import constants as K
 from ..config import Config, resolve, PvsG
-from ..ops.params import DpFlags
+from ..ops.params import DpFlags, NEVSEL
 from ..ops.dp_tron_ref import TronDpParams
 from ..ops.dp_tron_scan import forward_tron_scan, traceback_tron_scan
 from ..score.codepot import build_tron_signals, TronSignals
@@ -227,6 +227,9 @@ class TronJob:
     g_total: int
     q_name: str = ""
     g_name: str = ""
+    loc_bounds: tuple = (1 << 30, -(1 << 30))  # Local outside anchors
+    k5: int = 0                # unanchored aa at the 5' query end
+    k3: int = 0                # unanchored aa at the 3' query end
 
 
 SPLICE_MASK_EDGE = 9          # nt kept splice-eligible at anchor edges
@@ -294,9 +297,13 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
     if N < 3 or M == 0:
         return None
     sig = build_tron_signals(gw, ctx.cfg, ctx.tables)
+    loc_bounds = (1 << 30, -(1 << 30))
     if chain is not None and chain.hsps:
         sig = _mask_splice_sites(sig, chain, lo, N,
                                  ctx.prm.intron_minl, 3 * M)
+        # Local (SW) behavior applies only outside the anchored span
+        # (interior segments are anchored, fwd2h1.cc:3218-3241)
+        loc_bounds = (chain.hsps[0].jy - lo, chain.hsps[-1].ry - lo)
     if chain is not None:
         diags = [h.diag - lo for h in chain.hsps]
         lw = max(min(diags) - 3 * sh, -3 * M)
@@ -320,8 +327,13 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
     lw = max(lw - extra // 2, -3 * M)
     up = min(lw + Wb - 2, N)
     lw = max(up - Wb + 2, -3 * M)
+    k5 = k3 = 0
+    if chain is not None and chain.hsps:
+        k5 = chain.hsps[0].jx // 3
+        k3 = M - chain.hsps[-1].rx // 3
     return TronJob(q=q, gw=gw, sig=sig, lw=lw, up=up, strand=strand,
-                   lo=lo, g_total=len(g), q_name=q_name, g_name=g_name)
+                   lo=lo, g_total=len(g), q_name=q_name, g_name=g_name,
+                   loc_bounds=loc_bounds, k5=k5, k3=k3)
 
 
 def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
@@ -331,7 +343,9 @@ def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
     gs = build_gene_structure_tron(ops, job.q, job.gw, score,
                                    sig=job.sig, q_name=job.q_name,
                                    g_name=job.g_name, strand=job.strand,
-                                   prm=ctx.prm, ipen_tab=ctx.ipen_tab)
+                                   prm=ctx.prm, ipen_tab=ctx.ipen_tab,
+                                   k5=job.k5, k3=job.k3,
+                                   wmm_w=ctx.cfg.aln2.w)
     if gs is None:
         return None
     for e in gs.exons:
@@ -382,7 +396,8 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
                     [j.q for j in js], [j.gw for j in js],
                     [j.sig for j in js], ctx.prm, ctx.ipen_tab,
                     lws=[j.lw for j in js], W=W, L=lanes,
-                    flags=ctx.flags)
+                    flags=ctx.flags,
+                    loc_bounds=[j.loc_bounds for j in js])
             with stage("device_dp"):
                 row_np, rc_np, traces = run_tron_batch(bp, ctx.prm,
                                                        score_only=False)
@@ -414,7 +429,8 @@ def _align_window_tron(q: np.ndarray, g: np.ndarray,
     score, em, en, tr = forward_tron_scan(job.q, job.gw, job.sig,
                                           ctx.prm, ctx.ipen_tab,
                                           lw=job.lw, up=job.up, L=lanes,
-                                          flags=ctx.flags)
+                                          flags=ctx.flags,
+                                          loc_bounds=job.loc_bounds)
     return _finish_tron_job(job, score, em, en, tr, ctx)
 
 
@@ -462,6 +478,173 @@ def reclassify_introns_tron(ops: list, sig: TronSignals,
                 out[intr[0]] = ('E', m, n3, intlen)
         i = j
     return out
+
+
+def _isCanon(sig: TronSignals, nd: int, na: int) -> bool:
+    """Canonical donor/acceptor pair (Exinon::isCanon role)."""
+    N = len(sig.dinc5)
+    if not (0 <= nd < N and 0 <= na < N):
+        return False
+    return sig.cano5[nd] > 0 and sig.cano3[na] > 0
+
+
+def refine_terminal_exons(exons: list, introns: list, a: np.ndarray,
+                          sig: TronSignals, prm: TronDpParams,
+                          ipen_tab: np.ndarray,
+                          k5: int, k3: int, w: float = 9.0,
+                          scan_cap: int = 2000) -> None:
+    """first_exon / last_exon placement of unanchored query ends
+    (fwd2h1.cc:2753-2980), in place.
+
+    The reference never hands terminal query residues to the banded DP:
+    the prefix before the first seed anchor is re-placed as a candidate
+    first exon at the best upstream site scoring
+        w * diagonal-match + sigS(start) + sig5(donor) + spjscr,
+    and symmetrically the suffix as a last exon ending just before a
+    positive TransTerm signal.  The junction then faces the standard
+    intron-vs-gap re-decision: losing junctions merge into one long
+    terminal exon with an unpaired run (the reference's trailing '-'
+    stretches to the start/stop codon).
+
+    k5/k3: unanchored aa counts at the 5'/3' ends (from the seed chain).
+    """
+    N = len(sig.sigS)
+    mtx = prm.qprof_mtx
+    bt = sig.btron
+
+    def diag_mch(q0: int, q1: int, g0: int) -> int:
+        tot = 0
+        for i in range(q0, q1):
+            p = g0 + 3 * (i - q0)
+            if p + 1 >= N:
+                return NEVSEL
+            tot += int(mtx[a[i], bt[p + 1]])
+        return tot
+
+    def judge(nd: int, na: int, e_new: Exon, e_old: Exon,
+              side5: bool) -> None:
+        """Attach e_new via intron (nd, na) or merge as a gap run."""
+        intlen = na - nd
+        iscr = (int(sig.sig5[nd]) + int(ipen_at(intlen))
+                + int(sig.sig53_ie53(nd, na)))
+        if iscr + prm.gap_penalty3(0) >= prm.gap_penalty3(intlen):
+            intr = Intron(g_start=nd, g_end=na,
+                          q_pos=e_new.q_end if side5 else e_old.q_end,
+                          sig5=int(sig.sig5[nd]),
+                          sig3=int(sig.sig3[na]) if na < N else 0,
+                          canonical=True)
+            if side5:
+                exons.insert(0, e_new)
+                introns.insert(0, intr)
+            else:
+                exons.append(e_new)
+                introns.append(intr)
+        else:                                   # merged unpaired run
+            if side5:
+                e_old.q_start = e_new.q_start
+                e_old.g_start = e_new.g_start
+            else:
+                e_old.q_end = e_new.q_end
+                e_old.g_end = e_new.g_end
+            e_old.mch += e_new.mch
+            e_old.mmc += e_new.mmc
+            e_old.unp += intlen
+            e_old.gap += 1
+
+    def ipen_at(ln: int):
+        return 0 if ln <= 0 else int(ipen_tab[min(ln,
+                                                  len(ipen_tab) - 1)])
+
+    def nid(q0: int, q1: int, g0: int) -> int:
+        return sum(1 for i in range(q0, q1)
+                   if 0 <= g0 + 3 * (i - q0) + 1 < N
+                   and int(a[i]) == int(bt[g0 + 3 * (i - q0) + 1]))
+
+    MAX_DIST2SS = 5                            # fwd2h1.cc:46
+    # ---------------------------------------------------------- 5' side
+    e0 = exons[0]
+    # candidate peel sizes: the unanchored prefix, and nearest3ss-style
+    # boundary shifts of up to max_dist2ss aa (the reference re-opens
+    # the boundary to nearby acceptors even when the seed covered it)
+    peels = {k for k in range(max(1, e0.q_start),
+                              max(1, e0.q_start) + MAX_DIST2SS)}
+    if k5 >= 1:
+        peels.add(k5)
+    best = None
+    for k in sorted(peels):
+        if not (e0.q_start <= k < e0.q_end):
+            continue
+        na = e0.g_start + 3 * (k - e0.q_start)
+        pmch = sum(int(mtx[a[i], a[i]]) for i in range(0, k))
+        n_hi = na - 3 * k - prm.intron_minl
+        n_lo = max(0, na - 3 * k - scan_cap)
+        for n in range(n_hi, n_lo - 1, -1):
+            nd = n + 3 * k                     # donor boundary
+            if not _isCanon(sig, nd, na):
+                continue
+            sS = int(sig.sigS[n + 1]) if 0 <= n + 1 < N else 0
+            mch = diag_mch(0, k, n)
+            if k >= 2 and mch != pmch:         # BoyerMoore branch: exact
+                continue
+            if k < 2 and sS <= 0:              # wmm branch: needs start
+                continue
+            scr = (w * mch + sS + int(sig.sig5[nd])
+                   + int(ipen_at(na - nd))
+                   + int(sig.sig53_ie53(nd, na)))
+            if best is None or scr > best[0]:
+                best = (scr, n, nd, na, k, mch)
+    if best is not None:
+        scr, n, nd, na, k, mch = best
+        cur_mch = diag_mch(e0.q_start, k, e0.g_start)
+        if scr > w * max(cur_mch, 0):
+            e_new = Exon(q_start=0, q_end=k, g_start=n, g_end=nd,
+                         mch=nid(0, k, n))
+            e_new.mmc = k - e_new.mch
+            e0.q_start, e0.g_start = k, na
+            judge(nd, na, e_new, e0, side5=True)
+    # ---------------------------------------------------------- 3' side
+    el = exons[-1]
+    M = len(a)
+    peels = {k for k in range(max(1, M - el.q_end),
+                              max(1, M - el.q_end) + MAX_DIST2SS)}
+    if k3 >= 1:
+        peels.add(k3)
+    best = None
+    for k in sorted(peels):
+        q0 = M - k                             # first suffix aa index
+        if not (el.q_start < q0 <= el.q_end and q0 >= el.q_end - k):
+            continue
+        ld = el.g_end - 3 * (el.q_end - q0)    # donor boundary
+        if ld <= el.g_start:
+            continue
+        pmch = sum(int(mtx[a[i], a[i]]) for i in range(q0, M))
+        n_lo = ld + prm.intron_minl
+        n_hi = min(N - 3 * k - 4, ld + scan_cap)
+        for n in range(n_lo, n_hi + 1):
+            if not _isCanon(sig, ld, n):
+                continue
+            stop_at = n + 3 * k + 1            # TransTerm after suffix
+            sT = int(sig.sigT[stop_at]) if stop_at < N else 0
+            if sT <= 0:
+                continue
+            mch = diag_mch(q0, M, n)
+            if k >= 2 and mch != pmch:
+                continue
+            scr = (w * mch + sT + int(sig.sig5[ld])
+                   + int(ipen_at(n - ld))
+                   + int(sig.sig53_ie53(ld, n)))
+            if best is None or scr > best[0]:
+                best = (scr, n, ld, k, mch)
+    if best is not None:
+        scr, n, ld, k, mch = best
+        q0 = M - k
+        cur_mch = diag_mch(q0, el.q_end, ld)
+        if scr > w * max(cur_mch, 0):
+            e_new = Exon(q_start=q0, q_end=M, g_start=n,
+                         g_end=n + 3 * k, mch=nid(q0, M, n))
+            e_new.mmc = k - e_new.mch
+            el.q_end, el.g_end = q0, ld
+            judge(ld, n, e_new, el, side5=False)
 
 
 def snap_cds_ends(exons: list, a: np.ndarray, bn: np.ndarray,
@@ -535,7 +718,9 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
                               q_name: str = "", g_name: str = "",
                               strand: str = "+",
                               prm: TronDpParams | None = None,
-                              ipen_tab: np.ndarray | None = None
+                              ipen_tab: np.ndarray | None = None,
+                              k5: int = 0, k3: int = 0,
+                              wmm_w: float = 9.0
                               ) -> GeneStructure | None:
     """Traceback op stream from the tron engine -> exon/intron records
     (skl_rngH_ng role, fwd2h1.cc:619-900).
@@ -667,6 +852,16 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
     from .gene import AlnView, trim_terminal_microexons
     trim_terminal_microexons(exons, introns, min_q=4, max_loose=7)
     if sig is not None and prm is not None:
+        if ipen_tab is not None and (k5 or k3):
+            # unanchored query ends re-placed as first/last exons at
+            # start/stop-codon-anchored sites (fwd2h1.cc:2753-2980)
+            try:
+                refine_terminal_exons(exons, introns, a, sig, prm,
+                                      ipen_tab, k5, k3, w=wmm_w)
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except BaseException:
+                pass
         # CDS start/stop-codon anchoring (cds5end/cds3end).  Exon stats
         # keep the DP-path counts; the snapped boundary codons are
         # signal-driven extensions (the reference writes bare SKL

@@ -62,7 +62,7 @@ class AlnPrm2:
     jneibr: int = 10             # junction neighborhood window
     termk1: int = 45
     desert: int = 150
-    w: float = 0.
+    w: float = 9.                # terminal-exon match weight (wmm)
     # branch-point signal (BPPRM, aln.h:93; defaults simmtx.cc:54 —
     # factor 0 = off, enable with -yB; acceptors within maxb3d of a
     # strong Branch-PSSM hit get the bp bonus added to sig3)

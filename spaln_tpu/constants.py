@@ -43,6 +43,12 @@ NT_ELEMENT = np.array(
 NT_REDUCE4 = np.full(NSIMD, 4, dtype=np.int8)
 NT_REDUCE4[A], NT_REDUCE4[C], NT_REDUCE4[G], NT_REDUCE4[T] = 0, 1, 2, 3
 
+# tron code -> 2-bit class (tnredctab, seq.cc:41-42): the word stream
+# the reference feeds CodePot/ExinPot scans for TRON-converted targets
+TRON_REDUCE4 = np.array(
+    [4, 4, 4, 1, 2, 0, 0, 2, 0, 0, 2, 0, 3, 3, 0, 3, 3, 1, 1, 1, 2, 0,
+     3, 2, 2, 0], dtype=np.int8)
+
 def _build_nt_encode() -> np.ndarray:
     enc = np.full(256, N, dtype=np.int8)   # unknown -> N
     enc[0] = NIL

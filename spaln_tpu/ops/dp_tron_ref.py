@@ -125,11 +125,18 @@ class TronTrace:
 def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                      prm: TronDpParams, ipen_tab: np.ndarray,
                      lw: int | None = None, up: int | None = None,
-                     flags: DpFlags | None = None, spj: bool = True):
+                     flags: DpFlags | None = None, spj: bool = True,
+                     loc_bounds: tuple | None = None):
     """Returns (score, end_m, end_n, TronTrace).
 
     a: aa codes (M,), bn: genome nt codes (N,); sig holds btron/signals.
     ipen_tab: dense intron penalty by length (int32, len >= N+1).
+    loc_bounds: (lo, hi) genome positions restricting Local-mode
+    behavior to the regions OUTSIDE the seed-chain anchors — the
+    reference applies Local only to terminal segments (seededH_ng sets
+    inex.exgl/exgr = 0 on interior segments, fwd2h1.cc:3218-3241):
+    LocalL restarts fire at n <= lo only, LocalR end candidates are
+    tracked at n >= hi only.  None = local applies everywhere.
     """
     flags = flags or DpFlags()
     M, N = len(a), len(bn)
@@ -144,6 +151,8 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
     local_l = flags.local and flags.a_exgl and flags.b_exgl
     local_r = flags.local and flags.a_exgr and flags.b_exgr
     loc_best = (NEVSEL, M, N)            # maxh (fwd2h1.cc:305)
+    loc_lo, loc_hi = loc_bounds if loc_bounds is not None \
+        else (1 << 30, -(1 << 30))
 
     dagp = prm.dagp
     n_nod = 5 if dagp else 3
@@ -415,10 +424,10 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                 if mx_k == 0 and H[r] > hq_val:
                     start_case = (local_l and hq_dir == DEAD
                                   and not (Hd[r] & SPIN))
-                    if (not start_case and local_r
+                    if (not start_case and local_r and n >= loc_hi
                             and H[r] > loc_best[0]):
                         loc_best = (int(H[r]), m, n)
-                if local_l and H[r] <= 0:
+                if local_l and n <= loc_lo and H[r] <= 0:
                     H[r] = 0
                     Hd[r] = DEAD
                     tb.hdir[m, r] = 0

@@ -130,7 +130,7 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
     n_nod = 5 if dagp else 3
 
     def step(carry, t, *, qp0, qp1, ops, bnd, m0, lw0, deltas, Ms, Ns,
-             a_exgr):
+             a_exgr, loc_lo, loc_hi):
         (hh, hd, ff, ee, ed, ff2, fd2, ee2, ed2, cv, cj, cd, c3d) = carry
         # hh: (6, B, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
         # ff: (3, B, L) F history; ee: (3, B, L) E queue vals; ed dirs
@@ -460,13 +460,13 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         if local_r:
             y_gt = (mx_k == 0) & (h_out > hq_v)
             start_case = (hq_d == DEAD) & ((hd_out & SPIN) == 0)
-            lmax_ok = active & y_gt & (~start_case if local_l
-                                       else jnp.bool_(True))
+            lmax_ok = (active & y_gt & (n >= loc_hi[:, None])
+                       & (~start_case if local_l else jnp.bool_(True)))
             lv = jnp.where(lmax_ok, h_out, NEV)
             loc_val = jnp.max(lv, axis=1)
             loc_lane = jnp.argmax(lv, axis=1).astype(I32)
         if local_l:
-            clamp = active & (h_out <= 0)
+            clamp = active & (h_out <= 0) & (n <= loc_lo[:, None])
             h_out = jnp.where(clamp, 0, h_out)
             hd_out = jnp.where(clamp, DEAD, hd_out).astype(I32)
             mx_k_tr = jnp.where(clamp, 0, mx_k)
@@ -580,7 +580,7 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
 
     @jax.jit
     def run(qp0, qp1, ops, bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d,
-            m0, lw0, deltas, Ms, Ns, a_exgr):
+            m0, lw0, deltas, Ms, Ns, a_exgr, loc_lo, loc_hi):
         from .dp_spliced_scan import _win_update
         bnd = {"h": bnd_h, "hd": bnd_hd, "f": bnd_f,
                "f2": bnd_f2, "f2d": bnd_f2d}
@@ -596,7 +596,8 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             (jnp.zeros((B, L, NCAND), I32),) * 3)
         f = functools.partial(step, qp0=qp0, qp1=qp1, ops=ops, bnd=bnd,
                               m0=m0, lw0=lw0, deltas=deltas, Ms=Ms,
-                              Ns=Ns, a_exgr=a_exgr)
+                              Ns=Ns, a_exgr=a_exgr, loc_lo=loc_lo,
+                              loc_hi=loc_hi)
         _, ys = jax.lax.scan(f, carry0, jnp.arange(T))
         (bh, bhd, bf, bf2, bf2d, wl, row_v, rc_v) = ys[:8]
         n_extra = 8
@@ -708,14 +709,22 @@ class TronBatchProblem:
     n_slabs: int
     flags: DpFlags
     sigs: list                 # host refs (sigT for end extraction)
+    loc_lo_j: object = None    # (B,) Local-region bounds (anchor span)
+    loc_hi_j: object = None
 
 
 def prepare_tron_batch(queries: list, genomes: list, sigs: list,
                        prm: TronDpParams, ipen_tab: np.ndarray,
                        lws: list | None = None, W: int | None = None,
                        flags: DpFlags | None = None,
-                       L: int = 64) -> TronBatchProblem:
-    """Host stage: pad B tron problems to a common geometry."""
+                       L: int = 64,
+                       loc_bounds: list | None = None
+                       ) -> TronBatchProblem:
+    """Host stage: pad B tron problems to a common geometry.
+
+    loc_bounds: per-problem (lo, hi) genome positions restricting
+    Local-mode behavior to outside the chain anchors (see
+    forward_tron_ref)."""
     flags = flags or DpFlags()
     B = len(queries)
     Ms = [len(q) for q in queries]
@@ -770,6 +779,8 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
     bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     bnd0 = (jnp.asarray(bnd_h), jnp.asarray(bnd_hd), jnp.asarray(bnd_f),
             jnp.asarray(bnd_f), jnp.zeros((B, TOTn), I32))
+    if loc_bounds is None:
+        loc_bounds = [(1 << 30, -(1 << 30))] * B
     return TronBatchProblem(ops=ops, qprof_all=qprof_all, bnd0=bnd0,
                             Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
                             Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
@@ -777,7 +788,11 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
                             B=B, L=L, W=W, lw=lw0, Mpad=Mpad,
                             Ngeom=Ngeom, T=T, pad2=pad, Lp3=Lp3,
                             PBn=PBn, TOTn=TOTn, n_slabs=n_slabs,
-                            flags=flags, sigs=sigs)
+                            flags=flags, sigs=sigs,
+                            loc_lo_j=jnp.asarray(
+                                [b[0] for b in loc_bounds], jnp.int32),
+                            loc_hi_j=jnp.asarray(
+                                [b[1] for b in loc_bounds], jnp.int32))
 
 
 def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
@@ -813,7 +828,7 @@ def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
         qp1 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0, L, axis=1)
         bnds, emis, tr = run(
             qp0, qp1, bp.ops, *bnds, m0, lw0, bp.deltas_j, bp.Ms_j,
-            bp.Ns_j, bp.flags.a_exgr)
+            bp.Ns_j, bp.flags.a_exgr, bp.loc_lo_j, bp.loc_hi_j)
         row_v, rc_v = emis[0], emis[1]
         if not score_only:
             traces.append(tuple(np.asarray(y) for y in tr))
@@ -931,7 +946,8 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                       prm: TronDpParams, ipen_tab: np.ndarray,
                       lw: int | None = None, up: int | None = None,
                       flags: DpFlags | None = None, L: int = 64,
-                      score_only: bool = False):
+                      score_only: bool = False,
+                      loc_bounds: tuple | None = None):
     """Run the tron wavefront for one problem (batch-of-1 wrapper, so
     the single-problem and batched paths cannot drift)."""
     flags = flags or DpFlags()
@@ -941,7 +957,9 @@ def forward_tron_scan(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
     W = up - lw + 2
     bp = prepare_tron_batch([np.asarray(a)], [np.asarray(bn)], [sig],
                             prm, ipen_tab, lws=[lw], W=W, flags=flags,
-                            L=L)
+                            L=L,
+                            loc_bounds=([loc_bounds] if loc_bounds
+                                        is not None else None))
     row_np, rc_np, traces = run_tron_batch(bp, prm,
                                            score_only=score_only)
     res = collect_tron_results(bp, row_np, rc_np, traces, score_only)

@@ -52,11 +52,19 @@ class CodePotTab:
         morder = int(np.log2(ndata) / 2) - 1
         return cls(data=data, ndata=ndata, morder=morder)
 
-    def scan(self, codes: np.ndarray) -> np.ndarray:
+    def scan(self, codes: np.ndarray,
+             classes: np.ndarray | None = None) -> np.ndarray:
         """Per-position coding potential (calcScr_3): at position p,
         t2(p+2) + t0(p+3) + t1(p+4) where tk(x) = pot[w6(x), k] and w6(x)
-        is the (morder+1)-mer ending at x (0 when any base ambiguous)."""
-        red = NT_REDUCE4[np.asarray(codes, dtype=np.int64)]
+        is the (morder+1)-mer ending at x (0 when any base ambiguous).
+
+        classes: pre-reduced 2-bit word stream (4 = invalid) replacing
+        the nucleotide reduction — the reference scans a TRON-converted
+        target through tnredctab (calcScr_3 redctab pick,
+        utilseq.cc:1425), so the protein path's words are reduced-tron
+        classes, not bases."""
+        red = (np.asarray(classes, dtype=np.int64) if classes is not None
+               else NT_REDUCE4[np.asarray(codes, dtype=np.int64)])
         L = len(red)
         kk = self.morder + 1
         valid = red < 4
@@ -73,10 +81,14 @@ class CodePotTab:
         pos = np.arange(kk - 1, L)
         t[pos[okv]] = self.data[wv[okv] % self.ndata]
         out = np.zeros(L, dtype=np.float32)
-        # out[p] = t[p+2,2] + t[p+3,0] + t[p+4,1]
-        out[:L - 2] += t[2:, 2]
-        out[:L - 3] += t[3:, 0]
-        out[:L - 4] += t[4:, 1]
+        # out[p] = t[p+3,2] + t[p+4,0] + t[p+5,1] — calibrated against
+        # an instrumented reference binary (element-exact on a 3 kb
+        # window; the earlier p+2/p+3/p+4 mapping was one position off,
+        # which parked the stop-word penalties NEXT to in-frame stops
+        # where the fold rules never cancel them)
+        out[:L - 3] += t[3:, 2]
+        out[:L - 4] += t[4:, 0]
+        out[:L - 5] += t[5:, 1]
         return out
 
 
@@ -147,7 +159,13 @@ def build_tron_signals(codes: np.ndarray, cfg: Config, tables: TableDir,
     sigE = np.zeros(L, dtype=np.float64)
     cpt = CodePotTab.load(tables)
     if cpt is not None and fE > 0:
-        sigE = fE * cpt.scan(codes).astype(np.float64)
+        # the reference scans the TRON-converted target: the coding-
+        # potential words are tnredctab[tron] classes, not bases
+        # (calcScr_3 redctab pick, utilseq.cc:1425; codepot.cc:544)
+        from ..constants import TRON_REDUCE4
+        cls = TRON_REDUCE4[np.clip(btron.astype(np.int64), 0,
+                                   len(TRON_REDUCE4) - 1)]
+        sigE = fE * cpt.scan(codes, classes=cls).astype(np.float64)
     # premature stops fold into sigE (codepot.cc:577-580)
     is_stop = (btron == TRM) | (btron == TRM2)
     sigE = np.where(is_stop, sigE + fO, sigE)
