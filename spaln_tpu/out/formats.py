@@ -80,19 +80,79 @@ def sam_line(gs: GeneStructure, g_off: int = 0, q_len: int = 0,
     ]))
 
 
+def _gap_attr(gs: GeneStructure, e) -> str:
+    """Per-exon pairwise-alignment Gap= op string (Gff3PWA,
+    sqpr.cc:599-632): M/I/D runs, with R/F frameshift remainders on the
+    protein path.  M counts are query units (aa for protein)."""
+    v = gs.view
+    if v is None or not v.ops:
+        return ""
+    toks: list[str] = []
+    run_sym = None
+    run_len = 0
+
+    def flush():
+        nonlocal run_sym, run_len
+        if run_sym is not None and run_len:
+            toks.append(f"{run_sym}{run_len}")
+        run_sym, run_len = None, 0
+
+    def push(sym, k=1):
+        nonlocal run_sym, run_len
+        if sym != run_sym:
+            flush()
+            run_sym = sym
+        run_len += k
+
+    # exon bounds in the view's (local) coordinates; '-' results were
+    # flipped to forward order after the view snapshot, so the view
+    # index runs backwards there
+    ix = gs.exons.index(e)
+    if gs.strand == "-":
+        ix = len(gs.exons) - 1 - ix
+    if ix >= len(v.exons):
+        return ""
+    lg0, lg1 = v.exons[ix][2], v.exons[ix][3]
+    aa = v.q_is_aa
+    for op in v.ops:
+        kind = op[0]
+        if kind == 'I':
+            continue
+        n = op[2]
+        if not (lg0 < n <= lg1):
+            continue
+        if aa:
+            if kind == 'D':
+                push('M')
+            elif kind == 'F':
+                s = op[3]
+                flush()
+                toks.append("I1" if s == 0 else f"R{s}")
+            else:                        # 'E': genome-only w nt
+                w = op[3]
+                flush()
+                toks.append(f"D{w // 3}" if w % 3 == 0 else f"F{w}")
+        else:
+            push({'D': 'M', 'E': 'D', 'F': 'I'}[kind])
+    flush()
+    return ";Gap=" + " ".join(toks) if toks else ""
+
+
 def gff3_match_lines(gs: GeneStructure, g_off: int = 0, q_len: int = 0,
                      gene_id: int = 1) -> list[str]:
-    """GFF3 match/match_part records (Gff3PWA, -O2)."""
+    """GFF3 match/match_part records with pairwise-alignment Gap
+    attributes (Gff3PWA, -O2; sqpr.cc:558-640)."""
     g0, g1 = gs.g_span
     mid = f"match{gene_id:05d}"
     sc = gs.score / gs.scale
-    kind = "protein_match" if (gs.view and gs.view.q_is_aa) \
-        else "cDNA_match"
+    kind = ("nucleotide_to_protein_match" if (gs.view and gs.view.q_is_aa)
+            else "cDNA_match")
     lines = ["\t".join([gs.g_name, _GFF_SRC, kind, str(g_off + g0 + 1),
                         str(g_off + g1), f"{sc:.1f}", gs.strand, ".",
                         f"ID={mid};Name={gs.q_name}"])]
     for e in gs.exons:
-        attrs = (f"ID={mid};Target={gs.q_name} {e.q_start + 1} {e.q_end}")
+        attrs = (f"ID={mid};Target={gs.q_name} {e.q_start + 1} "
+                 f"{e.q_end}" + _gap_attr(gs, e))
         lines.append("\t".join(
             [gs.g_name, _GFF_SRC, "match_part",
              str(g_off + e.g_start + 1), str(g_off + e.g_end),

@@ -161,3 +161,60 @@ def test_micro_exon_through_align_long(cfg, prm, table_dir):
     assert mid[0].g_start == p0 and mid[0].g_end == p0 + 15
     assert len(gs.introns) == 2
     assert all(i.canonical for i in gs.introns)
+
+
+def test_reclassify_intron_demoted_to_gap():
+    """A DP-spliced horizontal run whose junction scores worse than an
+    ordinary gap is reported as a genome insertion (skl_rngS_ng role)."""
+    import numpy as np
+    from spaln_tpu.align.gene import reclassify_introns
+
+    class _Sig:
+        sig5 = np.full(1000, -500, np.int32)
+
+        @staticmethod
+        def sig53_ie53(n5, n3):
+            return -500
+
+    class _Prm:
+        @staticmethod
+        def intron_table(n):
+            return np.full(n, -400, np.int32)
+
+        @staticmethod
+        def gap_penalty(k):
+            return 0 if k <= 0 else -80 - 30 * k
+
+    ops = ([('D', m, m + 10) for m in range(1, 11)]
+           + [('I', 10, 110, 140)]
+           + [('D', m, m + 40) for m in range(11, 21)])
+    out = reclassify_introns(ops, _Sig, _Prm)
+    assert not any(o[0] == 'I' for o in out)
+    assert len([o for o in out if o[0] == 'E']) == 30
+
+
+def test_reclassify_strong_intron_kept():
+    import numpy as np
+    from spaln_tpu.align.gene import reclassify_introns
+
+    class _Sig:
+        sig5 = np.full(2000, 300, np.int32)
+
+        @staticmethod
+        def sig53_ie53(n5, n3):
+            return 300
+
+    class _Prm:
+        @staticmethod
+        def intron_table(n):
+            return np.full(n, -200, np.int32)
+
+        @staticmethod
+        def gap_penalty(k):
+            return 0 if k <= 0 else -80 - 30 * k
+
+    ops = ([('D', m, m + 10) for m in range(1, 11)]
+           + [('I', 10, 110, 1100)]
+           + [('D', m, m + 1000) for m in range(11, 21)])
+    out = reclassify_introns(ops, _Sig, _Prm)
+    assert any(o[0] == 'I' for o in out)
