@@ -337,9 +337,10 @@ def prepare_tron_job(q: np.ndarray, g: np.ndarray,
 
 
 def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
-                     tr, ctx: "ProteinAlignerContext"
-                     ) -> GeneStructure | None:
-    ops = traceback_tron_scan(tr, em, en)
+                     tr, ctx: "ProteinAlignerContext",
+                     ops: list | None = None) -> GeneStructure | None:
+    if ops is None:
+        ops = traceback_tron_scan(tr, em, en)
     gs = build_gene_structure_tron(ops, job.q, job.gw, score,
                                    sig=job.sig, q_name=job.q_name,
                                    g_name=job.g_name, strand=job.strand,
@@ -398,18 +399,43 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
                     lws=[j.lw for j in js], W=W, L=lanes,
                     flags=ctx.flags,
                     loc_bounds=[j.loc_bounds for j in js])
+            import os as _os
+            import jax as _jax
+            # device-side traceback walk: shipping the (T, B, L) x7
+            # trace planes to the host dominates protein mapping on
+            # remote-tunnel backends (SPALN_TRON_DEV_TB=0 restores the
+            # host walk)
+            dev_tb = (_os.environ.get("SPALN_TRON_DEV_TB", "1") == "1"
+                      and _jax.default_backend() != "cpu")
             with stage("device_dp"):
-                row_np, rc_np, traces = run_tron_batch(bp, ctx.prm,
-                                                       score_only=False)
+                row_np, rc_np, traces = run_tron_batch(
+                    bp, ctx.prm, score_only=False, keep_device=dev_tb)
             metrics.bump("tron_dp_cells", bp.B * bp.Mpad * bp.W)
             with stage("traceback"):
                 res = collect_tron_results(bp, row_np, rc_np, traces,
-                                           False)
+                                           dev_tb)
+                ops_all = None
+                if dev_tb:
+                    try:
+                        from ..ops.dp_tron_scan import \
+                            traceback_tron_device
+                        ops_all = traceback_tron_device(
+                            bp, traces, [(r[1], r[2]) for r in res])
+                    except (KeyboardInterrupt, SystemExit):
+                        raise
+                    except BaseException:
+                        ops_all = None
+                        traces = [tuple(np.asarray(y) for y in t)
+                                  for t in traces]
+                        res = collect_tron_results(bp, row_np, rc_np,
+                                                   traces, False)
                 for bi, ji in enumerate(part):
                     try:
                         score, em, en, tr = res[bi]
-                        results[ji] = _finish_tron_job(jobs[ji], score,
-                                                       em, en, tr, ctx)
+                        results[ji] = _finish_tron_job(
+                            jobs[ji], score, em, en, tr, ctx,
+                            ops=(ops_all[bi] if ops_all is not None
+                                 else None))
                     except (KeyboardInterrupt, SystemExit):
                         raise
                     except BaseException as exc:

@@ -796,7 +796,7 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
 
 
 def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
-                   score_only: bool = False):
+                   score_only: bool = False, keep_device: bool = False):
     """Device stage: all slabs for the whole batch; host-side assembly
     of the final-row / right-column result vectors.
 
@@ -831,7 +831,8 @@ def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
             bp.Ns_j, bp.flags.a_exgr, bp.loc_lo_j, bp.loc_hi_j)
         row_v, rc_v = emis[0], emis[1]
         if not score_only:
-            traces.append(tuple(np.asarray(y) for y in tr))
+            traces.append(tuple(tr) if keep_device
+                          else tuple(np.asarray(y) for y in tr))
         row_s = np.asarray(row_v)                    # (T, B)
         rc_s = np.asarray(rc_v)
         if local_r:
@@ -1037,3 +1038,143 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             state = 0
     ops.reverse()
     return ops
+
+
+@functools.lru_cache(maxsize=32)
+def _tron_tb_walker(S, T, B, L, NSPJ, IT):
+    """Device-side tron traceback: walk all B problems through the
+    stacked trace planes in one jitted scan (traceback_tron_scan
+    semantics — 5 states, per-phase junction closes, crossspj split
+    codons).  Shipping the full (T, B, L) x7 planes per slab dominates
+    protein mapping on remote-tunnel backends; the walker moves only
+    (IT, B, 5) op records."""
+
+    def walk(FLH, FLE, FLF, FLE2, FLF2, SPJ, PHP, m0v, n0v, lwv):
+        barr = jnp.arange(B)
+
+        def step(carry, _):
+            m, n, st, done = carry
+            s = (m - 1) // L
+            i = (m - 1) % L
+            m0 = 3 * (s * L + 1)
+            t = n - m0 - lwv + 1 + 3 * i
+            ok = ((~done) & (m >= 1) & (n >= 1) & (t >= 0) & (t < T)
+                  & (s >= 0) & (s < S))
+            sc = jnp.clip(s, 0, S - 1)
+            tc = jnp.clip(t, 0, T - 1)
+            ic = jnp.clip(i, 0, L - 1)
+            flat = ((sc * T + tc) * B + barr) * L + ic
+            stc = jnp.clip(st, 0, NSPJ - 1)
+            jnc = jnp.where(ok, jnp.take(SPJ, flat * NSPJ + stc), 0)
+            phs = jnp.where(ok, jnp.take(PHP, flat * NSPJ + stc), 0)
+            flh = jnp.where(ok, jnp.take(FLH, flat), 255)
+            is0 = st == 0
+            winner = (flh >> 5) & 7
+            dead0 = is0 & ((flh == 255)
+                           | ((winner == 0) & (jnc == 0)
+                              & ((flh & 15) == DEAD)))
+            trans = is0 & ~dead0 & (winner != 0)
+            close0 = is0 & ~dead0 & (winner == 0) & (jnc > 0)
+            diag = is0 & ~dead0 & (winner == 0) & (jnc == 0)
+            # gap states
+            is_e = (st == 1) | (st == 3)
+            is_f = (st == 2) | (st == 4)
+            close_g = (is_e | is_f) & (jnc > 0)
+            fe = jnp.where(st == 1, jnp.take(FLE, flat),
+                           jnp.take(FLE2, flat))
+            ff = jnp.where(st == 2, jnp.take(FLF, flat),
+                           jnp.take(FLF2, flat))
+            e_base = fe & 15
+            f_base = ff & 15
+            ew = jnp.where(e_base == HOR2, 2,
+                           jnp.where(e_base == HOR1, 1, 3))
+            fstep = jnp.where(f_base == SLA2, 2,
+                              jnp.where(f_base == SLA1, 1, 0))
+            e_mv = is_e & ~close_g
+            f_mv = is_f & ~close_g
+            nb5 = jnc - 1
+            cross = close0 & (phs == 1)
+            kind = jnp.where(~ok | dead0 | trans, 0,
+                             jnp.where(cross, 5,
+                                       jnp.where(close0, 4,
+                                                 jnp.where(close_g, 4,
+                                                           jnp.where(diag, 1,
+                                                                     jnp.where(e_mv, 2, 3))))))
+            # aux fields: I records carry (nb5, phs); E carries w; F step
+            a1 = jnp.where((kind == 4) | (kind == 5), nb5,
+                           jnp.where(kind == 2, ew, fstep))
+            a2 = jnp.where((kind == 4) | (kind == 5), phs, 0)
+            rec = (kind, m, n, a1, a2)
+            # ---- moves
+            n2 = jnp.where(diag, n - 3,
+                 jnp.where(cross, nb5 - 2,
+                 jnp.where(close0 & (phs == 0), nb5,
+                 jnp.where(close0, nb5 - 1,          # phs == -1
+                 jnp.where(close_g, nb5 + phs,
+                 jnp.where(e_mv, n - ew,
+                 jnp.where(f_mv, n - fstep, n)))))))
+            m2 = jnp.where(diag | cross | f_mv, m - 1, m)
+            e_open = e_mv & ((fe & 0x80) != 0)
+            f_open = f_mv & ((ff & 0x80) != 0)
+            st2 = jnp.where(trans, winner,
+                  jnp.where(close0, 0,
+                  jnp.where(e_open | f_open, 0, st)))
+            done2 = done | dead0 | (~ok) | (m2 < 1) | (n2 < 1)
+            return (m2, n2, st2, done2), rec
+
+        carry0 = (m0v, n0v, jnp.zeros(B, jnp.int32),
+                  (m0v < 1) | (n0v < 1))
+        _, recs = jax.lax.scan(step, carry0, None, length=IT)
+        return recs
+
+    raw = walk
+    walk = jax.jit(walk)
+    walk.raw = raw
+    return walk
+
+
+def traceback_tron_device(bp: TronBatchProblem, traces, ends) -> list:
+    """Walk every problem's tron traceback on device and return
+    per-problem ascending op streams (the traceback_tron_scan
+    contract)."""
+    S = len(traces)
+    NSPJ = traces[0][3].shape[-1]
+    I32j = jnp.int32
+
+    def flat(ix):
+        return jnp.reshape(jnp.stack([jnp.asarray(t[ix], I32j)
+                                      for t in traces]), (-1,))
+
+    FLH, FLE, FLF = flat(0), flat(1), flat(2)
+    SPJ = flat(3)
+    PHP = flat(4)
+    FLE2, FLF2 = flat(5), flat(6)
+    IT = 2 * (3 * bp.Mpad + bp.W) + 64
+    walk = _tron_tb_walker(S, bp.T, bp.B, bp.L, NSPJ, IT)
+    m0v = jnp.asarray([int(e[0]) for e in ends], jnp.int32)
+    n0v = jnp.asarray([int(e[1]) for e in ends], jnp.int32)
+    recs = walk(FLH, FLE, FLF, FLE2, FLF2, SPJ, PHP, m0v, n0v,
+                jnp.asarray(bp.lws, jnp.int32))
+    k_np, m_np, n_np, a1_np, a2_np = (np.asarray(r) for r in recs)
+    out = []
+    for b in range(bp.B):
+        sel = np.flatnonzero(k_np[:, b])
+        ops = []
+        for j in sel:
+            k = int(k_np[j, b])
+            m, n = int(m_np[j, b]), int(n_np[j, b])
+            if k == 1:
+                ops.append(('D', m, n))
+            elif k == 2:
+                ops.append(('E', m, n, int(a1_np[j, b])))
+            elif k == 3:
+                ops.append(('F', m, n, int(a1_np[j, b])))
+            else:
+                phs = int(a2_np[j, b])
+                nb5 = int(a1_np[j, b])
+                ops.append(('I', m, nb5, n - phs, phs))
+                if k == 5:
+                    ops.append(('D', m, n))
+        ops.reverse()
+        out.append(ops)
+    return out

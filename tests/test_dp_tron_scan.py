@@ -218,3 +218,36 @@ def test_tron_scan_dagp_mixed(cfg, prm_dagp, ipen_tab, table_dir, rng):
     g = e1 + intron + e2
     prot = np.concatenate([aa1, aa2]).astype(np.int8)
     _cmp(prot, g, cfg, prm_dagp, ipen_tab, table_dir, L=16)
+
+
+def test_tron_device_traceback_matches_host(cfg, prm, ipen_tab,
+                                            table_dir, rng):
+    """traceback_tron_device == the host plane walk, op for op."""
+    from spaln_tpu.ops.dp_tron_scan import (prepare_tron_batch,
+                                            run_tron_batch,
+                                            collect_tron_results,
+                                            traceback_tron_device)
+    probs = []
+    for i in range(3):
+        aa1 = rng.choice(AA_CODES, 30 + i)
+        aa2 = rng.choice(AA_CODES, 35)
+        intron = ("GTAAGT" + "".join(rng.choice(list("ACGT"), 150))
+                  + "TTTCTAG")
+        g = (_bt(aa1) + intron + _bt(aa2)
+             + "".join(rng.choice(list("ACGT"), 20)))
+        probs.append((np.concatenate([aa1, aa2]).astype(np.int8),
+                      encode_dna(g)))
+    sigs = [build_tron_signals(g, cfg, table_dir) for _, g in probs]
+    bp = prepare_tron_batch([q for q, _ in probs], [g for _, g in probs],
+                            sigs, prm, ipen_tab, L=16)
+    row_np, rc_np, traces = run_tron_batch(bp, prm, score_only=False,
+                                           keep_device=True)
+    res = collect_tron_results(bp, row_np, rc_np, traces, True)
+    ops_dev = traceback_tron_device(bp, traces,
+                                    [(r[1], r[2]) for r in res])
+    traces_np = [tuple(np.asarray(y) for y in t) for t in traces]
+    res_h = collect_tron_results(bp, row_np, rc_np, traces_np, False)
+    for b in range(3):
+        s, em, en, tr = res_h[b]
+        ops_host = traceback_tron_scan(tr, em, en)
+        assert ops_dev[b] == ops_host
