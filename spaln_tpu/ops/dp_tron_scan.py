@@ -578,7 +578,6 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         return carry, ys + (fl_h, fl_e, fl_f, spj_out, php_out,
                             fl_e2, fl_f2)
 
-    @jax.jit
     def run(qp0, qp1, ops, bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d,
             m0, lw0, deltas, Ms, Ns, a_exgr, loc_lo, loc_hi):
         from .dp_spliced_scan import _win_update
@@ -618,6 +617,9 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             bnd_f2d = _win_update(bnd_f2d, bf2d.T, wlT, ws, PBn)
         return ((bnd_h, bnd_hd, bnd_f, bnd_f2, bnd_f2d),
                 (row_v, rc_v) + loc, ys[n_extra:])
+    raw = run
+    run = jax.jit(run)
+    run.raw = raw
     return run
 
 
@@ -795,6 +797,32 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
                                 [b[1] for b in loc_bounds], jnp.int32))
 
 
+@functools.lru_cache(maxsize=32)
+def _tron_fused(n_slabs, L, *statics, **kw):
+    """All tron slabs in ONE jitted program (the slab-loop fusion the
+    cDNA path got in run_bucket_fused): a remote-tunnel backend pays a
+    fixed dispatch floor per jitted call, so per-slab launches dominate
+    small protein batches."""
+    run = _tron_scan_batch(*statics, **kw)
+    body = run.raw
+
+    @jax.jit
+    def go(qp_all, ops, bnds, lw0, deltas, Ms, Ns, a_exgr,
+           loc_lo, loc_hi):
+        emis_all, tr_all = [], []
+        for si in range(n_slabs):
+            m0 = si * L + 1
+            qp0 = jax.lax.dynamic_slice_in_dim(qp_all, m0 - 1, L, axis=1)
+            qp1 = jax.lax.dynamic_slice_in_dim(qp_all, m0, L, axis=1)
+            bnds, emis, tr = body(qp0, qp1, ops, *bnds, m0, lw0,
+                                  deltas, Ms, Ns, a_exgr, loc_lo,
+                                  loc_hi)
+            emis_all.append(emis)
+            tr_all.append(tr)
+        return bnds, emis_all, tr_all
+    return go
+
+
 def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
                    score_only: bool = False, keep_device: bool = False):
     """Device stage: all slabs for the whole batch; host-side assembly
@@ -821,14 +849,36 @@ def run_tron_batch(bp: TronBatchProblem, prm: TronDpParams,
     # (m asc, n asc) order (the scalar maxh scan order)
     bp.loc_best = [(int(NEV), 0, 0)] * B
     traces = []
+    import os as _os
+    fused_out = None
+    _fuse = _os.environ.get("SPALN_TRON_FUSE", "1")
+    if _fuse == "force" or (_fuse == "1"
+                            and jax.default_backend() != "cpu"):
+        # one dispatch for all slabs (remote-tunnel launch floor)
+        go = _tron_fused(bp.n_slabs, L, B, L, bp.W, prm.gop, prm.gep,
+                         prm.gap_e1, prm.gap_e2, prm.gap_w1, prm.gap_w2,
+                         prm.gap_w3, prm.intron_minl, T, bp.pad2,
+                         bp.Lp3, bp.PBn, bp.TOTn, not score_only,
+                         dagp=prm.dagp, lgop=prm.lgop, lgep=prm.lgep,
+                         gw3l=prm.gap_w3l, local_l=local_l,
+                         local_r=local_r)
+        _, emis_all, tr_all = go(bp.qprof_all, bp.ops, bnds, lw0,
+                                 bp.deltas_j, bp.Ms_j, bp.Ns_j,
+                                 bp.flags.a_exgr, bp.loc_lo_j,
+                                 bp.loc_hi_j)
+        fused_out = (emis_all, tr_all)
     for s in range(bp.n_slabs):
         m0 = s * L + 1
-        qp0 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
-                                           axis=1)
-        qp1 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0, L, axis=1)
-        bnds, emis, tr = run(
-            qp0, qp1, bp.ops, *bnds, m0, lw0, bp.deltas_j, bp.Ms_j,
-            bp.Ns_j, bp.flags.a_exgr, bp.loc_lo_j, bp.loc_hi_j)
+        if fused_out is not None:
+            emis, tr = fused_out[0][s], fused_out[1][s]
+        else:
+            qp0 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0 - 1, L,
+                                               axis=1)
+            qp1 = jax.lax.dynamic_slice_in_dim(bp.qprof_all, m0, L,
+                                               axis=1)
+            bnds, emis, tr = run(
+                qp0, qp1, bp.ops, *bnds, m0, lw0, bp.deltas_j, bp.Ms_j,
+                bp.Ns_j, bp.flags.a_exgr, bp.loc_lo_j, bp.loc_hi_j)
         row_v, rc_v = emis[0], emis[1]
         if not score_only:
             traces.append(tuple(tr) if keep_device

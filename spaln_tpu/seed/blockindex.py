@@ -105,14 +105,40 @@ class BlockIndex:
             counts = np.bincount(uw, minlength=nwords)
             offsets = np.zeros(nwords + 1, dtype=np.int64)
             np.cumsum(counts, out=offsets[1:])
-        # word scores: information content from genome composition
-        # (blkscrtab role, blksrc.cc:879-998): -log2 of expected frequency,
-        # zeroed for words present in too many blocks (toomany cap)
+        # word scores (blkscrtab, blksrc.cc:944-998): information
+        # content wscr = TFACTOR*(ln(segn) - ln(tcount)); the abundance
+        # floor MinScr = -TFACTOR*ln(afact*blklen/m) clamps low-info
+        # words to MinScr AND drops their block lists from the search
+        # (the toomany model).  SPALN_WSCR=legacy restores the round-4
+        # -log2-frequency model for comparison.
+        import os
         total_hits = np.bincount(w % nwords, minlength=nwords)
         gsize = max(len(pos), 1)
-        pw = np.maximum(total_hits / gsize, 1e-12)
-        wscr = np.minimum(-np.log2(pw) * 4, 120).astype(np.int16)
-        wscr[total_hits > max_word_freq * gsize] = 0     # repetitive words
+        if os.environ.get("SPALN_WSCR", "") == "legacy":
+            pw = np.maximum(total_hits / gsize, 1e-12)
+            wscr = np.minimum(-np.log2(pw) * 4, 120).astype(np.int16)
+            wscr[total_hits > max_word_freq * gsize] = 0
+        else:
+            TFACTOR, AFACT = 100.0, 10.0       # blksrc.cc:29, wcp afact
+            present = total_hits > 0
+            mwords = int(present.sum())
+            wscr_f = np.zeros(nwords)
+            wscr_f[present] = TFACTOR * (np.log(gsize)
+                                         - np.log(total_hits[present]))
+            minscr = max(0.0, -TFACTOR * np.log(
+                AFACT * blklen / max(mwords, 1)))
+            dropped = present & (wscr_f <= minscr)
+            wscr = np.where(present, np.maximum(wscr_f, minscr),
+                            -1).astype(np.int16)
+            if dropped.any():
+                # excise dropped words' postings from the CSR
+                ent_w = np.repeat(np.arange(nwords),
+                                  np.diff(offsets).astype(np.int64))
+                keep = ~dropped[ent_w]
+                ub = ub[keep]
+                counts = np.bincount(ent_w[keep], minlength=nwords)
+                offsets = np.zeros(nwords + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
         cbounds = np.append(store.offsets, glen).astype(np.int64)
         return cls(k=k, blklen=blklen, maxgene=p["maxgene"],
                    offsets=offsets, blocks=ub, wscr=wscr,

@@ -251,3 +251,32 @@ def test_tron_device_traceback_matches_host(cfg, prm, ipen_tab,
         s, em, en, tr = res_h[b]
         ops_host = traceback_tron_scan(tr, em, en)
         assert ops_dev[b] == ops_host
+
+
+def test_tron_fused_slabs_match_per_slab(cfg, prm, ipen_tab, table_dir,
+                                         rng, monkeypatch):
+    """SPALN_TRON_FUSE=force (one jit for all slabs) == per-slab runs."""
+    from spaln_tpu.ops.dp_tron_scan import (prepare_tron_batch,
+                                            run_tron_batch,
+                                            collect_tron_results)
+    aa1 = rng.choice(AA_CODES, 35)
+    aa2 = rng.choice(AA_CODES, 42)
+    intron = "GTAAGT" + "".join(rng.choice(list("ACGT"), 150)) + "TTTCTAG"
+    g = _bt(aa1) + intron + _bt(aa2)
+    q = np.concatenate([aa1, aa2]).astype(np.int8)
+    gc = encode_dna(g)
+    sig = build_tron_signals(gc, cfg, table_dir)
+    bp1 = prepare_tron_batch([q], [gc], [sig], prm, ipen_tab, L=16)
+    monkeypatch.setenv("SPALN_TRON_FUSE", "0")
+    r1, c1, t1 = run_tron_batch(bp1, prm, score_only=False)
+    res1 = collect_tron_results(bp1, r1, c1, t1, False)
+    bp2 = prepare_tron_batch([q], [gc], [sig], prm, ipen_tab, L=16)
+    monkeypatch.setenv("SPALN_TRON_FUSE", "force")
+    r2, c2, t2 = run_tron_batch(bp2, prm, score_only=False)
+    res2 = collect_tron_results(bp2, r2, c2, t2, False)
+    assert (res1[0][0], res1[0][1], res1[0][2]) == \
+        (res2[0][0], res2[0][1], res2[0][2])
+    assert np.array_equal(r1, r2)
+    for a_, b_ in zip(t1, t2):
+        for x, y in zip(a_, b_):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
