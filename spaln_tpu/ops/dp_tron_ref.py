@@ -187,8 +187,12 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
         return int(sigS[n]) if 0 <= n < N else 0
 
     # ------------------------------------------------------ init row (m=0)
+    # TransInit restarts only up to the anchor start (see tron_init_row)
+    def s_bonus(n):
+        return sigS_at(n) if n <= loc_lo + 4 else 0
+
     r0 = 0
-    H[r0 + off] = max(sigS_at(1), 0) if flags.a_exgl else 0
+    H[r0 + off] = max(s_bonus(1), 0) if flags.a_exgl else 0
     Hd[r0 + off] = DEAD if flags.a_exgl else DIAG
     tb.hdir[0, r0 + off] = Hd[r0 + off]
     if flags.a_exgl:
@@ -197,7 +201,7 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
         for i, r in enumerate(range(r0 + 1, rr + 1), start=1):
             n = r
             if i < 3:
-                H[r + off] = max(sigS_at(n + 1), 0)
+                H[r + off] = max(s_bonus(n + 1), 0)
                 Hd[r + off] = DEAD
                 jnc[i % 3] = n
             else:
@@ -213,7 +217,7 @@ def forward_tron_ref(a: np.ndarray, bn: np.ndarray, sig: TronSignals,
                 if x > H[r + off]:
                     H[r + off] = x
                     Hd[r + off] = HOR2
-            x = max(sigS_at(n + 1), 0)
+            x = max(s_bonus(n + 1), 0)
             if H[r + off] < x:
                 H[r + off] = x
                 Hd[r + off] = DEAD

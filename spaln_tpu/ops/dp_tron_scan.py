@@ -624,15 +624,25 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
 
 
 def tron_init_row(sig: TronSignals, prm: TronDpParams, N: int,
-                  a_exgl: bool = True):
+                  a_exgl: bool = True, sigs_until: int | None = None):
     """Top-row H values/dirs over n = 0..N+1 (initH_ng semantics for the
     default free-end mode: reseed at translation starts, carry coding
-    potential, 1/2-nt shifts)."""
+    potential, 1/2-nt shifts).
+
+    sigs_until: the TransInit restart bonus applies only at n <= this
+    bound (the seed-anchor start).  The reference runs its free-init
+    top row only over the 5'-terminal segment — interior segments are
+    anchored (seededH_ng inex.exgl=0, fwd2h1.cc:3218-3241) — so a
+    strong ATG signal INSIDE the anchored span must not out-bid the
+    anchored diagonal (observed: the DP deleting perfectly matching
+    lead codons to restart at a downstream in-exon ATG)."""
     h = np.zeros(N + 2, dtype=np.int64)
     hd = np.full(N + 2, DEAD, dtype=np.int32)
     if not a_exgl:
         return h.astype(np.int32), hd
-    sigS = sig.sigS
+    sigS = sig.sigS.copy()
+    if sigs_until is not None and sigs_until + 4 < len(sigS):
+        sigS[sigs_until + 4:] = 0
     sigE = sig.sigE
 
     def s_at(n):
@@ -771,18 +781,21 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
     ops["t2"] = jnp.asarray(shared["t2"])
     qprof_all = jnp.asarray(np.stack(qprofs))
 
+    if loc_bounds is None:
+        loc_bounds = [(1 << 30, -(1 << 30))] * B
     bnd_h = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     bnd_hd = np.full((B, TOTn), DEAD, dtype=np.int32)
     for i in range(B):
-        bh0, bd0 = tron_init_row(sigs[i], prm, Ns[i], flags.a_exgl)
+        bh0, bd0 = tron_init_row(sigs[i], prm, Ns[i], flags.a_exgl,
+                                 sigs_until=(loc_bounds[i][0]
+                                             if loc_bounds[i][0] < (1 << 29)
+                                             else None))
         o = PBn - deltas[i]             # storage: PBn + n - delta
         bnd_h[i, o:o + Ns[i] + 2] = bh0
         bnd_hd[i, o:o + Ns[i] + 2] = bd0
     bnd_f = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     bnd0 = (jnp.asarray(bnd_h), jnp.asarray(bnd_hd), jnp.asarray(bnd_f),
             jnp.asarray(bnd_f), jnp.zeros((B, TOTn), I32))
-    if loc_bounds is None:
-        loc_bounds = [(1 << 30, -(1 << 30))] * B
     return TronBatchProblem(ops=ops, qprof_all=qprof_all, bnd0=bnd0,
                             Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
                             Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
