@@ -589,83 +589,101 @@ def refine_terminal_exons(exons: list, introns: list, a: np.ndarray,
     MAX_DIST2SS = 5                            # fwd2h1.cc:46
     # ---------------------------------------------------------- 5' side
     e0 = exons[0]
+    # skip when the current start already sits on a translation-init
+    # signal (the reference relocates only segments its driver left
+    # unanchored; an ATG-anchored start is the anchored outcome)
+    cur_sS = (int(sig.sigS[e0.g_start + 1])
+              if e0.g_start + 1 < N else 0)
     # candidate peel sizes: the unanchored prefix, and nearest3ss-style
     # boundary shifts of up to max_dist2ss aa (the reference re-opens
     # the boundary to nearby acceptors even when the seed covered it)
-    peels = {k for k in range(max(1, e0.q_start),
-                              max(1, e0.q_start) + MAX_DIST2SS)}
+    peels = set(range(e0.q_start, max(1, e0.q_start) + MAX_DIST2SS))
     if k5 >= 1:
         peels.add(k5)
     best = None
-    for k in sorted(peels):
-        if not (e0.q_start <= k < e0.q_end):
-            continue
-        na = e0.g_start + 3 * (k - e0.q_start)
-        pmch = sum(int(mtx[a[i], a[i]]) for i in range(0, k))
-        n_hi = na - 3 * k - prm.intron_minl
-        n_lo = max(0, na - 3 * k - scan_cap)
-        for n in range(n_hi, n_lo - 1, -1):
-            nd = n + 3 * k                     # donor boundary
-            if not _isCanon(sig, nd, na):
+    if cur_sS <= 0:
+        for k in sorted(peels):
+            if not (e0.q_start <= k < e0.q_end):
                 continue
-            sS = int(sig.sigS[n + 1]) if 0 <= n + 1 < N else 0
-            mch = diag_mch(0, k, n)
-            if k >= 2 and mch != pmch:         # BoyerMoore branch: exact
-                continue
-            if k < 2 and sS <= 0:              # wmm branch: needs start
-                continue
-            scr = (w * mch + sS + int(sig.sig5[nd])
-                   + int(ipen_at(na - nd))
-                   + int(sig.sig53_ie53(nd, na)))
-            if best is None or scr > best[0]:
-                best = (scr, n, nd, na, k, mch)
+            # acceptor boundary: the nominal codon-aligned peel point,
+            # or a nearby 3'ss (nearest3ss scans +-max_dist2ss aa for
+            # sig3-positive sites, fwd2h1.cc:2666-2707)
+            na_nom = e0.g_start + 3 * (k - e0.q_start)
+            na_cands = [na_nom] + [
+                p for p in range(max(0, na_nom - 15),
+                                 min(N, na_nom + 16))
+                if p != na_nom and sig.cano3[p] > 0]
+            pmch = sum(int(mtx[a[i], a[i]]) for i in range(0, k))
+            for na in na_cands:
+                n_hi = na - 3 * k - prm.intron_minl
+                n_lo = max(0, na - 3 * k - scan_cap)
+                for n in range(n_hi, n_lo - 1, -1):
+                    nd = n + 3 * k             # donor boundary
+                    if not _isCanon(sig, nd, na):
+                        continue
+                    sS = int(sig.sigS[n + 1]) if 0 <= n + 1 < N else 0
+                    if sS <= 0:
+                        continue               # must land on an ATG
+                    mch = diag_mch(0, k, n)
+                    if k >= 2 and mch != pmch:  # BoyerMoore: exact
+                        continue
+                    scr = (w * mch + sS + int(sig.sig5[nd])
+                           + int(ipen_at(na - nd))
+                           + int(sig.sig53_ie53(nd, na)))
+                    if best is None or scr > best[0]:
+                        best = (scr, n, nd, na, k, mch)
     if best is not None:
         scr, n, nd, na, k, mch = best
-        cur_mch = diag_mch(e0.q_start, k, e0.g_start)
-        if scr > w * max(cur_mch, 0):
+        if k > e0.q_start:
             e_new = Exon(q_start=0, q_end=k, g_start=n, g_end=nd,
                          mch=nid(0, k, n))
             e_new.mmc = k - e_new.mch
             e0.q_start, e0.g_start = k, na
             judge(nd, na, e_new, e0, side5=True)
+        else:                                  # pure unpaired extension
+            e0.g_start = n
+            e0.unp += na - n
+            e0.gap += 1
     # ---------------------------------------------------------- 3' side
     el = exons[-1]
     M = len(a)
-    peels = {k for k in range(max(1, M - el.q_end),
-                              max(1, M - el.q_end) + MAX_DIST2SS)}
+    cur_sT = (int(sig.sigT[el.g_end + 1])
+              if el.g_end + 1 < N else 0)
+    peels = set(range(M - el.q_end,
+                      max(1, M - el.q_end) + MAX_DIST2SS))
     if k3 >= 1:
         peels.add(k3)
     best = None
-    for k in sorted(peels):
-        q0 = M - k                             # first suffix aa index
-        if not (el.q_start < q0 <= el.q_end and q0 >= el.q_end - k):
-            continue
-        ld = el.g_end - 3 * (el.q_end - q0)    # donor boundary
-        if ld <= el.g_start:
-            continue
-        pmch = sum(int(mtx[a[i], a[i]]) for i in range(q0, M))
-        n_lo = ld + prm.intron_minl
-        n_hi = min(N - 3 * k - 4, ld + scan_cap)
-        for n in range(n_lo, n_hi + 1):
-            if not _isCanon(sig, ld, n):
+    if cur_sT <= 0:
+        for k in sorted(peels):
+            q0 = M - k                         # first suffix aa index
+            if not (el.q_start < q0 <= el.q_end):
                 continue
-            stop_at = n + 3 * k + 1            # TransTerm after suffix
-            sT = int(sig.sigT[stop_at]) if stop_at < N else 0
-            if sT <= 0:
+            ld = el.g_end - 3 * (el.q_end - q0)    # donor boundary
+            if ld <= el.g_start:
                 continue
-            mch = diag_mch(q0, M, n)
-            if k >= 2 and mch != pmch:
-                continue
-            scr = (w * mch + sT + int(sig.sig5[ld])
-                   + int(ipen_at(n - ld))
-                   + int(sig.sig53_ie53(ld, n)))
-            if best is None or scr > best[0]:
-                best = (scr, n, ld, k, mch)
+            pmch = sum(int(mtx[a[i], a[i]]) for i in range(q0, M))
+            n_lo = ld + prm.intron_minl
+            n_hi = min(N - 3 * k - 4, ld + scan_cap)
+            for n in range(n_lo, n_hi + 1):
+                if not _isCanon(sig, ld, n):
+                    continue
+                stop_at = n + 3 * k + 1        # TransTerm after suffix
+                sT = int(sig.sigT[stop_at]) if stop_at < N else 0
+                if sT <= 0:
+                    continue
+                mch = diag_mch(q0, M, n)
+                if k >= 2 and mch != pmch:
+                    continue
+                scr = (w * mch + sT + int(sig.sig5[ld])
+                       + int(ipen_at(n - ld))
+                       + int(sig.sig53_ie53(ld, n)))
+                if best is None or scr > best[0]:
+                    best = (scr, n, ld, k, mch)
     if best is not None:
         scr, n, ld, k, mch = best
         q0 = M - k
-        cur_mch = diag_mch(q0, el.q_end, ld)
-        if scr > w * max(cur_mch, 0):
+        if q0 < el.q_end:
             e_new = Exon(q_start=q0, q_end=M, g_start=n,
                          g_end=n + 3 * k, mch=nid(q0, M, n))
             e_new.mmc = k - e_new.mch
@@ -880,7 +898,11 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
     if sig is not None and prm is not None:
         if ipen_tab is not None and (k5 or k3):
             # unanchored query ends re-placed as first/last exons at
-            # start/stop-codon-anchored sites (fwd2h1.cc:2753-2980)
+            # start/stop-codon-anchored sites (fwd2h1.cc:2753-2980).
+            # Fires only when the seed chain left the end unanchored —
+            # the reference's terminal machinery runs on its (coarser)
+            # chain's end segments; re-deciding anchored ends regresses
+            # correct starts (round-5 triage).
             try:
                 refine_terminal_exons(exons, introns, a, sig, prm,
                                       ipen_tab, k5, k3, w=wmm_w)
