@@ -51,8 +51,12 @@ def _ref_exons(spaln_bin, genome, query, tmpdir):
     qfa = os.path.join(tmpdir, "q.fa")
     _write_fasta(gfa, "gref", genome)
     _write_fasta(qfa, "qref", query)
+    # without ALN_TAB the binary can spin retrying table-file opens
+    # (see scripts/corpus_gate.py run_reference)
+    env = dict(os.environ, ALN_TAB="/root/reference/table")
     out = subprocess.run([spaln_bin, "-Q3", "-O4", "-LS", "-pq", gfa, qfa],
-                         capture_output=True, text=True, timeout=300)
+                         capture_output=True, text=True, timeout=300,
+                         env=env)
     exons = []
     for line in out.stdout.splitlines():
         if line.startswith(("#", "@")) or not line.strip():
