@@ -135,11 +135,18 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
             cands = []
             with stage("seed"):
                 for st in order:
+                    # same-species verification stays on the fine seed:
+                    # the deeper (k=4) levels exist for cross-species
+                    # sensitivity and explode on the ~2/3 of candidate
+                    # windows that are spurious (profiled: the level
+                    # ladder on junk windows was most of the seed stage)
                     ch = wilip(_rc_q(qi) if st == "-" else q,
                                wtab=wt, mirror=(st == "-"),
                                ipen=self.ctx.ipen,
                                prm=self.ctx.prm,
-                               spaced=self.ctx.cfg.alg.crs > 0)
+                               spaced=self.ctx.cfg.alg.crs > 0,
+                               max_level=(None if self.ctx.cfg.alg.crs
+                                          else 1))
                     if ch:
                         cands.append((ch[0].score, st, ch[0]))
                         if hint is not None:

@@ -339,7 +339,8 @@ def mirror_hsps(hsps: list[Hsp], M: int, N: int) -> list[Hsp]:
 def wilip(q: np.ndarray, g: np.ndarray | None = None, level: int = 1,
           ipen=None, prm=None, spaced: bool = False,
           wtab: WindowTable | None = None,
-          mirror: bool = False, **kw) -> list[Chain]:
+          mirror: bool = False, max_level: int | None = None,
+          **kw) -> list[Chain]:
     """HSP search + chaining at one level; retries coarser levels if the
     finer one finds nothing (the -Q level recursion entry).
 
@@ -362,7 +363,8 @@ def wilip(q: np.ndarray, g: np.ndarray | None = None, level: int = 1,
             hsps = mirror_hsps(hsps, len(q), N)
         return hsps
 
-    for lv in range(level, 3):
+    hi = 3 if max_level is None else min(max_level + 1, 3)
+    for lv in range(level, hi):
         chains = chain_hsps(_find(lv, spaced), ipen=ipen, **kw)
         if chains:
             return chains
