@@ -846,6 +846,11 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
     prep = getattr(bp, "_pallas_prep", None)
     if prep is not None and prep["key"] == (Bp, CHUNK, GRP):
         return prep
+
+    def oph(k):
+        h = getattr(bp, "ops_host", None)
+        return h[k] if h is not None and k in h else np.asarray(bp.ops[k])
+
     B, L = bp.B, bp.L
     PBn, TOTn, PBm, TOTm = _pads(L, bp.T, bp.Nmax, bp.Mpad)
     T = bp.T
@@ -859,13 +864,14 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         return x
 
     qprof_cls, code_cls, nclass = compress_classes(
-        bp.qprof_all, bp.ops["rb_code"])
+        (bp.qprof_host if getattr(bp, "qprof_host", None) is not None
+         else np.asarray(bp.qprof_all)), oph("rb_code"))
     NB = code_cls.shape[1]
     nbs = LT + (-(-NB // 128) * 128) + 384
     nbt = nbs // 128
-    j4 = pad_b(np.asarray(bp.ops["rb_joint4"]))
-    for name, arr in (("sig5", bp.ops["rb_sig5"]),
-                      ("accb", bp.ops["rb_accb"]),
+    j4 = pad_b(oph("rb_joint4"))
+    for name, arr in (("sig5", oph("rb_sig5")),
+                      ("accb", oph("rb_accb")),
                       ("joint4", j4)):
         a = np.asarray(arr)
         assert a.min() >= -32768 and a.max() < 32768, \
@@ -878,43 +884,48 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
     pade = Tpad + 256
     stk_d, rflat_d = _build_stack_device(
         jnp.asarray(pad_b(code_cls).astype(np.int8)),
-        jnp.asarray(pad_b(np.asarray(bp.ops["rb_isdon"])).astype(np.int8)),
-        jnp.asarray(pad_b(np.asarray(bp.ops["rb_isacc"])).astype(np.int8)),
-        jnp.asarray(pad_b(np.asarray(bp.ops["rb_sig5"])).astype(np.int16)),
-        jnp.asarray(pad_b(np.asarray(bp.ops["rb_accb"])).astype(np.int16)),
-        jnp.asarray(pad_b(np.asarray(bp.ops["rb_d5cls"])).astype(np.int8)),
+        jnp.asarray(pad_b(oph("rb_isdon")).astype(np.int8)),
+        jnp.asarray(pad_b(oph("rb_isacc")).astype(np.int8)),
+        jnp.asarray(pad_b(oph("rb_sig5")).astype(np.int16)),
+        jnp.asarray(pad_b(oph("rb_accb")).astype(np.int16)),
+        jnp.asarray(pad_b(oph("rb_d5cls")).astype(np.int8)),
         jnp.asarray(j4.astype(np.int16)),
         nbs=nbs, pade=pade)
 
     iph, ipb, nbrow = ipen_tiles(ipen_key, bp.Nmax + 1)
 
-    deltas = pad_b(np.asarray(bp.deltas_j))
-    Ns = pad_b(np.asarray(bp.Ns_j))
-    Ms = pad_b(np.asarray(bp.Ms_j))
+    deltas = pad_b(np.asarray(bp.deltas, dtype=np.int32))
+    Ns = pad_b(np.asarray(bp.Ns, dtype=np.int32))
+    Ms = pad_b(np.asarray(bp.Ms, dtype=np.int32))
     ones = np.ones((Bp, L), np.int32)
-    colinit = np.asarray(bp.ops_s["colinit"])
+    colinit = np.asarray(bp.ops_s.get("colinit_host", bp.ops_s["colinit"]))
     lw_arr = bp.lw + deltas
     e_const = np.where(
         lw_arr >= -Ms, colinit[np.clip(-lw_arr, 0, len(colinit) - 1)],
         NEV).astype(np.int32)
 
     dev = jnp.asarray
+    # one stacked upload for the four (Bp, L) broadcast planes: the
+    # remote tunnel is round-trip-bound, so transfer COUNT dominates
+    # per-bucket device time (probe: ~25 transfers = 0.7-0.85 s/bucket
+    # vs 0.18 s dispatch+exec)
+    dnme_d = dev(np.stack([deltas[:, None] * ones, Ns[:, None] * ones,
+                           Ms[:, None] * ones, e_const[:, None] * ones]))
     prep = {
         "key": (Bp, CHUNK, GRP),
         "Bp": Bp, "nclass": nclass, "sop": sop, "nbt": nbt,
         "nbrow": nbrow,
         "PBn": PBn, "PBm": PBm, "TOTn": TOTn, "TOTm": TOTm,
-        "dl": dev(deltas[:, None] * ones),
-        "nb": dev(Ns[:, None] * ones),
-        "mb": dev(Ms[:, None] * ones),
-        "ec": dev(e_const[:, None] * ones),
+        "dnme": dnme_d,
+        "dl": dnme_d[0], "nb": dnme_d[1], "mb": dnme_d[2],
+        "ec": dnme_d[3],
         "ns": dev(Ns.astype(np.int32)),
         "stk": stk_d, "rflat": rflat_d, "pade": pade,
         "iph": dev(iph), "ipb": dev(ipb),
         "qp": dev(np.ascontiguousarray(np.transpose(
             pad_b(qprof_cls), (2, 0, 1)))),
-        "bnd_h0": dev(pad_b(np.asarray(bp.bnd_h0))),
-        "bnd_f0": dev(pad_b(np.asarray(bp.bnd_f0))),
+        "bnd_h0": dev(pad_b(bp.bnd_h0_host if getattr(bp, "bnd_h0_host", None) is not None else np.asarray(bp.bnd_h0))),
+        "bnd_f0": dev(pad_b(bp.bnd_f0_host if getattr(bp, "bnd_f0_host", None) is not None else np.asarray(bp.bnd_f0))),
         "slabs": [],
     }
 
@@ -930,16 +941,16 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         cr0 = m0 + lw0 + 1 - L
         cc0 = 2 * m0 + lw0 + 1 - bp.Nmax
         wstart = int(np.clip(PBn + m0 + lw0, 0, TOTn - (Tpad + 1)))
-        sca = dev(np.asarray(
+        sca = np.asarray(
             [m0, lw0, base0, 0, int(bp.flags.a_exgr), 0, 0, 0],
-            np.int32))
+            np.int32)
         cm = np.clip(m0, 0, bp.Mpad)
         cm1 = np.clip(m0 - 1, 0, bp.Mpad)
-        colm_d = dev(np.broadcast_to(colinit[cm:cm + L],
-                                     (Bp, L)).astype(np.int32).copy())
-        colm1_d = dev(np.broadcast_to(colinit[cm1:cm1 + L],
-                                      (Bp, L)).astype(np.int32).copy())
-        n0_base = dev((m0 + lw0 + 1 + deltas).astype(np.int32))
+        colm_h = np.broadcast_to(colinit[cm:cm + L],
+                                 (Bp, L)).astype(np.int32).copy()
+        colm1_h = np.broadcast_to(colinit[cm1:cm1 + L],
+                                  (Bp, L)).astype(np.int32).copy()
+        n0_base = (m0 + lw0 + 1 + deltas).astype(np.int32)
 
         m_last = m0 + L - 1
         nl = cb0 + dlc + ts
@@ -958,10 +969,21 @@ def _prepare_device(bp: BatchProblem, Bp: int, ipen_key) -> dict:
         r0s = int(pade + nbt * 128 - base0 - LT)
         assert 0 <= r0s <= nbt * 128 + 2 * pade - Tpad, (r0s, base0)
         prep["slabs"].append(dict(
-            sca=sca, colm=colm_d, colm1=colm1_d, n0_base=n0_base,
+            sca_h=sca, colm_h=colm_h, colm1_h=colm1_h, n0b_h=n0_base,
             m0=m0, wstart=wstart, cb0=cb0, cr0=cr0, cc0=cc0,
-            r0s=r0s,
-            wl=dev(wl), wr=dev(wr), wc=dev(wc)))
+            r0s=r0s, wl_h=wl, wr_h=wr, wc_h=wc))
+    sl = prep["slabs"]
+    prep["sca_all"] = dev(np.stack([x["sca_h"] for x in sl]))
+    prep["colm_all"] = dev(np.stack([x["colm_h"] for x in sl]))
+    prep["colm1_all"] = dev(np.stack([x["colm1_h"] for x in sl]))
+    prep["n0b_all"] = dev(np.stack([x["n0b_h"] for x in sl]))
+    prep["wl_all"] = dev(np.stack([x["wl_h"] for x in sl]))
+    prep["wr_all"] = dev(np.stack([x["wr_h"] for x in sl]))
+    prep["wc_all"] = dev(np.stack([x["wc_h"] for x in sl]))
+    for x in sl:
+        for k in ("sca_h", "colm_h", "colm1_h", "n0b_h", "wl_h",
+                  "wr_h", "wc_h"):
+            del x[k]
     bp._pallas_prep = prep
     return prep
 
@@ -1021,12 +1043,14 @@ def run_spliced_batch_pallas(bp: BatchProblem, prm: DpParams,
         qp_slab = jax.lax.dynamic_slice(
             qp_d, (0, 0, sl["m0"] - 1), (prep["nclass"], Bp, L))
         out = slab_step(
-            sl["sca"], prep["dl"], prep["nb"], prep["mb"], prep["ec"],
-            sl["colm"], sl["colm1"], qp_slab, prep["stk"],
+            prep["sca_all"][s], prep["dl"], prep["nb"], prep["mb"],
+            prep["ec"], prep["colm_all"][s], prep["colm1_all"][s],
+            qp_slab, prep["stk"],
             prep["rflat"], prep["iph"], prep["ipb"], sl["r0s"],
-            sl["n0_base"], prep["ns"], bnd_h, bnd_f, bnd_f2, row_h,
+            prep["n0b_all"][s], prep["ns"], bnd_h, bnd_f, bnd_f2, row_h,
             rc_h, sl["wstart"], sl["cb0"], sl["cr0"], sl["cc0"],
-            sl["wl"], sl["wr"], sl["wc"], PBn, PBm)
+            prep["wl_all"][s], prep["wr_all"][s], prep["wc_all"][s],
+            PBn, PBm)
         bnd_h, bnd_f, bnd_f2, row_h, rc_h = out[:5]
         if emit_links:
             zf2 = jnp.zeros((B, bp.T), jnp.int32)
@@ -1069,20 +1093,25 @@ def _fused_call(Bp, B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt,
     I32 = jnp.int32
 
     @jax.jit
-    def go(slabs, shared, qp, bnd_h, bnd_f, bnd_f2, row_h, rc_h,
-           ro_v, co_v, Ms_j, Ns_j, lws_j):
+    def go(sca_all, colm_all, colm1_all, n0b_all, wl_all, wr_all,
+           wc_all, slab_scalars, shared, qp, bnd_h, bnd_f, bnd_f2,
+           row_h, rc_h, meta):
+        ro_v, co_v, Ms_j, Ns_j, lws_j = (meta[0], meta[1], meta[2],
+                                         meta[3], meta[4])
+        dnme = shared["dnme"]
         FLs, SPJs = [], []
         for s in range(n_slabs):
-            a = slabs[s]
+            a = slab_scalars[s]
             qp_slab = jax.lax.dynamic_slice(
                 qp, (0, 0, a["m0i"]), (nclass, Bp, L))
-            out = body(a["sca"], shared["dl"], shared["nb"],
-                       shared["mb"], shared["ec"], a["colm"], a["colm1"],
+            out = body(sca_all[s], dnme[0], dnme[1],
+                       dnme[2], dnme[3], colm_all[s], colm1_all[s],
                        qp_slab, shared["stk"], shared["rflat"],
                        shared["iph"], shared["ipb"], a["r0s"],
-                       a["n0_base"], shared["ns"], bnd_h, bnd_f, bnd_f2,
+                       n0b_all[s], shared["ns"], bnd_h, bnd_f, bnd_f2,
                        row_h, rc_h, a["wstart"], a["cb0"], a["cr0"],
-                       a["cc0"], a["wl"], a["wr"], a["wc"], PBn_, PBm_)
+                       a["cc0"], wl_all[s], wr_all[s], wc_all[s],
+                       PBn_, PBm_)
             bnd_h, bnd_f, bnd_f2, row_h, rc_h = out[:5]
             fl_pl, spj_pl = out[5], out[6]
             FLs.append(fl_pl[:T, :B].astype(I32))
@@ -1174,15 +1203,13 @@ def run_bucket_fused(bp: BatchProblem, prm: DpParams):
                      prm.dagp, prm.lgop, prm.lgep, bp.n_slabs, bp.Nmax,
                      bp.Mpad, flags.a_exgl, flags.a_exgr, flags.b_exgl,
                      flags.b_exgr, prep["PBn"], prep["PBm"], IT)
-    slab_args = [dict(sca=sl["sca"], colm=sl["colm"], colm1=sl["colm1"],
-                      n0_base=sl["n0_base"], r0s=sl["r0s"],
-                      wstart=sl["wstart"], cb0=sl["cb0"], cr0=sl["cr0"],
-                      cc0=sl["cc0"], wl=sl["wl"], wr=sl["wr"],
-                      wc=sl["wc"], m0i=sl["m0"] - 1)
+    slab_args = [dict(r0s=sl["r0s"], wstart=sl["wstart"],
+                      cb0=sl["cb0"], cr0=sl["cr0"], cc0=sl["cc0"],
+                      m0i=sl["m0"] - 1)
                  for sl in prep["slabs"]]
-    shared = dict(dl=prep["dl"], nb=prep["nb"], mb=prep["mb"],
-                  ec=prep["ec"], stk=prep["stk"], rflat=prep["rflat"],
-                  iph=prep["iph"], ipb=prep["ipb"], ns=prep["ns"])
+    shared = dict(dnme=prep["dnme"], stk=prep["stk"],
+                  rflat=prep["rflat"], iph=prep["iph"],
+                  ipb=prep["ipb"], ns=prep["ns"])
     PB, _, PBm2, _ = _pads(bp.L, bp.T, bp.Nmax, bp.Mpad)
     ro_v = np.array([_row_pos(PB, bp.L, 0, bp.deltas[i],
                               (bp.Ms[i] - 1) % bp.L)
@@ -1200,11 +1227,14 @@ def run_bucket_fused(bp: BatchProblem, prm: DpParams):
         bnd_f2 = bp.bnd_f20
     row_h = jnp.full((Bp, TOTn), NEV)
     rc_h = jnp.full((Bp, TOTm), NEV)
+    meta = jnp.asarray(np.stack([
+        ro_v, co_v, np.asarray(bp.Ms, np.int32),
+        np.asarray(bp.Ns, np.int32), np.asarray(bp.lws, np.int32)]))
     packed = np.asarray(go(
-        slab_args, shared, prep["qp"], bnd_h, bnd_f, bnd_f2, row_h,
-        rc_h, jnp.asarray(ro_v), jnp.asarray(co_v),
-        jnp.asarray(bp.Ms, np.int32), jnp.asarray(bp.Ns, np.int32),
-        jnp.asarray(bp.lws, np.int32)))
+        prep["sca_all"], prep["colm_all"], prep["colm1_all"],
+        prep["n0b_all"], prep["wl_all"], prep["wr_all"],
+        prep["wc_all"], slab_args, shared, prep["qp"], bnd_h, bnd_f,
+        bnd_f2, row_h, rc_h, meta))
     k_np = packed[0:IT]
     m_np = packed[IT:2 * IT]
     n_np = packed[2 * IT:3 * IT]

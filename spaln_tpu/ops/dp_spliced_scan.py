@@ -760,6 +760,14 @@ class BatchProblem:
     n_slabs: int
     flags: DpFlags
     cip_all: object = None     # jnp (B, Mpad) -yJ bonus per query row
+    # host mirrors of the uploaded operands: downstream device prep
+    # (dp_spliced_pallas._prepare_device) repacks them — reading the jnp
+    # copies back costs a device->host round trip per array on a
+    # remote-tunnel backend (profiled 0.5 s/bucket)
+    ops_host: dict = None
+    qprof_host: object = None
+    bnd_h0_host: object = None
+    bnd_f0_host: object = None
 
 
 def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
@@ -820,14 +828,17 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
             stacked[k].append(getattr(od, k))
         qprofs.append(od.qprof)
         colinit = od.colinit            # prm/flags-derived: batch-shared
-    ops = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
-    qprof_all = jnp.asarray(np.stack(qprofs))          # (B, Mpad, 17)
+    ops_host = {k: np.stack(v) for k, v in stacked.items()}
+    ops = {k: jnp.asarray(v) for k, v in ops_host.items()}
+    qprof_host = np.stack(qprofs)                      # (B, Mpad, 17)
+    qprof_all = jnp.asarray(qprof_host)
     # intron penalty table is batch-shared (one prm per batch); a no-sig
     # problem never pushes donor candidates, so the table is inert there
     ipen = (prm.intron_table(Nmax + 1) if any_sig
             else np.full(Nmax + 1, NEVSEL // 2, dtype=np.int32))
     ipen_key = _pack_ipen(ipen)
-    ops_s = {"colinit": jnp.asarray(colinit)}
+    ops_s = {"colinit": jnp.asarray(colinit),
+             "colinit_host": colinit}
 
     bnd_h = np.full((B, TOTn), NEVSEL, dtype=np.int32)
     for i in range(B):
@@ -856,6 +867,8 @@ def prepare_spliced_batch(queries: list, genomes: list, prm: DpParams,
     return BatchProblem(ops=ops, ops_s=ops_s, ipen_key=ipen_key,
                         qprof_all=qprof_all,
                         bnd_h0=jnp.asarray(bnd_h), bnd_f0=jnp.asarray(bnd_f),
+                        ops_host=ops_host, qprof_host=qprof_host,
+                        bnd_h0_host=bnd_h, bnd_f0_host=bnd_f,
                         bnd_f20=jnp.asarray(bnd_f),
                         Ms=Ms, Ns=Ns, lws=lws, deltas=deltas,
                         Ms_j=jnp.asarray(Ms), Ns_j=jnp.asarray(Ns),
