@@ -149,15 +149,18 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                                           else 1))
                     if ch:
                         cands.append((ch[0].score, st, ch[0]))
-                        if hint is not None:
-                            break       # vote strand chained: trust it
             if not cands:
-                if hint is not None:
-                    hint = None         # fall back to both strands once
-                    continue
                 return None
             cands.sort(key=lambda c: -c[0])
             score, st, chain = cands[0]
+            # ambiguous orientation: when the other strand chains almost
+            # as well, BOTH run DP and the better alignment wins (the
+            # reference aligns both orientations and keeps the best,
+            # geneorient/q_mns; 3/500 gate mismatches were strand flips
+            # at loci where only the better-chained strand was aligned)
+            alt = None
+            if len(cands) > 1 and cands[1][0] * 10 >= 9 * score:
+                alt = (cands[1][1], cands[1][0], cands[1][2])
             # chain coords are in window space; on '-' in rc-window
             # space, so a left-edge overhang is a genome-right overhang
             wlen = len(window)
@@ -173,10 +176,10 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                       if (len(q) - q1 > 15 and wlen - c1 < edge
                           and g1 < total) else 0)
             if not (grow_l or grow_r):
-                return g0, g1, st, score, chain
+                return g0, g1, st, score, chain, alt
             g0 = max(g0 - grow_l, 0)
             g1 = min(g1 + grow_r, total)
-        return g0, g1, st, score, chain
+        return g0, g1, st, score, chain, alt
 
     # phase A: block voting -> raw candidate windows per query
     raw: list[list[tuple[int, int]]] = [[] for _ in queries]
@@ -233,17 +236,19 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
         verified.sort(key=lambda v: -v[3])
         best = verified[0][3]
         kept: list = []
-        for g0, g1, st, score, chain in verified:
+        for g0, g1, st, score, chain, alt in verified:
             if any(not (g1 <= k0 or g0 >= k1) for k0, k1, *_ in kept):
                 continue                      # locus dedup by chain score
             if kept and score * 2 < best:
                 _mark(qi, "chain-floor", f"{score}<{best}/2")
                 continue
-            kept.append((g0, g1, st, score, chain))
+            kept.append((g0, g1, st, score, chain, alt))
             if len(kept) >= max_out * 2:
                 break
-        for g0, g1, st, score, chain in kept:
+        for g0, g1, st, score, chain, alt in kept:
             work.append([qi, g0, g1, 0, st, chain])
+            if alt is not None:
+                work.append([qi, g0, g1, 0, alt[0], alt[2]])
 
     results: list[list[GeneStructure]] = [[] for _ in queries]
     for _round in range(3):
@@ -312,7 +317,7 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                     _mark(qi, "seed-error", repr(exc))
                     v = None
                 if v is not None:
-                    n0, n1, st2, _, ch2 = v
+                    n0, n1, st2, _, ch2, _alt2 = v
                     work.append([qi, n0, n1, retry + 1, st2, ch2])
                     continue
             if gs.coverage(len(q)) < min_coverage:
@@ -417,10 +422,10 @@ def _map_protein_queries(self, queries: list, q_names: list | None = None,
                       if (3 * len(q) - q1 > 45 and wlen - c1 < edge
                           and g1 < total) else 0)
             if not (grow_l or grow_r):
-                return g0, g1, st, score, chain
+                return g0, g1, st, score, chain, alt
             g0 = max(g0 - grow_l, 0)
             g1 = min(g1 + grow_r, total)
-        return g0, g1, st, score, chain
+        return g0, g1, st, score, chain, alt
 
     # phase A: block voting
     raw: list[list[tuple[int, int]]] = [[] for _ in queries]
@@ -543,7 +548,7 @@ def _map_protein_queries(self, queries: list, q_names: list | None = None,
                     report_skip(q_names[qi], exc, "seed")
                     v = None
                 if v is not None:
-                    n0, n1, st2, _, ch2 = v
+                    n0, n1, st2, _, ch2, _alt2 = v
                     work.append([qi, n0, n1, retry + 1, st2, ch2])
                     continue
             if gs.coverage(len(q)) < min_coverage:
