@@ -543,11 +543,15 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
             # 1-200 s compile/deserialize.  Padded problems re-run the
             # last job; their results are discarded.
             from ..ops.dp_spliced_scan import _geom_bucket
-            bpad = _geom_bucket(len(js))
             if mesh is not None:
+                # device-multiple padding only: multiples of ndev are
+                # already coarse compile buckets, and stacking the
+                # geometric ladder on top over-padded small buckets to
+                # 72% wasted cells (MULTICHIP_SCALING round 5)
                 ndev = mesh.devices.size
-                while bpad % ndev:
-                    bpad += 1
+                bpad = -(-len(js) // ndev) * ndev
+            else:
+                bpad = _geom_bucket(len(js))
             while len(js) < bpad:
                 js.append(js[-1])
             with stage("prep"):

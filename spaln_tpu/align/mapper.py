@@ -335,7 +335,8 @@ def _map_queries_batched(self, queries: list, q_names: list | None = None,
                 i.g_end += off
             results[qi].append(gs)
     for qi in range(len(queries)):
-        results[qi].sort(key=lambda g: -g.score)
+        results[qi].sort(key=lambda g: (-g.score, g.g_name,
+                                        g.exons[0].g_start))
         results[qi] = results[qi][:max_out]
     return results
 
@@ -564,7 +565,8 @@ def _map_protein_queries(self, queries: list, q_names: list | None = None,
                 i.g_end += off
             results[qi].append(gs)
     for qi in range(len(queries)):
-        results[qi].sort(key=lambda g: -g.score)
+        results[qi].sort(key=lambda g: (-g.score, g.g_name,
+                                        g.exons[0].g_start))
         results[qi] = results[qi][:max_out]
     return results
 
