@@ -131,12 +131,17 @@ class BlockIndex:
             wscr = np.where(present, np.maximum(wscr_f, minscr),
                             -1).astype(np.int16)
             if dropped.any():
-                # excise dropped words' postings from the CSR
-                ent_w = np.repeat(np.arange(nwords),
-                                  np.diff(offsets).astype(np.int64))
-                keep = ~dropped[ent_w]
+                # excise dropped words' postings from the CSR (span
+                # delete via +1/-1 boundary marks — no per-entry
+                # word-id expansion over ~1e8 postings)
+                di = np.nonzero(dropped)[0]
+                marks = np.zeros(len(ub) + 1, np.int64)
+                np.add.at(marks, offsets[di], 1)
+                np.add.at(marks, offsets[di + 1], -1)
+                keep = np.cumsum(marks[:-1]) == 0
                 ub = ub[keep]
-                counts = np.bincount(ent_w[keep], minlength=nwords)
+                counts = np.diff(offsets)
+                counts[di] = 0
                 offsets = np.zeros(nwords + 1, dtype=np.int64)
                 np.cumsum(counts, out=offsets[1:])
         cbounds = np.append(store.offsets, glen).astype(np.int64)
@@ -284,12 +289,22 @@ class BlockIndex:
         if ncyc * (NB + 2) <= (1 << 25):
             # dense boolean gate (presence matrix + shifted ors), then
             # per-hit gating by fancy index — run gating without the
-            # sorted-probe searchsorteds (~30x on typical geometries)
-            H = np.zeros((ncyc + 2, NB + 2), dtype=bool)
+            # sorted-probe searchsorteds (~30x on typical geometries).
+            # The presence buffer is cached on the index and cleared
+            # sparsely (only the touched cells), saving a 10 MB
+            # alloc+memset per query at genome scale
+            buf = getattr(self, "_gate_buf", None)
+            if buf is None or buf.shape[0] < ncyc + 2 \
+                    or buf.shape[1] != NB + 2:
+                buf = np.zeros((max(ncyc + 2, 1024), NB + 2), dtype=bool)
+                object.__setattr__(self, "_gate_buf", buf)
+            H = buf[:ncyc + 2]
             H[cyc + 1, blk + 1] = True
-            nb3 = H[:, :-2] | H[:, 1:-1] | H[:, 2:]      # +-1 block
+            nb3 = H[:, :-2] | H[:, 1:-1]                 # +-1 block
+            nb3 |= H[:, 2:]
             gate = nb3[:-2] | nb3[2:]                    # +-1 position
             run = gate[cyc, blk]
+            H[cyc + 1, blk + 1] = False                  # sparse clear
             left = cyc < half
             bl = np.bincount(blk[run & left], weights=ws[run & left],
                              minlength=NB)
