@@ -411,6 +411,10 @@ def _map_protein_queries(self, queries: list, q_names: list | None = None,
                 return None
             cands.sort(key=lambda c: -c[0])
             score, st, chain = cands[0]
+            # close-call orientation: DP both (see the cDNA twin)
+            alt = None
+            if len(cands) > 1 and cands[1][0] * 10 >= 9 * score:
+                alt = (cands[1][1], cands[1][0], cands[1][2])
             q0, q1 = chain.q_span          # nt-equivalent coords
             c0, c1 = chain.g_span
             if st == "-":
@@ -475,17 +479,19 @@ def _map_protein_queries(self, queries: list, q_names: list | None = None,
         verified.sort(key=lambda v: -v[3])
         best = verified[0][3]
         kept: list = []
-        for g0, g1, st, score, chain in verified:
+        for g0, g1, st, score, chain, alt in verified:
             if any(not (g1 <= k0 or g0 >= k1) for k0, k1, *_ in kept):
                 continue
             if kept and score * 2 < best:
                 _mark(qi, "chain-floor", f"{score}<{best}/2")
                 continue
-            kept.append((g0, g1, st, score, chain))
+            kept.append((g0, g1, st, score, chain, alt))
             if len(kept) >= max_out * 2:
                 break
-        for g0, g1, st, score, chain in kept:
+        for g0, g1, st, score, chain, alt in kept:
             work.append([qi, g0, g1, 0, st, chain])
+            if alt is not None:
+                work.append([qi, g0, g1, 0, alt[0], alt[2]])
 
     results: list[list[GeneStructure]] = [[] for _ in queries]
     for _round in range(3):
