@@ -513,6 +513,36 @@ def execute_jobs(jobs: list[AlignJob], ctx: AlignerContext,
         Mpad = _round_up(len(job.q), lanes)
         key = (W, Mpad)
         buckets.setdefault(key, []).append(i)
+    # bucket coalescing: every bucket launch pays a fixed dispatch +
+    # transfer floor on remote-tunnel backends (~0.2 s measured) while
+    # the extra band cells of a wider W are nearly free at kernel
+    # speed — promote under-filled W classes of the same Mpad into the
+    # widest W of the group (the band is a search-space restriction;
+    # widening only adds freedom).  SPALN_BUCKET_MERGE=0 disables.
+    if os.environ.get("SPALN_BUCKET_MERGE", "1") == "1":
+        by_m: dict[int, list[tuple]] = {}
+        for (W, Mpad), idxs in buckets.items():
+            by_m.setdefault(Mpad, []).append((W, idxs))
+        merged: dict[tuple, list[int]] = {}
+        for Mpad, entries in by_m.items():
+            entries.sort()                      # ascending W
+            Wmax = entries[-1][0]
+            small, kept = [], []
+            for W, idxs in entries:
+                if W < Wmax and len(idxs) < max_batch:
+                    small.extend(idxs)
+                else:
+                    kept.append((W, idxs))
+            if small:
+                if kept and kept[-1][0] == Wmax:
+                    kept[-1] = (Wmax, kept[-1][1] + small)
+                else:
+                    kept.append((Wmax, small))
+                for i in small:
+                    jobs[i].up = jobs[i].lw + Wmax - 1
+            for W, idxs in kept:
+                merged[(W, Mpad)] = idxs
+        buckets = merged
     for (W, Mpad), idxs in buckets.items():
         # traceback planes cost ~(W + 2L) * L * 13B per slab per problem.
         # Small geometries run the single-pass full-plane path within a

@@ -1115,8 +1115,10 @@ def _fused_call(Bp, B, L, W, T, gop, gep, llmt, ncls, nclass, sop, nbt,
             bnd_h, bnd_f, bnd_f2, row_h, rc_h = out[:5]
             fl_pl, spj_pl = out[5], out[6]
             FLs.append(fl_pl[:T, :B].astype(I32))
-            SPJs.append(jnp.transpose(spj_pl, (1, 2, 3, 0))[:T, :B]
-                        .astype(I32))
+            # keep state-major (nstate, T, B, L): transposing the
+            # size-3 state dim to the minor position tiles it to 128
+            # lanes on TPU (42x memory, OOM on merged wide buckets)
+            SPJs.append(spj_pl[:, :T, :B].astype(I32))
         # ---- lastS_ng end extraction (collect_batch_results semantics)
         NEVj = jnp.asarray(NEV, I32)
         iota_n = jnp.arange(Nmax + 2, dtype=I32)

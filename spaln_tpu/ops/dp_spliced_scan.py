@@ -1149,8 +1149,14 @@ def _tb_walker(S, T, B, L, NSPJ, IT):
             flat = ((sc * T + tc) * B + barr) * L + ic
             fl = jnp.where(ok, jnp.take(FL, flat), 255)
             stc = jnp.clip(st, 0, NSPJ - 1)
-            jnc_s = jnp.where(ok, jnp.take(SPJ, flat * NSPJ + stc), 0)
-            jnc_0 = jnp.where(ok, jnp.take(SPJ, flat * NSPJ), 0)
+            # SPJ is stacked STATE-MAJOR (S, NSPJ, T, B, L): a
+            # state-minor layout would tile the size-3 dim to 128
+            # lanes on TPU (42x memory, OOM on wide buckets)
+            spj_at = ((((sc * NSPJ + stc) * T + tc) * B + barr) * L
+                      + ic)
+            spj_0 = (((sc * NSPJ * T + tc) * B + barr) * L + ic)
+            jnc_s = jnp.where(ok, jnp.take(SPJ, spj_at), 0)
+            jnc_0 = jnp.where(ok, jnp.take(SPJ, spj_0), 0)
             hd = fl & 7
             is0 = st == 0
             # state-0 stops: inactive cell / SWG local restart origin
@@ -1199,8 +1205,10 @@ def traceback_device_batch(bp: BatchProblem, traces, ends) -> list:
     NSPJ = traces[0][1].shape[-1]
     FL = jnp.reshape(jnp.stack([jnp.asarray(t[0], jnp.int32)
                                 for t in traces]), (-1,))
-    SPJ = jnp.reshape(jnp.stack([jnp.asarray(t[1], jnp.int32)
-                                 for t in traces]), (-1,))
+    # restack state-major (see _tb_walker layout note)
+    SPJ = jnp.reshape(jnp.stack(
+        [jnp.moveaxis(jnp.asarray(t[1], jnp.int32), -1, 0)
+         for t in traces]), (-1,))
     IT = 2 * (bp.Mpad + bp.W) + 64
     walk = _tb_walker(S, bp.T, bp.B, bp.L, NSPJ, IT)
     m0v = jnp.asarray([int(e[0]) for e in ends], jnp.int32)

@@ -286,32 +286,49 @@ class BlockIndex:
         cyc, blk, ws, ncyc = hs
         NB = self.n_blocks
         half = ncyc // 2
-        if ncyc * (NB + 2) <= (1 << 25):
-            # dense boolean gate (presence matrix + shifted ors), then
-            # per-hit gating by fancy index — run gating without the
-            # sorted-probe searchsorteds (~30x on typical geometries).
-            # The presence buffer is cached on the index and cleared
-            # sparsely (only the touched cells), saving a 10 MB
-            # alloc+memset per query at genome scale
+        W64 = (NB + 2 + 63) >> 6
+        if ncyc * W64 * 8 <= (1 << 26):
+            # bit-packed presence gate: one uint64 word covers 64
+            # blocks, so the (positions x blocks) presence matrix and
+            # its +-1-block / +-1-position dilation are 64x less memory
+            # traffic than the boolean matrix it replaces (the bool
+            # version streamed ~80 MB/query at genome scale and capped
+            # the index bench below 200 votes/s).  Neighbor blocks are
+            # bit shifts with cross-word carry; neighbor positions are
+            # row gathers at cyc and cyc+2.  The buffer is cached on
+            # the index and cleared sparsely (touched words only)
             buf = getattr(self, "_gate_buf", None)
-            if buf is None or buf.shape[0] < ncyc + 2 \
-                    or buf.shape[1] != NB + 2:
-                buf = np.zeros((max(ncyc + 2, 1024), NB + 2), dtype=bool)
+            if buf is None or buf[0].shape[0] < ncyc + 2 \
+                    or buf[0].shape[1] != W64:
+                rows = max(ncyc + 2, 1024)
+                buf = (np.zeros((rows, W64), dtype=np.uint64),
+                       np.empty((rows, W64), dtype=np.uint64),
+                       np.empty((rows, W64), dtype=np.uint64))
                 object.__setattr__(self, "_gate_buf", buf)
-            H = buf[:ncyc + 2]
-            H[cyc + 1, blk + 1] = True
-            nb3 = H[:, :-2] | H[:, 1:-1]                 # +-1 block
-            nb3 |= H[:, 2:]
-            gate = nb3[:-2] | nb3[2:]                    # +-1 position
-            run = gate[cyc, blk]
-            H[cyc + 1, blk + 1] = False                  # sparse clear
-            left = cyc < half
-            bl = np.bincount(blk[run & left], weights=ws[run & left],
-                             minlength=NB)
-            br = np.bincount(blk[run & ~left], weights=ws[run & ~left],
-                             minlength=NB)
+            H = buf[0][:ncyc + 2]
+            sd = buf[1][:ncyc + 2]                       # scratch: no
+            su = buf[2][:ncyc + 2]                       # per-query alloc
+            col = blk + 1
+            wi = col >> 6
+            bit = (np.uint64(1) << (col & 63).astype(np.uint64))
+            np.bitwise_or.at(H, (cyc + 1, wi), bit)
+            np.right_shift(H, np.uint64(1), out=sd)      # col+1 -> bit p
+            sd[:, :-1] |= H[:, 1:] << np.uint64(63)
+            np.left_shift(H, np.uint64(1), out=su)       # col-1 -> bit p
+            su[:, 1:] |= H[:, :-1] >> np.uint64(63)
+            sd |= su                                     # +-1 block
+            sd |= H
+            gate = sd[:-2] | sd[2:]                      # +-1 position
+            run = (gate[cyc, wi] & bit) != 0
+            H[cyc + 1, wi] = 0                           # sparse clear
+            rn = np.flatnonzero(run)
+            blkr = blk[rn]
+            # one fused bincount: right-half hits keyed at blk + NB
+            key = blkr + np.where(cyc[rn] < half, 0, NB)
+            both = np.bincount(key, weights=ws[rn], minlength=2 * NB)
+            bl, br = both[:NB], both[NB:]
             run_cyc = np.zeros(ncyc + 1, dtype=bool)
-            run_cyc[cyc[run]] = True
+            run_cyc[cyc[rn]] = True
         else:
             # sorted-probe fallback for huge query x block products
             key = np.sort(cyc * NB + blk)
