@@ -346,7 +346,8 @@ def _finish_tron_job(job: TronJob, score: int, em: int, en: int,
                                    g_name=job.g_name, strand=job.strand,
                                    prm=ctx.prm, ipen_tab=ctx.ipen_tab,
                                    k5=job.k5, k3=job.k3,
-                                   wmm_w=ctx.cfg.aln2.w)
+                                   wmm_w=ctx.cfg.aln2.w,
+                                   intron_maxl=int(ctx.ipen.maxl))
     if gs is None:
         return None
     for e in gs.exons:
@@ -507,11 +508,18 @@ def reclassify_introns_tron(ops: list, sig: TronSignals,
 
 
 def _isCanon(sig: TronSignals, nd: int, na: int) -> bool:
-    """Canonical donor/acceptor pair (Exinon::isCanon role)."""
+    """Canonical donor/acceptor PAIR (Exinon::isCanon,
+    codepot.h:108-113): classes must pair — GT/GC (3) with AG (3),
+    AT (2) with AC (2); class-1 sites pair with anything.  Accepting
+    the sides independently admits GT..AC / AT..AG junctions the
+    reference rejects (measured: spurious first-exon relocations)."""
     N = len(sig.dinc5)
     if not (0 <= nd < N and 0 <= na < N):
         return False
-    return sig.cano5[nd] > 0 and sig.cano3[na] > 0
+    c5 = int(sig.cano5[nd])
+    c3 = int(sig.cano3[na])
+    return bool((c5 == 3 and c3 == 3) or (c5 == 2 and c3 == 2)
+                or (c5 == 1 and c3 > 0) or (c5 > 0 and c3 == 1))
 
 
 def refine_terminal_exons(exons: list, introns: list, a: np.ndarray,
@@ -691,8 +699,221 @@ def refine_terminal_exons(exons: list, introns: list, a: np.ndarray,
             judge(ld, n, e_new, el, side5=False)
 
 
+def first_exon_zero5(exons: list, introns: list, a: np.ndarray,
+                     bn: np.ndarray, sig: TronSignals,
+                     prm: TronDpParams, ipen_tab: np.ndarray,
+                     w: float = 1.0, scan_cap: int = 2000,
+                     intron_maxl: int = 600) -> None:
+    """first_exon for a fully-anchored 5' end (fwd2h1.cc:3040-3055).
+
+    Even with zero unanchored query residues the reference re-opens the
+    5' boundary: nearest3ss finds acceptor sites within max_dist2ss aa
+    of the current start; an acceptor d3 codons DOWNSTREAM pulls
+    ar = -d3 leading residues into a candidate first exon placed at the
+    best sigS-positive (TransInit) site >= intron-minl upstream, scored
+    w*mch + sigS + sig5 + spjscr (first_exon_wmm).  The junction then
+    faces the intron-vs-gap re-decision; a losing junction merges into
+    one exon with an unpaired run to the start codon — the reference's
+    'T-' stretches (cds5end finding nothing positive is the gate; the
+    interpolateH cmode=1 flow keeps first_exon only in that case)."""
+    N = len(sig.sigS)
+    mtx = prm.qprof_mtx
+    bt = sig.btron
+    e0 = exons[0]
+    if e0.q_start != 0 or e0.q_end - e0.q_start <= 6:
+        return
+    g0 = e0.g_start
+
+    def spl_aa(nd: int, na: int, phs: int) -> int:
+        """Tron symbol of the junction codon (spjseq role)."""
+        from ..seq.codec import _tron_of
+        if phs == 1:
+            c = (bn[nd - 2], bn[nd - 1], bn[na])
+        else:
+            c = (bn[nd - 1], bn[na], bn[na + 1])
+        return int(_tron_of(np.array([c[0]]), np.array([c[1]]),
+                            np.array([c[2]]), tron=True)[0])
+
+    # nearest3ss: sig3-positive acceptors within +-max_dist2ss aa of the
+    # current start, nearest-two kept (fwd2h1.cc:2573-2619); only
+    # downstream sites pull residues into the new first exon (upstream
+    # ones give a->right <= 0 and fall back to cds5end)
+    cands = [p for p in range(g0 + 1, min(N - 2, g0 + 16))
+             if sig.sig3[p] > 0]
+    if not cands:
+        cands = [p for p in range(g0 + 1, min(N - 2, g0 + 16))
+                 if sig.cano3[p] > 0]
+    cands.sort(key=lambda p: p - g0)
+    if len(cands) > 2:
+        cands = cands[:2]
+    if len(cands) == 2 and sig.sig3[cands[0]] > sig.sig3[cands[1]]:
+        cands = cands[:1]
+    best = None
+    for r in cands:
+        d3 = g0 - r
+        d3 = (d3 + 1) // 3 if d3 >= 0 else -((-d3 + 1) // 3)
+        ar = -d3                            # aa pulled into the exon
+        if ar < 1 or ar >= e0.q_end:
+            continue
+        br = g0 + 3 * ar                    # adjusted boundary
+        d3p = br - r                        # junction phase (-1, 0, 1)
+        n_hi = br - 3 * ar - prm.intron_minl
+        n_lo = max(0, n_hi - scan_cap)
+        for n in range(n_hi, n_lo - 1, -1):
+            nd = n + 3 * ar - d3p           # donor boundary
+            # chunked scan (first_exon_wmm, fwd2h1.cc:2747): stop at
+            # IntronPrm.maxl-length boundaries once any candidate
+            # exists — near sites win by early termination, not score
+            if best is not None and (r - nd) % intron_maxl == 0:
+                break
+            sS = int(sig.sigS[n + 1]) if 0 <= n + 1 < N else 0
+            if sS <= 0:
+                continue
+            if not _isCanon(sig, nd, r):
+                continue
+            mch = 0
+            # straight codons; the phase-split junction codon scores
+            # through spjseq (first_exon_wmm, fwd2h1.cc:2728-2736)
+            top = ar - 1 if d3p == 1 else ar
+            for i in range(top):
+                p = n + 3 * i + 1
+                if p >= N:
+                    mch = NEVSEL
+                    break
+                mch += int(mtx[a[i], bt[p]])
+            if d3p == 1:
+                mch += int(mtx[a[ar - 1], spl_aa(nd, r, 1)])
+            elif d3p == -1 and ar < len(a):
+                mch += int(mtx[a[ar], spl_aa(nd, r, -1)])
+            intlen = r - nd
+            scr = (w * mch + sS + int(sig.sig5[nd])
+                   + int(ipen_tab[min(max(intlen, 0),
+                                      len(ipen_tab) - 1)])
+                   + int(sig.sig53_ie53(nd, r)))
+            if best is None or scr > best[0]:
+                best = (scr, n, nd, r, ar, d3p, mch)
+    if best is None or best[0] <= 0:
+        return
+    scr, n, nd, na, k, d3p, mch = best
+    nid = sum(1 for i in range(k)
+              if n + 3 * i + 1 < N and int(a[i]) == int(bt[n + 3 * i + 1]))
+    e_new = Exon(q_start=0, q_end=k, g_start=n, g_end=nd, mch=nid)
+    e_new.mmc = k - nid
+    e0.q_start, e0.g_start = k, na + (1 if d3p == 1 else 0)
+    intlen = na - nd
+    iscr = (int(sig.sig5[nd])
+            + int(ipen_tab[min(max(intlen, 0), len(ipen_tab) - 1)])
+            + int(sig.sig53_ie53(nd, na)))
+    # skl_rngH re-detects the junction from phase markers at the
+    # codon-rounded skl bounds; a phased (+-1) junction written by
+    # first_exon only reconstitutes for strong-canonical donors, so in
+    # practice it lands as an unpaired run (the reference's 'T-'
+    # output).  Keep the intron only for phase-0 junctions that win
+    # the intron-vs-gap re-decision
+    if d3p == 0 and iscr + prm.gap_penalty3(0) >= \
+            prm.gap_penalty3(intlen):
+        exons.insert(0, e_new)
+        introns.insert(0, Intron(g_start=nd, g_end=na, q_pos=k,
+                                 sig5=int(sig.sig5[nd]),
+                                 sig3=int(sig.sig3[na]) if na < N else 0,
+                                 canonical=True))
+    else:                                     # merged unpaired run
+        unp = e0.g_start - nd
+        e0.q_start, e0.g_start = e_new.q_start, e_new.g_start
+        e0.mch += e_new.mch
+        e0.mmc += e_new.mmc
+        e0.unp += unp
+        e0.gap += 1
+
+
+def last_exon_zero3(exons: list, introns: list, a: np.ndarray,
+                    sig: TronSignals, prm: TronDpParams,
+                    ipen_tab: np.ndarray, w: float = 1.0,
+                    scan_cap: int = 2000,
+                    intron_maxl: int = 600) -> None:
+    """last_exon for a fully-anchored 3' end (fwd2h1.cc:3056-3071),
+    symmetric to first_exon_zero5: nearest5ss donors just upstream of
+    the current end pull trailing residues into a candidate last exon
+    at the best sigT-positive (TransTerm) site downstream."""
+    N = len(sig.sigS)
+    mtx = prm.qprof_mtx
+    bt = sig.btron
+    el = exons[-1]
+    M = len(a)
+    if el.q_end != M or el.q_end - el.q_start <= 6:
+        return
+    ge = el.g_end
+    cands = [p for p in range(max(0, ge - 15), ge)
+             if sig.sig5[p] > 0]
+    if not cands:
+        cands = [p for p in range(max(0, ge - 15), ge)
+                 if sig.cano5[p] > 0]
+    best = None
+    for ld in cands:
+        d5 = ge - ld
+        k = (d5 + 1) // 3                    # residues pulled out
+        if k < 1 or k >= el.q_end - el.q_start:
+            continue
+        q0 = M - k
+        n_lo = ld + prm.intron_minl
+        n_hi = min(N - 3 * k - 4, n_lo + scan_cap)
+        for n in range(n_lo, n_hi + 1):
+            # chunked scan (last_exon_wmm, fwd2h1.cc:2899)
+            if best is not None and (n - ld) % intron_maxl == 0:
+                break
+            if not _isCanon(sig, ld, n):
+                continue
+            stop_at = n + 3 * k + 1
+            sT = int(sig.sigT[stop_at]) if stop_at < N else 0
+            if sT <= 0:
+                continue
+            mch = 0
+            for i in range(k):
+                p = n + 3 * i + 1
+                if p >= N:
+                    mch = NEVSEL
+                    break
+                mch += int(mtx[a[q0 + i], bt[p]])
+            intlen = n - ld
+            scr = (w * mch + sT + int(sig.sig5[ld])
+                   + int(ipen_tab[min(max(intlen, 0),
+                                      len(ipen_tab) - 1)])
+                   + int(sig.sig53_ie53(ld, n)))
+            if best is None or scr > best[0]:
+                best = (scr, n, ld, k, mch)
+    if best is None or best[0] <= 0:
+        return
+    scr, n, ld, k, mch = best
+    q0 = M - k
+    nid = sum(1 for i in range(k)
+              if n + 3 * i + 1 < N
+              and int(a[q0 + i]) == int(bt[n + 3 * i + 1]))
+    e_new = Exon(q_start=q0, q_end=M, g_start=n, g_end=n + 3 * k,
+                 mch=nid)
+    e_new.mmc = k - nid
+    el.q_end, el.g_end = q0, ld
+    intlen = n - ld
+    d5p = 3 * k - (ge - ld)                  # junction phase
+    iscr = (int(sig.sig5[ld])
+            + int(ipen_tab[min(max(intlen, 0), len(ipen_tab) - 1)])
+            + int(sig.sig53_ie53(ld, n)))
+    if d5p == 0 and iscr + prm.gap_penalty3(0) >= \
+            prm.gap_penalty3(intlen):
+        exons.append(e_new)
+        introns.append(Intron(g_start=ld, g_end=n, q_pos=q0,
+                              sig5=int(sig.sig5[ld]),
+                              sig3=int(sig.sig3[n]) if n < N else 0,
+                              canonical=True))
+    else:
+        el.q_end, el.g_end = e_new.q_end, e_new.g_end
+        el.mch += e_new.mch
+        el.mmc += e_new.mmc
+        el.unp += intlen
+        el.gap += 1
+
+
 def snap_cds_ends(exons: list, a: np.ndarray, bn: np.ndarray,
-                  sig: TronSignals, prm: TronDpParams) -> None:
+                  sig: TronSignals, prm: TronDpParams) -> tuple:
     """Anchor the CDS ends at start/stop codons (cds5end/cds3end,
     fwd2h1.cc:2331-2396), in place.
 
@@ -729,6 +950,7 @@ def snap_cds_ends(exons: list, a: np.ndarray, bn: np.ndarray,
         else:
             scr += prm.gep
         y -= 3
+    max5 = maxscr
     if maxscr > 0 and best is not None and best != (e0.q_start,
                                                    e0.g_start):
         e0.q_start, e0.g_start = best
@@ -755,6 +977,7 @@ def snap_cds_ends(exons: list, a: np.ndarray, bn: np.ndarray,
         y += 3
     if maxscr > 0 and best is not None:
         el.q_end, el.g_end = best
+    return max5, maxscr
 
 
 def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
@@ -764,7 +987,8 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
                               prm: TronDpParams | None = None,
                               ipen_tab: np.ndarray | None = None,
                               k5: int = 0, k3: int = 0,
-                              wmm_w: float = 9.0
+                              wmm_w: float = 9.0,
+                              intron_maxl: int = 600
                               ) -> GeneStructure | None:
     """Traceback op stream from the tron engine -> exon/intron records
     (skl_rngH_ng role, fwd2h1.cc:619-900).
@@ -914,7 +1138,30 @@ def build_gene_structure_tron(ops: list, a: np.ndarray, bn: np.ndarray,
         # keep the DP-path counts; the snapped boundary codons are
         # signal-driven extensions (the reference writes bare SKL
         # records for them too, fwd2h1.cc:2352-2357).
-        snap_cds_ends(exons, a, bn, sig, prm)
+        m5, m3 = snap_cds_ends(exons, a, bn, sig, prm)
+        if ipen_tab is not None:
+            # interpolateH cmode=1/2 fallback: when the cds5end/cds3end
+            # walk finds nothing positive, the reference re-opens even a
+            # fully-anchored end through first_exon/last_exon
+            # (fwd2h1.cc:3040-3071)
+            if not k5 and m5 <= 0:
+                try:
+                    first_exon_zero5(exons, introns, a, bn, sig, prm,
+                                     ipen_tab, w=wmm_w,
+                                     intron_maxl=intron_maxl)
+                except (KeyboardInterrupt, SystemExit):
+                    raise
+                except BaseException:
+                    pass
+            if not k3 and m3 <= 0:
+                try:
+                    last_exon_zero3(exons, introns, a, sig, prm,
+                                    ipen_tab, w=wmm_w,
+                                    intron_maxl=intron_maxl)
+                except (KeyboardInterrupt, SystemExit):
+                    raise
+                except BaseException:
+                    pass
     for i, intr in enumerate(introns):
         if i + 1 < len(exons):
             exons[i + 1].sig3 = intr.sig3

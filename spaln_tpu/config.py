@@ -62,7 +62,10 @@ class AlnPrm2:
     jneibr: int = 10             # junction neighborhood window
     termk1: int = 45
     desert: int = 150
-    w: float = 9.                # terminal-exon match weight (wmm)
+    # terminal-exon match weight (wmm).  ALPRM2 default is 9 but the
+    # default algmode.crs=3->1 (clib.cc:45, aln2.cc:89,95) forces w=1
+    # in every default run; we bake the effective default
+    w: float = 1.
     # branch-point signal (BPPRM, aln.h:93; defaults simmtx.cc:54 —
     # factor 0 = off, enable with -yB; acceptors within maxb3d of a
     # strong Branch-PSSM hit get the bp bonus added to sig3)

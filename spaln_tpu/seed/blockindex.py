@@ -36,11 +36,14 @@ def _aa_reduce(nalpha: int) -> np.ndarray:
 
 
 def auto_params(glen: int) -> dict:
-    blklen = min(int(math.sqrt(glen)) + 1, 65536)
-    blklen = max(blklen, 256)
+    # blklen = sqrt(genome) rounded UP to a 1024 multiple
+    # (blksrc.cc:692-695) — the rounding matters: block boundaries set
+    # the phase-A candidate-range edges, which bound the terminal-exon
+    # search windows (measured against the reference's windows)
+    blklen = min((int(math.sqrt(glen)) // 1024 + 1) * 1024, 65536)
     k = min(int(0.59 * math.log(max(glen, 100))), 13)
     k = max(k, 4)
-    maxgene = max(int(38 * math.sqrt(glen)), 16384)
+    maxgene = max(int(38 * math.sqrt(glen) / 1024 + 1) * 1024, 16384)
     # protein index k-mer (aa words): 0.36 ln(gnmsz) capped 6
     # (blksrc.cc:678-737)
     kp = max(min(int(0.36 * math.log(max(glen, 100))), 6), 3)
