@@ -380,6 +380,36 @@ def execute_tron_jobs(jobs: list, ctx: ProteinAlignerContext,
         W = job.up - job.lw + 2
         Mpad = _round_up(len(job.q), lanes)
         buckets.setdefault((W, Mpad), []).append(i)
+    # bucket coalescing (the cDNA driver's scheme): promote under-filled
+    # band-width classes of the same Mpad into the group's widest W —
+    # every bucket launch pays a fixed dispatch+transfer floor on
+    # remote-tunnel backends while wider-band cells are near-free.
+    # SPALN_BUCKET_MERGE=0 disables.
+    import os as _os0
+    if _os0.environ.get("SPALN_BUCKET_MERGE", "1") == "1":
+        by_m: dict[int, list[tuple]] = {}
+        for (W, Mpad), idxs in buckets.items():
+            by_m.setdefault(Mpad, []).append((W, idxs))
+        merged: dict[tuple, list[int]] = {}
+        for Mpad, entries in by_m.items():
+            entries.sort()
+            Wmax = entries[-1][0]
+            small, kept = [], []
+            for W, idxs in entries:
+                if W < Wmax and len(idxs) < max_batch:
+                    small.extend(idxs)
+                else:
+                    kept.append((W, idxs))
+            if small:
+                if kept and kept[-1][0] == Wmax:
+                    kept[-1] = (Wmax, kept[-1][1] + small)
+                else:
+                    kept.append((Wmax, small))
+                for i in small:
+                    jobs[i].up = jobs[i].lw + Wmax - 2
+            for W, idxs in kept:
+                merged[(W, Mpad)] = idxs
+        buckets = merged
     for (W, Mpad), idxs in buckets.items():
         # full-plane traceback memory: ~T*L*20B per slab per problem
         T = W + 6 * (lanes - 1)

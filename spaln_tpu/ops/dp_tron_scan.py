@@ -104,7 +104,7 @@ def build_tron_operands(a, bn, sig: TronSignals, prm: TronDpParams,
         "rb_d3": b3(sig.dinc3.astype(np.int32)),
         "rb_phs5": b3(sig.phs5.astype(np.int32), fill=-2),
         "rb_phs3": b3(sig.phs3.astype(np.int32), fill=-2),
-        "rb_joint": b3(sig.acc_joint.astype(np.int32), width=16),
+        "t53": sig.tabs.tab53.astype(np.int32).reshape(-1),
         "ipen": ipen_tab.astype(np.int32),
         "t1": sig.spj_tron1.astype(np.int32),
         "t2": sig.spj_tron2.astype(np.int32),
@@ -129,8 +129,9 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
     m0, lw0 are traced; only the padded geometry recompiles."""
     n_nod = 5 if dagp else 3
 
-    def step(carry, t, *, qp0, qp1, ops, bnd, m0, lw0, deltas, Ms, Ns,
+    def step(carry, xin, *, qp0, qp1, ops, bnd, m0, lw0, deltas, Ms, Ns,
              a_exgr, loc_lo, loc_hi):
+        t, strm = xin
         (hh, hd, ff, ee, ed, ff2, fd2, ee2, ed2, cv, cj, cd, c3d) = carry
         # hh: (6, B, L) H history (hh[0] = t-1 ... hh[5] = t-6); hd dirs
         # ff: (3, B, L) F history; ee: (3, B, L) E queue vals; ed dirs
@@ -233,45 +234,20 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         # ---- phase-split reversed slices: value_i = arr[n_i + o] read as
         # rows B3[k0 + i, p] with S' = pad + c0 + t + o, p = S' mod 3
         # (per-problem delta is baked into the layout, so S is shared)
-        def sl(key, o):
-            S = pad2 + n0s + o
-            k0 = Lp3 - 1 - S // 3
-            p = S % 3
-            blk = jax.lax.dynamic_slice(ops[key], (0, k0, 0), (B, L, 3))
-            return jnp.where(p == 0, blk[:, :, 0],
-                             jnp.where(p == 1, blk[:, :, 1], blk[:, :, 2]))
-
-        def sl16(key, o):
-            S = pad2 + n0s + o
-            k0 = Lp3 - 1 - S // 3
-            p = S % 3
-            blk = jax.lax.dynamic_slice(ops[key], (0, k0, 0, 0),
-                                        (B, L, 3, 16))
-            return jnp.where(p == 0, blk[:, :, 0, :],
-                             jnp.where(p == 1, blk[:, :, 1, :],
-                                       blk[:, :, 2, :]))
-
-        bt_n2 = sl("rb_bt", -2)                  # btron[n-2]
-        bt_n1p = sl("rb_bt", 1)                  # btron[n+1]
-        sigE_n2 = sl("rb_sigE", -2)              # sigE[n-2]
-        sigE_n1p = sl("rb_sigE", 1)              # sigE[n+1]
-        phs5_n = sl("rb_phs5", 0)                # phs5[n]
-        phs3_n = sl("rb_phs3", 0)                # phs3[n]
-        sig5_n = sl("rb_sig5", 0)
-        sig5_n1 = sl("rb_sig5", -1)              # sig5[n-1]
-        sig5_np1 = sl("rb_sig5", 1)              # sig5[n+1]
-        accb_n = sl("rb_accb", 0)
-        accb_n1 = sl("rb_accb", -1)
-        accb_np1 = sl("rb_accb", 1)
-        d5_n = sl("rb_d5", 0)
-        d5_n1 = sl("rb_d5", -1)
-        d5_np1 = sl("rb_d5", 1)
-        d3_n = sl("rb_d3", 0)
-        d3_n1 = sl("rb_d3", -1)
-        d3_np1 = sl("rb_d3", 1)
-        joint_n = sl16("rb_joint", 0)
-        joint_n1 = sl16("rb_joint", -1)
-        joint_np1 = sl16("rb_joint", 1)
+        # per-step operand values arrive as scan xs streams built once
+        # pre-scan (dp_spliced_scan fix A: in-step dynamic slices from
+        # the (B, Lp3, 3) phase-split layouts were 62% of device time —
+        # minor-dim-3 tiles pad to 128 lanes and every step paid the
+        # relayout)
+        (bt_n2, bt_n1p, sigE_n2, sigE_n1p, phs5_n, phs3_n,
+         sig5_n, sig5_n1, sig5_np1, accb_n, accb_n1, accb_np1,
+         d5_n, d5_n1, d5_np1, d3_n, d3_n1, d3_np1) = (
+            v.astype(I32) for v in strm)
+        # acceptor joint values come from the 256-entry constant table:
+        # acc_joint[n, d5] = tab53[16*d5 + dinc3[n]] (splice.py:233),
+        # so the (B, Lp3, 3, 16) operand is unnecessary
+        t53 = ops["t53"]
+        joint_n = joint_n1 = joint_np1 = None
 
         # ================= recurrence (fwd2h1.cc:361-575) ================
         score = jnp.take_along_axis(qp0, bt_n2[..., None], axis=2)[..., 0]
@@ -385,9 +361,9 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
         spj_jnc = [jnp.zeros((B, L), I32) for _ in range(n_nod)]
         spj_phs = [jnp.zeros((B, L), I32) for _ in range(n_nod)]
         acc_any = internal & active & (n < Ns[:, None]) & (phs3_n != -2)
-        for phs, accb_p, joint_p in ((-1, accb_np1, joint_np1),
-                                     (0, accb_n, joint_n),
-                                     (1, accb_n1, joint_n1)):
+        for phs, accb_p, dinc3_p in ((-1, accb_np1, d3_np1),
+                                     (0, accb_n, d3_n),
+                                     (1, accb_n1, d3_n1)):
             pm = acc_any & (((phs3_n == 2) & (phs != 0))
                             | (phs3_n == phs))
             nb = n - phs
@@ -397,8 +373,9 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                            jnp.clip(ilen, 0, ops["ipen"].shape[0] - 1))
             # candidate c3d packs (dinc3[nb5] << 4) | dinc5[nb5]
             cand_d5 = c3d[pi] & 15
+            jsel = jnp.clip(16 * cand_d5 + dinc3_p[..., None], 0, 255)
             xc = (cv[pi] + pen + accb_p[..., None]
-                  + jnp.take_along_axis(joint_p, cand_d5, axis=2))
+                  + jnp.take(t53, jsel))
             # phase +-1 junction codon rescoring for dir-0 candidates
             if phs != 0:
                 w4 = jnp.clip(16 * ((c3d[pi] >> 4) & 15)
@@ -573,8 +550,10 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
             e2_open, jnp.uint8(0x80), jnp.uint8(0))
         fl_f2 = (f2_dir & 31).astype(jnp.uint8) | jnp.where(
             f2_open, jnp.uint8(0x80), jnp.uint8(0))
-        spj_out = jnp.stack(spj_jnc, axis=-1)
-        php_out = jnp.stack(spj_phs, axis=-1).astype(jnp.int8)
+        # state-major (NSPJ, B, L): a state-minor stack would tile the
+        # small state dim to 128 lanes on TPU (42x plane memory)
+        spj_out = jnp.stack(spj_jnc, axis=0)
+        php_out = jnp.stack(spj_phs, axis=0).astype(jnp.int8)
         return carry, ys + (fl_h, fl_e, fl_f, spj_out, php_out,
                             fl_e2, fl_f2)
 
@@ -597,7 +576,33 @@ def _tron_scan_batch(B, L, W, gop, gep, ge1, ge2, gw1, gw2, gw3, minl,
                               m0=m0, lw0=lw0, deltas=deltas, Ms=Ms,
                               Ns=Ns, a_exgr=a_exgr, loc_lo=loc_lo,
                               loc_hi=loc_hi)
-        _, ys = jax.lax.scan(f, carry0, jnp.arange(T))
+        # pre-scan operand streams: value_i(t) = B3[k0(t)+i, p(t)] for
+        # each (operand, offset) pair the step reads, built with ONE
+        # flat gather per stream (leading-axis scan slicing is free;
+        # the in-step dynamic slices they replace were 62% of device
+        # wall, see step docstring)
+        c0s = 3 * m0 + lw0 - 1
+        ts_all = jnp.arange(T)
+        lane_i = jnp.arange(L)
+
+        def stream(key, o):
+            S = pad2 + c0s + ts_all + o              # (T,)
+            k0 = Lp3 - 1 - S // 3
+            p = S % 3
+            idx = 3 * (k0[:, None] + lane_i[None, :]) + p[:, None]
+            idx = jnp.clip(idx.reshape(-1), 0, Lp3 * 3 - 1)
+            flat = ops[key].reshape(B, Lp3 * 3)
+            g = jnp.take(flat, idx, axis=1)
+            return g.reshape(B, T, L).transpose(1, 0, 2)
+
+        strm = tuple(stream(k, o) for k, o in (
+            ("rb_bt", -2), ("rb_bt", 1), ("rb_sigE", -2), ("rb_sigE", 1),
+            ("rb_phs5", 0), ("rb_phs3", 0),
+            ("rb_sig5", 0), ("rb_sig5", -1), ("rb_sig5", 1),
+            ("rb_accb", 0), ("rb_accb", -1), ("rb_accb", 1),
+            ("rb_d5", 0), ("rb_d5", -1), ("rb_d5", 1),
+            ("rb_d3", 0), ("rb_d3", -1), ("rb_d3", 1)))
+        _, ys = jax.lax.scan(f, carry0, (ts_all, strm))
         (bh, bhd, bf, bf2, bf2d, wl, row_v, rc_v) = ys[:8]
         n_extra = 8
         loc = ()
@@ -767,10 +772,10 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
             ipen_tab, Mpad, pad_extra, flags, Npad=Ngeom,
             shift=deltas[i])
         for k in ("rb_bt", "rb_sigE", "rb_sig5", "rb_accb", "rb_d5",
-                  "rb_d3", "rb_phs5", "rb_phs3", "rb_joint"):
+                  "rb_d3", "rb_phs5", "rb_phs3"):
             stacked.setdefault(k, []).append(od[k])
         qprofs.append(qprof)
-        shared = od                     # ipen/t1/t2 are batch-shared
+        shared = od                     # ipen/t1/t2/t53 are batch-shared
     ops = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
     # bucket the intron-penalty table length (values past the true
     # length are never read: intron length <= N)
@@ -779,6 +784,7 @@ def prepare_tron_batch(queries: list, genomes: list, sigs: list,
         shared["ipen"], (0, ipad - len(shared["ipen"])), mode="edge"))
     ops["t1"] = jnp.asarray(shared["t1"])
     ops["t2"] = jnp.asarray(shared["t2"])
+    ops["t53"] = jnp.asarray(shared["t53"])
     qprof_all = jnp.asarray(np.stack(qprofs))
 
     if loc_bounds is None:
@@ -964,8 +970,8 @@ def collect_tron_results(bp: TronBatchProblem, row_np, rc_np, traces,
                         fl_h=[t[0][:, b] for t in traces],
                         fl_e=[t[1][:, b] for t in traces],
                         fl_f=[t[2][:, b] for t in traces],
-                        spj=[t[3][:, b] for t in traces],
-                        php=[t[4][:, b] for t in traces],
+                        spj=[t[3][:, :, b] for t in traces],
+                        php=[t[4][:, :, b] for t in traces],
                         L=bp.L, lw=lw, W=bp.W,
                         fl_e2=[t[5][:, b] for t in traces],
                         fl_f2=[t[6][:, b] for t in traces])
@@ -995,8 +1001,8 @@ def collect_tron_results(bp: TronBatchProblem, row_np, rc_np, traces,
                 fl_h=[t[0][:, b] for t in traces],
                 fl_e=[t[1][:, b] for t in traces],
                 fl_f=[t[2][:, b] for t in traces],
-                spj=[t[3][:, b] for t in traces],
-                php=[t[4][:, b] for t in traces],
+                spj=[t[3][:, :, b] for t in traces],
+                php=[t[4][:, :, b] for t in traces],
                 L=bp.L, lw=lw, W=bp.W,
                 fl_e2=[t[5][:, b] for t in traces],
                 fl_f2=[t[6][:, b] for t in traces])
@@ -1050,9 +1056,9 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             if winner != 0:
                 state = winner
                 continue
-            jnc = int(tr.spj[s][t, i, 0])
+            jnc = int(tr.spj[s][t, 0, i])
             if jnc:
-                phs = int(tr.php[s][t, i, 0])
+                phs = int(tr.php[s][t, 0, i])
                 nb5, nb3 = jnc - 1, n - phs
                 ops.append(('I', m, nb5, nb3, phs))
                 if phs == 0:
@@ -1069,9 +1075,9 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             m, n = m - 1, n - 3
             continue
         if state in (1, 3):
-            jnc = int(tr.spj[s][t, i, state])
+            jnc = int(tr.spj[s][t, state, i])
             if jnc:
-                phs = int(tr.php[s][t, i, state])
+                phs = int(tr.php[s][t, state, i])
                 ops.append(('I', m, jnc - 1, n - phs, phs))
                 n = jnc - 1 + phs
                 continue
@@ -1084,9 +1090,9 @@ def traceback_tron_scan(tr: TronTraceScan, end_m: int, end_n: int,
             if opened:
                 state = 0
             continue
-        jnc = int(tr.spj[s][t, i, state])
+        jnc = int(tr.spj[s][t, state, i])
         if jnc:
-            phs = int(tr.php[s][t, i, state])
+            phs = int(tr.php[s][t, state, i])
             ops.append(('I', m, jnc - 1, n - phs, phs))
             n = jnc - 1 + phs
             continue
@@ -1128,8 +1134,11 @@ def _tron_tb_walker(S, T, B, L, NSPJ, IT):
             ic = jnp.clip(i, 0, L - 1)
             flat = ((sc * T + tc) * B + barr) * L + ic
             stc = jnp.clip(st, 0, NSPJ - 1)
-            jnc = jnp.where(ok, jnp.take(SPJ, flat * NSPJ + stc), 0)
-            phs = jnp.where(ok, jnp.take(PHP, flat * NSPJ + stc), 0)
+            # SPJ/PHP are stacked STATE-MAJOR (S, T, NSPJ, B, L)
+            spj_at = ((((sc * T + tc) * NSPJ + stc) * B + barr) * L
+                      + ic)
+            jnc = jnp.where(ok, jnp.take(SPJ, spj_at), 0)
+            phs = jnp.where(ok, jnp.take(PHP, spj_at), 0)
             flh = jnp.where(ok, jnp.take(FLH, flat), 255)
             is0 = st == 0
             winner = (flh >> 5) & 7
@@ -1201,7 +1210,7 @@ def traceback_tron_device(bp: TronBatchProblem, traces, ends) -> list:
     per-problem ascending op streams (the traceback_tron_scan
     contract)."""
     S = len(traces)
-    NSPJ = traces[0][3].shape[-1]
+    NSPJ = traces[0][3].shape[1]
     I32j = jnp.int32
 
     def flat(ix):
